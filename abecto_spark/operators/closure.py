@@ -1,0 +1,296 @@
+"""Transitive mapping closure as distributed connected components, plus the
+incorrespondence veto.
+
+Replaces the reference's forward-rule RETE closure
+(`MappingProcessor.java:38-50,124-143`): the symmetric+transitive closure of
+``correspondsToResource`` is never materialized as O(n²) pairs — instead
+every resource gets a ``canonical_id`` (the lexicographically smallest
+member of its connected component, matching the reference's
+group-representative convention, `Processor.java:216-218`), and group
+membership is the product.
+
+Incorrespondence semantics (`MappingProcessor.java:94-122`, README
+`:389-394` first-wins precedence):
+  * ``corr`` edges contradicting an earlier ``incorr`` edge are rejected,
+  * ``incorr`` edges contradicting an earlier ``corr`` closure are rejected,
+  * ``incorr`` propagates over ``corr`` clusters (incorr ∘ corr → incorr),
+    which falls out of checking incorrespondence at cluster level.
+
+The CC loop is a driver-side iteration of min-label propagation with
+``localCheckpoint()`` per round to cut lineage (Catalyst does not iterate,
+SURVEY.md §4). Rounds ≈ cluster diameter; entity-link clusters are
+near-cliques so this converges in a handful of rounds even at 10^12-doc
+design scale, and every round is a plain shuffle join that AQE re-plans
+(skew-safe for hot hub resources).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bidirect(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the lexicographic minimum as the representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    small_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(resource, canonical_id) for every node appearing in ``edges``;
+    canonical_id = min(member) of the component.
+
+    Small edge sets (fits comfortably on the driver) short-circuit to a
+    union-find — one collect instead of O(diameter) shuffle rounds. The
+    threshold is on the *edge count after distinct*, which for entity
+    linking is orders of magnitude below the doc count; truly huge graphs
+    take the distributed min-label loop below.
+    """
+    spark = edges.sparkSession
+    sym = _bidirect(edges).where(F.col("src") != F.col("dst")).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    n_edges = sym.count()
+    if n_edges == 0:
+        from ..model import CANONICAL_SCHEMA
+
+        return spark.createDataFrame([], CANONICAL_SCHEMA)
+    if n_edges <= small_threshold:
+        pairs = [(r[0], r[1]) for r in sym.collect()]
+        labels_map = _union_find_local(pairs)
+        return spark.createDataFrame(
+            list(labels_map.items()), "resource string, canonical_id string"
+        )
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for i in range(max_iterations):
+        # propagate the min label across one hop
+        nbr_labels = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("resource"), F.col("label").alias("canonical_id")
+    )
+
+
+def canonicalize(resources: DataFrame, canonical: DataFrame, col: str = "resource") -> DataFrame:
+    """Attach ``canonical_id`` (falling back to the resource itself for
+    singletons) to any table with a resource column."""
+    return (
+        resources.join(
+            canonical.withColumnRenamed("resource", col), col, "left"
+        ).withColumn("canonical_id", F.coalesce("canonical_id", F.col(col)))
+    )
+
+
+def _cluster_pairs(edges: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Map resource-level edges to normalized (min,max) cluster-id pairs."""
+    c_src = canonical.select(
+        F.col("resource").alias("src"), F.col("canonical_id").alias("c_src")
+    )
+    c_dst = canonical.select(
+        F.col("resource").alias("dst"), F.col("canonical_id").alias("c_dst")
+    )
+    with_c = (
+        edges.join(c_src, "src", "left")
+        .join(c_dst, "dst", "left")
+        .withColumn("c_src", F.coalesce("c_src", F.col("src")))
+        .withColumn("c_dst", F.coalesce("c_dst", F.col("dst")))
+    )
+    return with_c.select(
+        F.least("c_src", "c_dst").alias("c_lo"), F.greatest("c_src", "c_dst").alias("c_hi")
+    ).distinct()
+
+
+class MappingGraph:
+    """Stage-ordered accumulation of correspondence / incorrespondence
+    edges with veto checks, mirroring the reference's behavior where each
+    mapping step sees the closure of all earlier steps.
+
+    Usage::
+
+        g = MappingGraph(spark)
+        g.add_incorrespondences(manual_exclusions)   # earlier step wins
+        g.add_correspondences(jw_edges)              # vetoed vs exclusions
+        canonical = g.canonical()                    # (resource, canonical_id)
+    """
+
+    def __init__(self, spark, corr: DataFrame | None = None, incorr: DataFrame | None = None):
+        from ..model import EDGES_SCHEMA
+
+        self.spark = spark
+        empty = spark.createDataFrame([], EDGES_SCHEMA)
+        self.corr = corr if corr is not None else empty
+        self.incorr = incorr if incorr is not None else empty
+        self._has_corr = corr is not None
+        self._has_incorr = incorr is not None
+        self._canonical: DataFrame | None = None
+
+    def canonical(self) -> DataFrame:
+        if self._canonical is None:
+            self._canonical = connected_components(self.corr).localCheckpoint(eager=True)
+        return self._canonical
+
+    def add_correspondences(self, new_edges: DataFrame, max_conflict_rounds: int = 3) -> DataFrame:
+        """Accept a batch of corr edges, vetoing contradictions with the
+        existing incorrespondence closure. Returns the accepted edges."""
+        cand = (
+            new_edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not self._has_incorr:
+            # no constraints: plain accumulate + re-canonicalize
+            self.corr = self.corr.unionByName(cand).localCheckpoint(eager=True)
+            self._canonical = None
+            self._has_corr = True
+            return cand
+        for _ in range(max_conflict_rounds):
+            canonical = self.canonical()
+            # cluster-level incorrespondence closure (incorr ∘ corr → incorr)
+            incorr_cl = _cluster_pairs(self.incorr, canonical)
+            cand_cl = (
+                canonicalize(cand.withColumnRenamed("src", "resource"), canonical)
+                .withColumnRenamed("canonical_id", "c_src")
+                .withColumnRenamed("resource", "src")
+            )
+            cand_cl = (
+                canonicalize(cand_cl.withColumnRenamed("dst", "resource"), canonical)
+                .withColumnRenamed("canonical_id", "c_dst")
+                .withColumnRenamed("resource", "dst")
+            )
+            cand_cl = cand_cl.withColumn("c_lo", F.least("c_src", "c_dst")).withColumn(
+                "c_hi", F.greatest("c_src", "c_dst")
+            )
+            # direct veto: an edge merging two clusters known incorrespondent
+            accepted = (
+                cand_cl.join(F.broadcast(incorr_cl), ["c_lo", "c_hi"], "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            merged = self.corr.unionByName(accepted)
+            new_canonical = connected_components(merged).localCheckpoint(eager=True)
+            # transitive conflicts: did the batch as a whole merge two sides
+            # of an incorrespondence? (a—m, m—b added together while a!~b)
+            violated = (
+                _cluster_pairs(self.incorr, new_canonical)
+                .where(F.col("c_lo") == F.col("c_hi"))
+                .select(F.col("c_lo").alias("bad_cluster"))
+                .distinct()
+            )
+            n_violated = violated.limit(1).count()
+            if n_violated == 0:
+                self.corr = merged.localCheckpoint(eager=True)
+                self._canonical = new_canonical
+                self._has_corr = True
+                return accepted
+            # drop candidate edges that landed in a violated cluster and retry;
+            # conservative vs. the reference's edge-at-a-time order (first wins)
+            bad_nodes = (
+                new_canonical.join(
+                    F.broadcast(violated),
+                    new_canonical.canonical_id == F.col("bad_cluster"),
+                )
+                .select("resource")
+                .distinct()
+            )
+            cand = (
+                accepted.join(
+                    bad_nodes.withColumnRenamed("resource", "src"), "src", "left_anti"
+                )
+                .join(bad_nodes.withColumnRenamed("resource", "dst"), "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        # after max rounds, accept the non-conflicting remainder
+        self.corr = self.corr.unionByName(cand).localCheckpoint(eager=True)
+        self._canonical = None
+        self._has_corr = True
+        return cand
+
+    def add_incorrespondences(self, new_edges: DataFrame) -> DataFrame:
+        """Accept incorr edges unless the endpoints already correspond."""
+        cand = new_edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+        if self._has_corr:
+            cand_cl = _cluster_pairs_with_edges(cand, self.canonical())
+            accepted = cand_cl.where(F.col("c_lo") != F.col("c_hi")).select("src", "dst")
+        else:
+            accepted = cand
+        self.incorr = self.incorr.unionByName(accepted).localCheckpoint(eager=True)
+        self._has_incorr = True
+        return accepted
+
+    def groups(self) -> DataFrame:
+        """(canonical_id, members sorted array) — the reference's
+        correspondence groups (`Processor.java:211-222`)."""
+        return (
+            self.canonical()
+            .groupBy("canonical_id")
+            .agg(F.sort_array(F.collect_set("resource")).alias("members"))
+        )
+
+
+def _cluster_pairs_with_edges(edges: DataFrame, canonical: DataFrame) -> DataFrame:
+    c_src = canonical.select(
+        F.col("resource").alias("src"), F.col("canonical_id").alias("c_src")
+    )
+    c_dst = canonical.select(
+        F.col("resource").alias("dst"), F.col("canonical_id").alias("c_dst")
+    )
+    return (
+        edges.join(c_src, "src", "left")
+        .join(c_dst, "dst", "left")
+        .withColumn("c_src", F.coalesce("c_src", F.col("src")))
+        .withColumn("c_dst", F.coalesce("c_dst", F.col("dst")))
+        .withColumn("c_lo", F.least("c_src", "c_dst"))
+        .withColumn("c_hi", F.greatest("c_src", "c_dst"))
+    )

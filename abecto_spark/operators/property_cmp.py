@@ -1,0 +1,356 @@
+"""PropertyComparisonProcessor (`PropertyComparisonProcessor.java:38-611`)
+— the flagship comparison stage — as 4–5 DataFrame join/agg stages plus a
+driver-side decimal epilogue.
+
+Semantics mapping (SURVEY.md §2.1):
+  * values are term-deduped per resource (the reference's
+    ``Set<RDFNode>``), then classed by the C-EQ key (functions/ceq.py)
+    which substitutes the canonical cluster id for IRI values
+    (`:287-300`);
+  * language-filtered string literals are excluded entirely
+    (`isExcludedValue`, `:528-538`);
+  * per correspondence group / variable / dataset: nonDistinct count =
+    #(resource, term) rows (`:302-316`), distinct count = #eq classes
+    (`:318-329`);
+  * absoluteCoverage(pair) = Σ_groups |classes(d1) ∩ classes(d2)| — the
+    greedy 1:1 matching (`:331-369`) collapses to set intersection because
+    each side is already deduped and C-EQ is transitive by construction;
+  * absoluteCoveredness(d) = #classes of d shared with ≥1 other dataset;
+  * never-corresponding resources contribute to counts only as singleton
+    "groups" (`:465-476`);
+  * deviations / value omissions per resource pair within groups,
+    including same-dataset pairs (`:371-433`), suppressed when the
+    *compared* value is annotated WrongValue (`:459-463`). The reference
+    emits same-dataset findings twice (its (a,b)/(b,a) double loop creates
+    two annotation instances); this engine emits each directed finding
+    once.
+  * ratio + mark-recapture measures with scale-16 HALF_UP decimals.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ceq import term_key, value_eq_key
+from ..functions.lang import lang_excluded
+from ..model import (
+    M_ABS_COVERAGE,
+    M_ABS_COVEREDNESS,
+    M_COMPLETENESS,
+    M_COUNT,
+    M_DEDUP_COUNT,
+    M_DUP_COUNT,
+    M_REL_COVERAGE,
+    M_REL_COVEREDNESS,
+    MEASURES_SCHEMA,
+)
+
+_SCALE = Decimal("1E-16")
+
+
+def _div16(a: Decimal, b: Decimal) -> Decimal:
+    return (a / b).quantize(_SCALE, rounding=ROUND_HALF_UP).normalize()
+
+
+def property_comparison(
+    spark,
+    values: DataFrame,
+    members: DataFrame,
+    canonical: DataFrame,
+    aspect: str,
+    variables: list[str],
+    coverage: dict[str, list[str]] | None = None,
+    wrong_values: DataFrame | None = None,
+    language_filter_patterns: tuple[str, ...] = ("", "*"),
+    allow_time_skip: bool = False,
+    allow_lang_tag_skip: bool = False,
+    datasets: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (measures, findings).
+
+    ``values``: (dataset, resource, variable, o_kind, o_value, o_datatype,
+    o_lang) aspect extraction output. ``members``: (dataset, resource)
+    aspect membership (resources may have no values but still participate
+    in findings). ``coverage``: variable -> datasets covering it (default:
+    every dataset covers every variable).
+    """
+    members = members.select("dataset", "resource").distinct()
+    if datasets is None:
+        datasets = sorted(r[0] for r in members.select("dataset").distinct().collect())
+    coverage = coverage or {v: list(datasets) for v in variables}
+    cov_pairs = {
+        v: [
+            (d1, d2)
+            for d1, d2 in combinations(sorted(coverage.get(v, [])), 2)
+        ]
+        for v in variables
+    }
+
+    v = values.where(F.col("variable").isin(variables))
+    # language filter: non-matching string literals are fully excluded
+    v = v.where(~lang_excluded(F.col("o_kind"), F.col("o_datatype"), F.col("o_lang"),
+                               language_filter_patterns))
+
+    # term-level dedup per resource (Set<RDFNode> semantics)
+    v = v.withColumn(
+        "tkey", term_key(F.col("o_kind"), F.col("o_value"), F.col("o_datatype"), F.col("o_lang"))
+    ).dropDuplicates(["dataset", "resource", "variable", "tkey"])
+
+    # membership with cluster ids; never-corresponding resources become
+    # per-dataset singleton groups (counts only, no findings)
+    mem = members.join(canonical, "resource", "left")
+    mem = mem.withColumn("grouped", F.col("canonical_id").isNotNull()).withColumn(
+        "group_id",
+        F.coalesce(
+            F.col("canonical_id"),
+            F.concat(F.lit("solo:"), F.col("dataset"), F.lit(":"), F.col("resource")),
+        ),
+    ).select("dataset", "resource", "group_id", "grouped")
+    mem = mem.localCheckpoint(eager=True)
+
+    # C-EQ class key (canonical substitution for IRI values)
+    val_canon = canonical.select(
+        F.col("resource").alias("o_value"), F.col("canonical_id").alias("val_cluster")
+    )
+    rv = (
+        v.join(val_canon, "o_value", "left")
+        .withColumn(
+            "eq_key",
+            value_eq_key(
+                F.col("o_kind"),
+                F.col("o_value"),
+                F.col("o_datatype"),
+                F.col("o_lang"),
+                canonical_id=F.col("val_cluster"),
+                allow_lang_tag_skip=allow_lang_tag_skip,
+                allow_time_skip=allow_time_skip,
+            ),
+        )
+        .join(mem, ["dataset", "resource"])
+        .select(
+            "dataset", "resource", "variable", "group_id", "grouped",
+            "eq_key", "o_kind", "o_value", "o_datatype", "o_lang",
+        )
+    ).localCheckpoint(eager=True)
+
+    # ---------------- measures ----------------
+    # nonDistinct: #(resource, term) rows per (variable, dataset)
+    nd_rows = {
+        (r["variable"], r["dataset"]): r["count"]
+        for r in rv.groupBy("variable", "dataset").count().collect()
+    }
+    # distinct: #eq classes per (group, variable, dataset), summed
+    dk = rv.select("group_id", "variable", "dataset", "eq_key").distinct().localCheckpoint(eager=True)
+    dd_rows = {
+        (r["variable"], r["dataset"]): r["count"]
+        for r in dk.groupBy("variable", "dataset").count().collect()
+    }
+    # coverage: classes shared across a dataset pair within a group
+    dk2 = dk.select(
+        "group_id", "variable", F.col("dataset").alias("d2"), "eq_key"
+    )
+    pair_cov = (
+        dk.join(dk2, ["group_id", "variable", "eq_key"])
+        .where(F.col("dataset") < F.col("d2"))
+        .groupBy("variable", "dataset", "d2")
+        .count()
+        .collect()
+    )
+    cov_rows = {(r["variable"], r["dataset"], r["d2"]): r["count"] for r in pair_cov}
+    # coveredness: classes of d shared with >=1 other dataset in the group
+    kd = dk.groupBy("group_id", "variable", "eq_key").agg(
+        F.collect_set("dataset").alias("ds")
+    )
+    covness_rows = {
+        (r["variable"], r["dataset"]): r["count"]
+        for r in kd.where(F.size("ds") >= 2)
+        .select("group_id", "variable", F.explode("ds").alias("dataset"))
+        .groupBy("variable", "dataset")
+        .count()
+        .collect()
+    }
+
+    rows = []
+
+    def add(measure, variable, dataset, compared_to, value):
+        rows.append((measure, aspect, variable, dataset, sorted(compared_to), Decimal(value)))
+
+    for var in variables:
+        cov_ds = sorted(coverage.get(var, []))
+        nd = {d: int(nd_rows.get((var, d), 0)) for d in cov_ds}
+        dd = {d: int(dd_rows.get((var, d), 0)) for d in cov_ds}
+        dup = {d: nd[d] - dd[d] for d in cov_ds}
+        covn = {d: int(covness_rows.get((var, d), 0)) for d in cov_ds}
+        abscov = {
+            (d1, d2): int(cov_rows.get((var, d1, d2), 0)) for d1, d2 in cov_pairs[var]
+        }
+        for d in cov_ds:
+            others = [x for x in cov_ds if x != d]
+            add(M_COUNT, var, d, [], nd[d])
+            add(M_DEDUP_COUNT, var, d, [], dd[d])
+            add(M_DUP_COUNT, var, d, [], dup[d])
+            add(M_ABS_COVEREDNESS, var, d, others, covn[d])
+            if dd[d] != 0:
+                add(M_REL_COVEREDNESS, var, d, others, _div16(Decimal(covn[d]), Decimal(dd[d])))
+        for d1, d2 in cov_pairs[var]:
+            add(M_ABS_COVERAGE, var, d1, [d2], abscov[(d1, d2)])
+            add(M_ABS_COVERAGE, var, d2, [d1], abscov[(d1, d2)])
+            if dd[d2] != 0:
+                add(M_REL_COVERAGE, var, d1, [d2], _div16(Decimal(abscov[(d1, d2)]), Decimal(dd[d2])))
+            if dd[d1] != 0:
+                add(M_REL_COVERAGE, var, d2, [d1], _div16(Decimal(abscov[(d1, d2)]), Decimal(dd[d1])))
+        total_overlap = sum(abscov.values())
+        if total_overlap != 0:
+            est = sum(Decimal(dd[d1]) * Decimal(dd[d2]) for d1, d2 in cov_pairs[var])
+            est = (est / Decimal(total_overlap)).quantize(_SCALE, rounding=ROUND_HALF_UP)
+            pair_datasets = sorted({d for p in cov_pairs[var] for d in p})
+            for d in pair_datasets:
+                others = [x for x in pair_datasets if x != d]
+                add(M_COMPLETENESS, var, d, others, _div16(Decimal(dd[d]), est))
+
+    measures = spark.createDataFrame(rows, MEASURES_SCHEMA)
+
+    # ---------------- findings ----------------
+    findings = _deviations_and_omissions(
+        spark, rv, mem, aspect, variables, coverage, datasets, wrong_values
+    )
+    return measures, findings
+
+
+def _deviations_and_omissions(
+    spark, rv, mem, aspect, variables, coverage, datasets, wrong_values
+):
+    gmem = mem.where(F.col("grouped"))
+    # one representative term per (resource, eq class) — the reference's
+    # distinct-value map keeps a single representative RDFNode per class
+    # (`:267-278`); min() for determinism where the reference is HashMap-
+    # order dependent
+    grv = (
+        rv.where(F.col("grouped"))
+        .groupBy("group_id", "variable", "dataset", "resource", "eq_key")
+        .agg(F.min("o_value").alias("o_value"))
+    )
+
+    # resource pairs within a group: cross-dataset (d1<d2) or same-dataset
+    # (r1 != r2); the latter yields the reference's duplicate-resource
+    # findings (`:375-379`)
+    m1 = gmem.select(
+        "group_id", F.col("dataset").alias("da"), F.col("resource").alias("ra")
+    )
+    m2 = gmem.select(
+        "group_id", F.col("dataset").alias("db"), F.col("resource").alias("rb")
+    )
+    pairs = m1.join(m2, "group_id").where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("ra") < F.col("rb")))
+    )
+
+    # per-variable coverage gate for the pair
+    cov_rows = [(v, d) for v in variables for d in coverage.get(v, datasets)]
+    cov_df = F.broadcast(
+        spark.createDataFrame(cov_rows, "variable string, dataset string")
+    )
+    var_df = F.broadcast(spark.createDataFrame([(v,) for v in variables], "variable string"))
+    pairs_v = (
+        pairs.join(var_df, how="cross")
+        .join(cov_df.withColumnRenamed("dataset", "da"), ["variable", "da"], "left_semi")
+        .join(cov_df.withColumnRenamed("dataset", "db"), ["variable", "db"], "left_semi")
+    )
+
+    rva = grv.select(
+        "group_id",
+        "variable",
+        F.col("dataset").alias("da"),
+        F.col("resource").alias("ra"),
+        F.col("eq_key").alias("key_a"),
+        F.col("o_value").alias("val_a"),
+    )
+    rvb = grv.select(
+        "group_id",
+        "variable",
+        F.col("dataset").alias("db"),
+        F.col("resource").alias("rb"),
+        F.col("eq_key").alias("key_b"),
+        F.col("o_value").alias("val_b"),
+    )
+
+    # uncovered values of ra vs rb (and vice versa)
+    base_a = pairs_v.join(rva, ["group_id", "variable", "da", "ra"])
+    unc_a = base_a.join(
+        rvb.select("group_id", "variable", "db", "rb", F.col("key_b").alias("key_a")),
+        ["group_id", "variable", "db", "rb", "key_a"],
+        "left_anti",
+    )
+    base_b = pairs_v.join(rvb, ["group_id", "variable", "db", "rb"])
+    unc_b = base_b.join(
+        rva.select("group_id", "variable", "da", "ra", F.col("key_a").alias("key_b")),
+        ["group_id", "variable", "da", "ra", "key_b"],
+        "left_anti",
+    )
+
+    pk = ["group_id", "variable", "da", "ra", "db", "rb"]
+    has_a = unc_a.select(*pk).distinct()
+    has_b = unc_b.select(*pk).distinct()
+
+    # omissions: exactly one side uncovered
+    om_b = unc_b.join(has_a, pk, "left_anti")  # a misses b's values
+    om_a = unc_a.join(has_b, pk, "left_anti")  # b misses a's values
+    # deviations: both sides uncovered -> cross product
+    dev = unc_a.select(*pk, "key_a", "val_a").join(
+        unc_b.select(*pk, "key_b", "val_b"), pk
+    )
+
+    def om_out(df, aff_d, aff_r, cmp_d, cmp_r, cmp_v):
+        return df.select(
+            F.lit("value_omission").alias("kind"),
+            F.lit(aspect).alias("aspect"),
+            F.col("variable"),
+            F.col(aff_d).alias("affected_dataset"),
+            F.col(aff_r).alias("affected_resource"),
+            F.lit(None).cast("string").alias("affected_value"),
+            F.col(cmp_d).alias("compared_to_dataset"),
+            F.col(cmp_r).alias("compared_to_resource"),
+            F.col(cmp_v).alias("compared_to_value"),
+            F.lit(None).cast("string").alias("comment"),
+        )
+
+    def dev_out(df, aff_d, aff_r, aff_v, cmp_d, cmp_r, cmp_v):
+        return df.select(
+            F.lit("deviation").alias("kind"),
+            F.lit(aspect).alias("aspect"),
+            F.col("variable"),
+            F.col(aff_d).alias("affected_dataset"),
+            F.col(aff_r).alias("affected_resource"),
+            F.col(aff_v).alias("affected_value"),
+            F.col(cmp_d).alias("compared_to_dataset"),
+            F.col(cmp_r).alias("compared_to_resource"),
+            F.col(cmp_v).alias("compared_to_value"),
+            F.lit(None).cast("string").alias("comment"),
+        )
+
+    out = (
+        om_out(om_b, "da", "ra", "db", "rb", "val_b")
+        .unionByName(om_out(om_a, "db", "rb", "da", "ra", "val_a"))
+        .unionByName(dev_out(dev, "da", "ra", "val_a", "db", "rb", "val_b"))
+        .unionByName(dev_out(dev, "db", "rb", "val_b", "da", "ra", "val_a"))
+    )
+
+    # wrong-value suppression: drop findings whose *compared* value is a
+    # known wrong value of the compared resource (`:459-463`)
+    if wrong_values is not None:
+        wv = wrong_values.select(
+            F.col("dataset").alias("compared_to_dataset"),
+            F.col("resource").alias("compared_to_resource"),
+            F.col("variable"),
+            F.col("o_value").alias("compared_to_value"),
+        ).distinct()
+        out = out.join(
+            F.broadcast(wv),
+            ["compared_to_dataset", "compared_to_resource", "variable", "compared_to_value"],
+            "left_anti",
+        )
+    return out

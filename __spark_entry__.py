@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction slice on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data extensions); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible operator. Column
+aliases match between both sides (the driver sorts columns by name and
+hashes values).
 """
 
 from __future__ import annotations
@@ -14,25 +15,39 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _tune(spark: SparkSession) -> None:
+    # the driver may hand us a default session; pin the knobs that matter
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: population comparison measures over correspondence
+    clusters derived from the orders table at sf0.001 (aspect scan →
+    membership → canonicalization → measures)."""
+    _tune(spark)
+    from abecto_spark.plans.entry_queries import q_population_measures
+
+    return q_population_measures(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from abecto_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _tune(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from abecto_spark.plans.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale document corpora — the
+training-data-pipeline extensions of the engine. All hot-path hashing is
+JVM-side (``xxhash64`` inside whole-stage codegen); only SimHash bit
+packing uses a vectorized numpy UDF.
+
+  * exact_dedup          — hash-groupBy representative election
+  * minhash_lsh_candidates — shingle → minhash signature → banded LSH
+                             bucket join (near-dup candidate pairs)
+  * ngram_jaccard_pairs  — token-set Jaccard within blocking groups
+  * simhash              — 64-bit SimHash + banded hamming candidates
+  * embedding_near_dups  — cosine near-dup pairs via random-hyperplane LSH
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One representative (min id) per duplicate group + group size."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def _tokens(text_col):
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle: int = 3
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature over word shingles, fully
+    JVM-side: shingles via ``transform(sequence(...))``, per-seed min of
+    ``xxhash64(shingle, seed)`` in one hash aggregate (map-side combine)."""
+    toks = df.select(F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks"))
+    sh = toks.select(
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {shingle - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(toks, i, {shingle})))"
+            )
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, band votes): docs
+    sharing ≥1 LSH band bucket. bands × rows_per_band = n_hashes."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    other = buckets.withColumnRenamed("_id", "_id2")
+    pairs = (
+        buckets.join(other, ["band", "bucket"])
+        .where(F.col("_id") < F.col("_id2"))
+        .groupBy(F.col("_id").alias("id_a"), F.col("_id2").alias("id_b"))
+        .agg(F.count("*").alias("band_votes"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str],
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs within blocking groups (id_a <
+    id_b, jaccard) — the verify stage after LSH blocking, or standalone
+    for small groups."""
+    t = df.select(
+        *group_cols,
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(_tokens(F.col(text_col))).alias("ta"),
+    )
+    u = df.select(
+        *group_cols,
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(_tokens(F.col(text_col))).alias("tb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return (
+        t.join(u, group_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIMHASH_UDF = None
+
+
+def _simhash_batch(tokens: pd.Series) -> pd.Series:
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        arr = np.asarray(
+            [np.uint64(int.from_bytes(t.encode()[:8].ljust(8, b"\0"), "little")) for t in toks],
+            dtype=np.uint64,
+        )
+        # splitmix finalizer for dispersion
+        arr = arr * np.uint64(0xBF58476D1CE4E5B9)
+        arr ^= arr >> np.uint64(27)
+        arr = arr * np.uint64(0x94D049BB133111EB)
+        arr ^= arr >> np.uint64(31)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        counts = bits.sum(axis=0)
+        sig = (counts * 2 > len(arr)).astype(np.uint64)
+        out[i] = (sig << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long) per document."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is None:
+        _SIMHASH_UDF = F.pandas_udf(_simhash_batch, "long")
+    with np.errstate(over="ignore"):
+        pass
+    return df.select(
+        F.col(id_col), _SIMHASH_UDF(_tokens(F.col(text_col))).alias("simhash")
+    )
+
+
+def simhash_candidates(sig: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Pairs whose simhash matches on ≥1 of ``bands`` 16-bit slices —
+    hamming-distance blocking."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    b = sig.select(F.col(id_col).alias("_id"), F.explode(slices).alias("s")).select(
+        "_id", "s.band", "s.bucket"
+    )
+    return (
+        b.join(b.withColumnRenamed("_id", "_id2"), ["band", "bucket"])
+        .where(F.col("_id") < F.col("_id2"))
+        .select(F.col("_id").alias("id_a"), F.col("_id2").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH bucketing +
+    exact cosine verify inside buckets (JVM fold for the dot product)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    plane_lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.select(F.col(id_col).alias("_id"), v.alias("v"))
+    sig = e
+    sign_bits = []
+    for i, p in enumerate(plane_lits):
+        dot = F.expr(
+            f"aggregate(zip_with(v, pl{i}, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        )
+        sig = sig.withColumn(f"pl{i}", p)
+        sign_bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = sig.withColumn("bucket", sum(sign_bits[1:], sign_bits[0])).select(
+        "_id", "v", "bucket"
+    )
+    o = sig.select(
+        F.col("_id").alias("_id2"), F.col("v").alias("v2"), F.col("bucket")
+    )
+    dot = F.expr("aggregate(zip_with(v, v2, (x, y) -> x * y), 0D, (a, b) -> a + b)")
+    na = F.sqrt(F.expr("aggregate(v, 0D, (a, b) -> a + b * b)"))
+    nb = F.sqrt(F.expr("aggregate(v2, 0D, (a, b) -> a + b * b)"))
+    return (
+        sig.join(o, "bucket")
+        .where(F.col("_id") < F.col("_id2"))
+        .withColumn("cosine", dot / (na * nb))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("_id").alias("id_a"), F.col("_id2").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,576 @@
+"""The driver-contract query suite: each entry exercises one operator of
+the engine (SURVEY.md §2) over the driver's TPC-H-ish parquet tables and
+is paired with an ANSI-SQL oracle run by DuckDB on the same files.
+
+Column names/aliases match the oracle SQL exactly (the driver's compare
+sorts columns by name before hashing). Floating aggregates are rounded in
+BOTH engines to dodge last-ulp summation-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ceq import value_eq_key
+from ..functions.lang import lang_matches
+from ..model import XSD_DOUBLE, XSD_INTEGER, XSD_STRING
+from ..operators.ann import brute_force_topk
+from ..operators.closure import connected_components
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from ..operators.eq_mapping import equivalent_value_mapping
+from ..operators.jw_mapping import jw_mapping
+from ..operators.population import population_comparison
+from ..operators.present_mapping import use_present_mapping
+from ..operators.property_cmp import property_comparison
+from ..operators.rules import transitive_closure
+from ..functions.text import document_stats, lang_id, quality_score
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _values_from(df, dataset_col, resource_col, variable: str, value_col, kind="literal",
+                 datatype=XSD_STRING):
+    return df.select(
+        dataset_col.alias("dataset"),
+        resource_col.alias("resource"),
+        F.lit(variable).alias("variable"),
+        F.lit(kind).alias("o_kind"),
+        value_col.alias("o_value"),
+        F.lit(datatype).alias("o_datatype"),
+        F.lit("").alias("o_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scans / projections / set ops
+
+
+def q_aspect_scan(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .where(F.col("c_acctbal") > 1000.0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("label"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+def q_distinct_scan(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .select(F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+
+
+def q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey")
+    )
+
+
+def q_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mapping operators
+
+
+def q_use_present_mapping(spark, sf):
+    o = _t(spark, sf, "orders")
+    values = _values_from(
+        o,
+        F.lit("orders"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
+        "cust",
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")),
+        kind="iri",
+        datatype=None,
+    )
+    edges, _ = use_present_mapping(values, "cust")
+    return edges.select("src", "dst")
+
+
+def q_equivalent_value_mapping(spark, sf):
+    c = _t(spark, sf, "customer")
+    rid = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    ds = F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd")
+    v1 = _values_from(c, ds, rid, "nation", F.col("c_nationkey").cast("string"))
+    v2 = _values_from(c, ds, rid, "segment", F.col("c_mktsegment"))
+    empty_canon = spark.createDataFrame([], "resource string, canonical_id string")
+    edges = equivalent_value_mapping(v1.unionByName(v2), ["nation", "segment"], empty_canon)
+    return edges.select("src", "dst")
+
+
+def q_jw_linking(spark, sf):
+    c = _t(spark, sf, "customer")
+    rid = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    ds = F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd")
+    values = _values_from(c, ds, rid, "name", F.col("c_name"))
+    edges = jw_mapping(values, ["name"], 0.95, case_sensitive=True, block="grams")
+    return edges.select("src", "dst")
+
+
+def q_closure_cc(spark, sf):
+    n = _t(spark, sf, "nation")
+    edges = n.select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return connected_components(edges).select("resource", "canonical_id")
+
+
+def q_rule_fixpoint(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    e1 = s.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return transitive_closure(e1.unionByName(e2)).select("src", "dst")
+
+
+# --------------------------------------------------------------------------
+# comparison measures
+
+
+def _orders_membership(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderpriority").alias("dataset"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("resource"),
+    ).distinct()
+
+
+def _identity_canonical(members):
+    multi = (
+        members.groupBy("resource")
+        .agg(F.count_distinct("dataset").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("resource")
+    )
+    return multi.withColumn("canonical_id", F.col("resource"))
+
+
+def q_population_measures(spark, sf):
+    members = _orders_membership(spark, sf)
+    canonical = _identity_canonical(members)
+    measures, _ = population_comparison(spark, members, canonical, "cust_by_priority")
+    return measures.select(
+        "measure",
+        "dataset",
+        F.concat_ws(",", "compared_to").alias("compared_to"),
+        F.round(F.col("value").cast("double"), 9).alias("value"),
+    )
+
+
+def q_property_value_coverage(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    values = _values_from(
+        li,
+        F.col("l_returnflag"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")),
+        "qty",
+        F.col("l_quantity").cast("int").cast("string"),
+        datatype=XSD_INTEGER,
+    )
+    members = values.select("dataset", "resource").distinct()
+    canonical = _identity_canonical(members)
+    measures, _ = property_comparison(
+        spark, values, members, canonical, "order_qty", ["qty"]
+    )
+    return measures.where(
+        F.col("measure").isin("count", "deduplicatedCount", "absoluteCoverage")
+    ).select(
+        "measure",
+        "dataset",
+        F.concat_ws(",", "compared_to").alias("compared_to"),
+        F.col("value").cast("long").alias("value"),
+    )
+
+
+def q_ceq_numeric(spark, sf):
+    # mixed integer/double lexical forms collapse to one class per quantity
+    li = _t(spark, sf, "lineitem")
+    ints = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("int").cast("string").alias("o_value"),
+        F.lit(XSD_INTEGER).alias("o_datatype"),
+    )
+    dbls = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.format_number(F.col("l_quantity"), 1).alias("o_value"),
+        F.lit(XSD_DOUBLE).alias("o_datatype"),
+    )
+    u = ints.unionByName(dbls).withColumn(
+        "k",
+        value_eq_key(F.lit("literal"), F.col("o_value"), F.col("o_datatype"), F.lit("")),
+    )
+    return u.groupBy("flag").agg(F.count_distinct("k").alias("n_classes"))
+
+
+# --------------------------------------------------------------------------
+# documents: dedup / text / language
+
+
+def q_lang_filter(spark, sf):
+    d = _t(spark, sf, "documents")
+    keep = lang_matches(F.col("lang"), "en") | lang_matches(F.col("lang"), "de")
+    return d.where(keep).groupBy(F.col("lang")).agg(F.count("*").alias("n"))
+
+
+def q_exact_dedup(spark, sf):
+    d = _t(spark, sf, "documents").withColumn("pfx", F.substring("text", 1, 30))
+    return exact_dedup(d, ["source", "pfx"], "doc_id").select(
+        "source", "pfx", "rep_id", "n_dups"
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", ["source", "lang"], 0.55).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def q_minhash_candidates(spark, sf):
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", n_hashes=32, bands=8)
+
+
+def q_simhash_candidates(spark, sf):
+    d = _t(spark, sf, "documents")
+    return simhash_candidates(simhash(d, "doc_id", "text"), "doc_id", bands=4)
+
+
+def q_doc_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"),
+                    lang_id(F.col("text")).alias("lang_guess"))
+
+
+# --------------------------------------------------------------------------
+# embeddings
+
+
+def q_ann_top1(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 100)
+    top = brute_force_topk(q, e, k=1)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# events: sessionization + windowed agg (batch forms; streaming variants in
+# abecto_spark.streaming)
+
+
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_s").cast("long").alias("n_sessions"))
+
+
+def q_windowed_agg(spark, sf):
+    ev = _t(spark, sf, "events")
+    win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return ev.groupBy(win.alias("win_start"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+QUERIES = {
+    "aspect_scan": q_aspect_scan,
+    "distinct_scan": q_distinct_scan,
+    "anti_join": q_anti_join,
+    "topk_per_group": q_topk_per_group,
+    "use_present_mapping": q_use_present_mapping,
+    "equivalent_value_mapping": q_equivalent_value_mapping,
+    "jw_linking": q_jw_linking,
+    "closure_cc": q_closure_cc,
+    "rule_fixpoint": q_rule_fixpoint,
+    "population_measures": q_population_measures,
+    "property_value_coverage": q_property_value_coverage,
+    "ceq_numeric": q_ceq_numeric,
+    "lang_filter": q_lang_filter,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_stats": q_text_stats,
+    "minhash_candidates": q_minhash_candidates,
+    "simhash_candidates": q_simhash_candidates,
+    "doc_quality": q_doc_quality,
+    "ann_top1": q_ann_top1,
+    "sessionize": q_sessionize,
+    "windowed_agg": q_windowed_agg,
+}
+
+ORACLES = {
+    "aspect_scan": """
+        SELECT c_custkey AS key, c_name AS label, c_mktsegment AS segment
+        FROM customer WHERE c_acctbal > 1000.0
+    """,
+    "distinct_scan": """
+        SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey FROM customer
+    """,
+    "anti_join": """
+        SELECT c_custkey AS custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "topk_per_group": """
+        SELECT priority, orderkey, totalprice, rnk FROM (
+          SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+                 ROUND(o_totalprice, 2) AS totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+          FROM orders) WHERE rnk <= 3
+    """,
+    "use_present_mapping": """
+        SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                        'c' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM orders WHERE 'o' || CAST(o_orderkey AS VARCHAR) <> 'c' || CAST(o_custkey AS VARCHAR)
+    """,
+    "equivalent_value_mapping": """
+        SELECT 'c' || CAST(a.c_custkey AS VARCHAR) AS src,
+               'c' || CAST(b.c_custkey AS VARCHAR) AS dst
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+    """,
+    "jw_linking": """
+        WITH v1 AS (SELECT DISTINCT c_name AS v FROM customer WHERE c_custkey % 2 = 0),
+             v2 AS (SELECT DISTINCT c_name AS v FROM customer WHERE c_custkey % 2 = 1),
+             scored AS (
+               SELECT v1.v AS a, v2.v AS b, jaro_winkler_similarity(v1.v, v2.v) AS s
+               FROM v1, v2),
+             thresh AS (SELECT * FROM scored WHERE s >= 0.95),
+             fwd AS (SELECT a, b FROM (SELECT a, b, rank() OVER (PARTITION BY a ORDER BY s DESC) r
+                     FROM thresh) WHERE r = 1),
+             bwd AS (SELECT a, b FROM (SELECT a, b, rank() OVER (PARTITION BY b ORDER BY s DESC) r
+                     FROM thresh) WHERE r = 1),
+             bidi AS (SELECT fwd.a, fwd.b FROM fwd JOIN bwd ON fwd.a = bwd.a AND fwd.b = bwd.b)
+        SELECT DISTINCT 'c' || CAST(ca.c_custkey AS VARCHAR) AS src,
+                        'c' || CAST(cb.c_custkey AS VARCHAR) AS dst
+        FROM bidi JOIN customer ca ON ca.c_name = bidi.a AND ca.c_custkey % 2 = 0
+                  JOIN customer cb ON cb.c_name = bidi.b AND cb.c_custkey % 2 = 1
+    """,
+    "closure_cc": """
+        WITH m AS (SELECT n_regionkey,
+                          'n' || lpad(CAST(MIN(n_nationkey) AS VARCHAR), 2, '0') AS c
+                   FROM nation GROUP BY n_regionkey)
+        SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS resource, m.c AS canonical_id
+        FROM nation JOIN m USING (n_regionkey)
+        UNION ALL
+        SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS resource, m.c AS canonical_id
+        FROM region JOIN m ON r_regionkey = n_regionkey
+    """,
+    "rule_fixpoint": """
+        WITH RECURSIVE e AS (
+          SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
+                 'n' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR)
+          FROM nation
+        ), reach AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT DISTINCT src, dst FROM reach
+    """,
+    "population_measures": """
+        WITH members AS (
+          SELECT DISTINCT o_orderpriority AS d, 'c' || CAST(o_custkey AS VARCHAR) AS r
+          FROM orders),
+        ds AS (SELECT DISTINCT d FROM members),
+        grouped AS (SELECT r FROM members GROUP BY r HAVING COUNT(DISTINCT d) >= 2),
+        counts AS (SELECT d, COUNT(*) AS cnt FROM members GROUP BY d),
+        covness AS (
+          SELECT m.d, COUNT(*) AS v FROM members m JOIN grouped g ON m.r = g.r GROUP BY m.d),
+        pairs AS (
+          SELECT a.d AS d1, b.d AS d2 FROM ds a JOIN ds b ON a.d < b.d),
+        cov AS (
+          SELECT p.d1, p.d2, COUNT(DISTINCT m1.r) AS v
+          FROM pairs p
+          LEFT JOIN members m1 ON m1.d = p.d1
+          JOIN members m2 ON m2.d = p.d2 AND m2.r = m1.r
+          GROUP BY p.d1, p.d2),
+        cov_full AS (
+          SELECT p.d1, p.d2, COALESCE(c.v, 0) AS v
+          FROM pairs p LEFT JOIN cov c ON p.d1 = c.d1 AND p.d2 = c.d2),
+        others AS (
+          SELECT a.d, string_agg(b.d, ',' ORDER BY b.d) AS olist
+          FROM ds a JOIN ds b ON a.d <> b.d GROUP BY a.d),
+        est AS (
+          SELECT CAST(SUM(c1.cnt * c2.cnt) AS DOUBLE) / NULLIF(SUM(cf.v), 0) AS pop
+          FROM cov_full cf JOIN counts c1 ON cf.d1 = c1.d JOIN counts c2 ON cf.d2 = c2.d)
+        SELECT 'count' AS measure, d AS dataset, '' AS compared_to,
+               ROUND(CAST(cnt AS DOUBLE), 9) AS value FROM counts
+        UNION ALL
+        SELECT 'deduplicatedCount', d, '', ROUND(CAST(cnt AS DOUBLE), 9) FROM counts
+        UNION ALL
+        SELECT 'duplicateCount', d, '', 0.0 FROM counts
+        UNION ALL
+        SELECT 'absoluteCoveredness', o.d, o.olist,
+               ROUND(CAST(COALESCE(cv.v, 0) AS DOUBLE), 9)
+        FROM others o LEFT JOIN covness cv ON o.d = cv.d
+        UNION ALL
+        SELECT 'relativeCoveredness', o.d, o.olist,
+               ROUND(CAST(COALESCE(cv.v, 0) AS DOUBLE) / c.cnt, 9)
+        FROM others o JOIN counts c ON o.d = c.d LEFT JOIN covness cv ON o.d = cv.d
+        UNION ALL
+        SELECT 'absoluteCoverage', d1, d2, ROUND(CAST(v AS DOUBLE), 9) FROM cov_full
+        UNION ALL
+        SELECT 'absoluteCoverage', d2, d1, ROUND(CAST(v AS DOUBLE), 9) FROM cov_full
+        UNION ALL
+        SELECT 'relativeCoverage', cf.d1, cf.d2,
+               ROUND(CAST(cf.v AS DOUBLE) / c2.cnt, 9)
+        FROM cov_full cf JOIN counts c2 ON cf.d2 = c2.d
+        UNION ALL
+        SELECT 'relativeCoverage', cf.d2, cf.d1,
+               ROUND(CAST(cf.v AS DOUBLE) / c1.cnt, 9)
+        FROM cov_full cf JOIN counts c1 ON cf.d1 = c1.d
+        UNION ALL
+        SELECT 'marCompletenessThomas08', o.d, o.olist,
+               ROUND(CAST(c.cnt AS DOUBLE) /
+                     (CAST((SELECT ROUND(pop, 16) FROM est) AS DOUBLE)), 9)
+        FROM others o JOIN counts c ON o.d = c.d
+        WHERE (SELECT pop FROM est) IS NOT NULL
+    """,
+    "property_value_coverage": """
+        WITH vals AS (
+          SELECT DISTINCT l_returnflag AS d, 'o' || CAST(l_orderkey AS VARCHAR) AS r,
+                 CAST(l_quantity AS INT) AS q
+          FROM lineitem),
+        members AS (SELECT DISTINCT d, r FROM vals),
+        ds AS (SELECT DISTINCT d FROM members),
+        counts AS (SELECT d, COUNT(*) AS v FROM vals GROUP BY d),
+        pairs AS (SELECT a.d AS d1, b.d AS d2 FROM ds a JOIN ds b ON a.d < b.d),
+        cov AS (
+          SELECT p.d1, p.d2, COUNT(*) AS v
+          FROM pairs p
+          JOIN vals v1 ON v1.d = p.d1
+          JOIN vals v2 ON v2.d = p.d2 AND v2.r = v1.r AND v2.q = v1.q
+          GROUP BY p.d1, p.d2),
+        cov_full AS (
+          SELECT p.d1, p.d2, COALESCE(c.v, 0) AS v
+          FROM pairs p LEFT JOIN cov c ON p.d1 = c.d1 AND p.d2 = c.d2)
+        SELECT 'count' AS measure, d AS dataset, '' AS compared_to, v AS value FROM counts
+        UNION ALL
+        SELECT 'deduplicatedCount', d, '', v FROM counts
+        UNION ALL
+        SELECT 'absoluteCoverage', d1, d2, v FROM cov_full
+        UNION ALL
+        SELECT 'absoluteCoverage', d2, d1, v FROM cov_full
+    """,
+    "ceq_numeric": """
+        SELECT l_returnflag AS flag, COUNT(DISTINCT CAST(l_quantity AS INT)) AS n_classes
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "lang_filter": """
+        SELECT lang, COUNT(*) AS n FROM documents
+        WHERE lower(lang) = 'en' OR lower(lang) LIKE 'en-%'
+           OR lower(lang) = 'de' OR lower(lang) LIKE 'de-%'
+        GROUP BY lang
+    """,
+    "exact_dedup": """
+        SELECT source, substring(text, 1, 30) AS pfx, MIN(doc_id) AS rep_id,
+               COUNT(*) AS n_dups
+        FROM documents GROUP BY source, substring(text, 1, 30)
+    """,
+    "ngram_jaccard": """
+        WITH t AS (
+          SELECT doc_id, source, lang,
+                 list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        FROM t a JOIN t b ON a.source = b.source AND a.lang = b.lang
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55
+    """,
+    "text_stats": """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+                 AS n_distinct_tokens
+        FROM documents
+    """,
+    "ann_top1": """
+        WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 100),
+             c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             scored AS (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.v, c.v) AS cosine
+               FROM q, c WHERE q.vec_id <> c.vec_id),
+             ranked AS (
+               SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS r
+               FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine FROM ranked WHERE r = 1
+    """,
+    "sessionize": """
+        WITH x AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM x GROUP BY user_id
+    """,
+    "windowed_agg": """
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for the north rule.
+
+The rule's criterion (≥0.8 throughput scaling efficiency between N and 4N
+executors) cannot use a real cluster in this sandbox, so this runs the
+SAME KG pipeline on the SAME input at local[N] and local[4N] (default
+8 → 32 cores) in separate subprocesses and reports throughput at both plus
+``eff = (thr_4N / thr_N) / 4`` into BENCH/BASELINE.md.
+
+Usage:  python scripts/scaling_bench.py [--docs 200000] [--n 8]
+Child:  invoked with ABECTO_SCALE_CORES set; prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(cores: int, n_docs: int, docs_path: str) -> None:
+    sys.path.insert(0, REPO)
+    from abecto_spark.plans.pipeline import DocsPipeline, PipelineConfig
+    from abecto_spark.session import get_spark
+    from abecto_spark.sources.checkpoint import SnapshotStore
+
+    spark = get_spark(
+        app_name=f"abecto_scale_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    docs = spark.read.parquet(docs_path)
+    snap = tempfile.mkdtemp(prefix=f"abecto_scale_{cores}_")
+    try:
+        store = SnapshotStore(spark, snap)
+        pipe = DocsPipeline(spark, store, PipelineConfig())
+        t0 = time.time()
+        result = pipe.run(docs, resume=False)
+        elapsed = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "elapsed_sec": round(elapsed, 3),
+                    "docs_per_sec": round(n_docs / elapsed, 2),
+                    "triples": result.metrics["s4_triples"]["row_count"],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def parent(n: int, n_docs: int) -> None:
+    sys.path.insert(0, REPO)
+    from abecto_spark.session import get_spark
+    from abecto_spark.sources.docs import synth_docs
+
+    docs_path = tempfile.mkdtemp(prefix="abecto_scale_docs_") + "/docs"
+    spark = get_spark(app_name="abecto_scale_gen", master="local[8]", shuffle_partitions=8)
+    synth_docs(spark, n_docs=n_docs, n_entities=max(n_docs // 12, 10), seed=42,
+               partitions=64).write.parquet(docs_path)
+    spark.stop()
+
+    results = {}
+    for cores in (n, 4 * n):
+        env = dict(os.environ, ABECTO_SCALE_CORES=str(cores),
+                   ABECTO_SCALE_DOCS=str(n_docs), ABECTO_SCALE_PATH=docs_path)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}")
+
+    thr_n = results[n]["docs_per_sec"]
+    thr_4n = results[4 * n]["docs_per_sec"]
+    eff = (thr_4n / thr_n) / 4 if thr_n else 0.0
+
+    md = f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Same KG-construction pipeline (S1 extract → S2 JW link → S3 CC → S4
+triples → S5 measures), same pre-materialized input ({n_docs:,} synthetic
+interleaved docs, seed 42), run at two parallelism levels in separate
+JVMs — the sandbox proxy for the N vs 4N executor criterion
+(no real cluster available here; see BASELINE.md §2).
+
+| parallelism | elapsed (s) | throughput (docs/sec) | triples |
+|---|---|---|---|
+| local[{n}] | {results[n]['elapsed_sec']} | {thr_n} | {results[n]['triples']} |
+| local[{4 * n}] | {results[4 * n]['elapsed_sec']} | {thr_4n} | {results[4 * n]['triples']} |
+
+**Scaling efficiency** `eff = (thr_{4 * n} / thr_{n}) / 4` = **{eff:.3f}**
+(target ≥ 0.8 on a real cluster; single-host local mode shares one memory
+bus + disk, so this is a lower bound for true multi-executor scaling).
+
+Environment: single host, {os.cpu_count()} logical CPUs, Spark local mode,
+AQE on, shuffle partitions = max(cores, 8).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as fh:
+        fh.write(md)
+    print(f"wrote {out_path}; efficiency={eff:.3f}")
+    shutil.rmtree(os.path.dirname(docs_path), ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if "ABECTO_SCALE_CORES" in os.environ:
+        child(
+            int(os.environ["ABECTO_SCALE_CORES"]),
+            int(os.environ["ABECTO_SCALE_DOCS"]),
+            os.environ["ABECTO_SCALE_PATH"],
+        )
+    else:
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--docs", type=int, default=200_000)
+        ap.add_argument("--n", type=int, default=8)
+        a = ap.parse_args()
+        parent(a.n, a.docs)

@@ -1,0 +1,161 @@
+"""Training-data operator tests: dedup (exact/minhash/simhash/jaccard),
+ANN search recall, text analysis, rule fixpoint, multimodal plumbing,
+streaming extraction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from abecto_spark.operators.ann import brute_force_topk, lsh_topk
+from abecto_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from abecto_spark.operators.rules import transitive_closure
+from abecto_spark.functions.text import document_stats
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = []
+    for i in range(20):
+        rows.append((f"doc{i:02d}", "g1", base + f" variant {i}"))
+    # near-duplicates of doc00
+    rows.append(("dup1", "g1", base + " variant 0 extra"))
+    rows.append(("dup2", "g1", base + " variant 0"))
+    # unrelated
+    rows.append(("odd1", "g1", "completely different content about spark engines"))
+    return spark.createDataFrame(rows, "doc_id string, grp string, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    d = docs_df.withColumn("key", F.substring("text", 1, 20))
+    out = exact_dedup(d, ["key"], "doc_id")
+    total = out.agg(F.sum("n_dups")).collect()[0][0]
+    assert total == docs_df.count()
+
+
+def test_minhash_finds_near_dups(spark, docs_df):
+    cands = minhash_lsh_candidates(docs_df, "doc_id", "text", n_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert ("doc00", "dup2") in pairs
+    assert not any("odd1" in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs_df):
+    out = ngram_jaccard_pairs(docs_df, "doc_id", "text", ["grp"], threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert ("doc00", "dup2") in pairs
+    assert pairs[("doc00", "dup2")] == 1.0  # same token set
+
+
+def test_simhash_candidates(spark, docs_df):
+    sig = simhash(docs_df, "doc_id", "text")
+    assert sig.count() == docs_df.count()
+    cands = simhash_candidates(sig, "doc_id", bands=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert ("doc00", "dup2") in pairs
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(200):
+        base = rng.randn(16)
+        rows.append((i, [float(x) for x in base]))
+        if i < 20:  # planted near-duplicates
+            rows.append((1000 + i, [float(x + rng.randn() * 0.01) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_planted(spark, emb_df):
+    q = emb_df.where(F.col("vec_id") < 20)
+    top = brute_force_topk(q, emb_df, k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert all(got[i] == 1000 + i for i in range(20))
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    # recall measured where LSH is meant to work: strong (planted)
+    # neighbors at cosine ≈ 1; weak random NNs legitimately fall outside
+    # the probed buckets
+    q = emb_df.where(F.col("vec_id") < 20)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb_df, k=1).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(q, emb_df, k=1, n_planes=8).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_near_dups(spark, emb_df):
+    out = embedding_near_dups(emb_df, "vec_id", "embedding", threshold=0.99, n_planes=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    hits = sum(1 for i in range(20) if (i, 1000 + i) in pairs)
+    assert hits >= 16  # LSH recall on planted near-identical pairs
+
+
+def test_document_stats(spark, docs_df):
+    out = document_stats(docs_df, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["doc00"]["n_tokens"] == 16
+    assert by_id["doc00"]["lang_guess"] == "en"
+    assert 0.0 <= by_id["doc00"]["quality"] <= 1.0
+    assert by_id["doc00"]["fingerprint"] != by_id["odd1"]["fingerprint"]
+
+
+def test_transitive_closure(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    out = {tuple(r) for r in transitive_closure(edges).collect()}
+    assert out == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"),
+        ("a", "c"), ("a", "d"), ("b", "d"),
+    }
+
+
+def test_multimodal_plumbing(spark):
+    from abecto_spark.operators.multimodal import extract_features, media_spans
+    from abecto_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, n_docs=200, n_entities=20, seed=42)
+    media = media_spans(docs)
+    n_media = media.count()
+    assert n_media > 0
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    assert all(len(r["feature"]) == 8 and r["decode_ok"] for r in rows)
+    # determinism: same ref -> same pseudo-feature
+    f1 = {r["media_ref"]: tuple(r["feature"]) for r in rows}
+    rows2 = extract_features(media, dim=8).collect()
+    assert all(tuple(r["feature"]) == f1[r["media_ref"]] for r in rows2)
+
+
+def test_streaming_mentions(spark, tmp_path):
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_docs,
+        streaming_mentions,
+    )
+
+    path = str(tmp_path / "docs_stream")
+    synth_docs(spark, n_docs=300, n_entities=30, seed=42).write.parquet(path)
+    stream = stream_docs(spark, path)
+    assert stream.isStreaming
+    run_stream_to_memory(streaming_mentions(stream), "mentions_out")
+    n = spark.sql("SELECT count(*) FROM mentions_out").collect()[0][0]
+    assert n == 300

@@ -122,6 +122,18 @@ def connected_components(
     )
 
 
+def strip_synthetic(canonical: DataFrame, prefix: str = "\x00") -> DataFrame:
+    """Drop synthetic star nodes (see jw_mapping star mode) from a CC
+    result and re-elect each component's representative as the smallest
+    *real* member, preserving the reference's group-representative
+    convention (`Processor.java:216-218`)."""
+    real = canonical.where(~F.col("resource").startswith(prefix))
+    rep = real.groupBy("canonical_id").agg(F.min("resource").alias("rep"))
+    return real.join(rep, "canonical_id").select(
+        "resource", F.col("rep").alias("canonical_id")
+    )
+
+
 def canonicalize(resources: DataFrame, canonical: DataFrame, col: str = "resource") -> DataFrame:
     """Attach ``canonical_id`` (falling back to the resource itself for
     singletons) to any table with a resource column."""

@@ -28,11 +28,19 @@ def equivalent_value_mapping(
     values: DataFrame,
     variables: list[str],
     canonical: DataFrame,
+    assume_single_valued: bool | None = None,
 ) -> DataFrame:
     """Correspondence edges (src, dst) across all unordered dataset pairs.
 
     ``canonical``: (resource, canonical_id) from prior mapping steps —
     resource-valued variables match via cluster id.
+
+    When every (resource, variable) is single-valued, "share ≥1 equivalent
+    value for every variable" degenerates to equality of the whole value
+    tuple — one pivot + one equi-join on the composite key instead of a
+    per-variable explode-join (which shuffles |vars| low-cardinality joins
+    and suffers key skew). Detected with one cheap aggregate unless forced
+    via ``assume_single_valued``.
     """
     n_vars = len(variables)
     v = values.where(F.col("variable").isin(variables))
@@ -61,6 +69,37 @@ def equivalent_value_mapping(
         ).alias("vkey"),
     )
     keyed = iri_keyed.unionByName(lit_keyed)
+
+    if assume_single_valued is None:
+        assume_single_valued = (
+            keyed.groupBy("dataset", "resource", "variable")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .limit(1)
+            .count()
+            == 0
+        )
+    if assume_single_valued:
+        wide = (
+            keyed.groupBy("dataset", "resource")
+            .pivot("variable", variables)
+            .agg(F.first("vkey"))
+        )
+        for var in variables:  # unbound variable -> never equivalent
+            wide = wide.where(F.col(f"`{var}`").isNotNull())
+        tup = F.concat_ws("\x1f", *[F.col(f"`{v_}`") for v_ in variables])
+        w1 = wide.select(
+            F.col("dataset").alias("d1"), F.col("resource").alias("src"), tup.alias("t")
+        )
+        w2 = wide.select(
+            F.col("dataset").alias("d2"), F.col("resource").alias("dst"), tup.alias("t")
+        )
+        return (
+            w1.join(w2, "t")
+            .where(F.col("d1") < F.col("d2"))
+            .select("src", "dst")
+            .distinct()
+        )
 
     s1 = keyed.select(
         F.col("dataset").alias("d1"),

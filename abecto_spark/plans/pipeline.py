@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import XSD_STRING
-from ..operators.closure import MappingGraph, connected_components
+from ..operators.closure import MappingGraph, connected_components, strip_synthetic
 from ..operators.extract import DEFAULT_RULES, MentionRule, extract_mentions, mentions_as_values
 from ..operators.jw_mapping import jw_mapping
 from ..operators.population import population_comparison
@@ -97,6 +97,7 @@ class DocsPipeline:
                 cfg.threshold,
                 case_sensitive=cfg.case_sensitive,
                 block=cfg.block,
+                star=True,  # linear edges under hot-value skew (see operator)
             )
             metrics["s2_edges"] = self.store.write(edges, "s2_edges", tok)
             edges = self.store.read("s2_edges")
@@ -115,6 +116,7 @@ class DocsPipeline:
                 canonical = g.canonical()
             else:
                 canonical = connected_components(edges)
+            canonical = strip_synthetic(canonical)
             metrics["s3_canonical"] = self.store.write(canonical, "s3_canonical", tok)
             canonical = self.store.read("s3_canonical")
 

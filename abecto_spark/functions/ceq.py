@@ -128,6 +128,24 @@ def value_eq_key(
     is_stringish = dt.isin(*STRINGISH_TYPES)
     is_dateish = dt.isin(*DATEISH_TYPES)
 
+    # JVM fast path for the integer/decimal tower: lexicals that fit
+    # decimal(38,18) losslessly canonicalize without leaving codegen — the
+    # Python expansion is needed only for float/double binary values (and
+    # exotic >38-digit decimals). The canonical string (plain form, no
+    # trailing zeros, -0 -> 0) is byte-identical to `_canonical_decimal_str`.
+    is_int_dec = dt.isin(*XSD_INTEGER_TYPES)
+    jvm_safe = is_int_dec & F.trim(lex).rlike(r"^[+-]?\d{1,20}(\.\d{1,18})?$")
+    _dec = F.trim(lex).cast("decimal(38,18)")
+    jvm_num_key = F.concat(
+        F.lit("num:"),
+        F.regexp_replace(
+            F.regexp_replace(_dec.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
+        ),
+    )
+    # rows the pandas UDF must process get the lexical; all others get
+    # NULL so the Arrow batch short-circuits per element
+    udf_input = F.when(is_numeric & ~jvm_safe, lex)
+
     if allow_lang_tag_skip:
         str_key = F.concat(F.lit("str:"), lex)
     else:
@@ -153,7 +171,8 @@ def value_eq_key(
 
     literal_key = (
         F.when(is_stringish, str_key)
-        .when(is_numeric, F.coalesce(_numeric_key_udf(lex, dt), other_key))
+        .when(jvm_safe, jvm_num_key)
+        .when(is_numeric, F.coalesce(_numeric_key_udf(udf_input, dt), other_key))
         .when(is_dateish, date_key)
         .when(dt == XSD_BOOLEAN, bool_key)
         .otherwise(other_key)

@@ -68,7 +68,9 @@ def population_comparison(
     datasets = sorted(datasets)
     pairs = list(combinations(datasets, 2))
 
-    m = members.join(canonical, "resource", "left")
+    # m feeds grouped/loners/gcnt and the findings branch — materialize it
+    # once instead of re-deriving the join per consumer
+    m = members.join(canonical, "resource", "left").localCheckpoint(eager=False)
     grouped = m.where(F.col("canonical_id").isNotNull())
     loners = m.where(F.col("canonical_id").isNull()).select("dataset", "resource")
 

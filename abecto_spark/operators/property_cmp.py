@@ -79,6 +79,9 @@ def property_comparison(
     every dataset covers every variable).
     """
     members = members.select("dataset", "resource").distinct()
+    # canonical feeds both the membership join and the IRI-value
+    # substitution join — materialize once (it is the small side)
+    canonical = canonical.localCheckpoint(eager=False)
     if datasets is None:
         datasets = sorted(r[0] for r in members.select("dataset").distinct().collect())
     coverage = coverage or {v: list(datasets) for v in variables}

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from ..functions.ceq import value_eq_key
 from ..functions.lang import lang_matches
 from ..model import XSD_DOUBLE, XSD_INTEGER, XSD_STRING
-from ..operators.ann import brute_force_topk
+from ..operators.ann import brute_force_topk, lsh_topk
+from ..operators.fn_mapping import functional_mapping
 from ..operators.closure import connected_components
 from ..operators.dedup import (
     exact_dedup,
@@ -303,6 +304,55 @@ def q_ann_top1(spark, sf):
     )
 
 
+def q_functional_mapping(spark, sf):
+    # orders of the same customer form a correspondence cluster; the
+    # functional variable "priority" then links the referred priority
+    # resources (note: 5 distinct priorities — a deliberately hot key)
+    o = _t(spark, sf, "orders")
+    rid = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    values = _values_from(
+        o, F.lit("orders"), rid, "priority",
+        F.concat(F.lit("p:"), F.col("o_orderpriority")), kind="iri", datatype=None
+    )
+    w = Window.partitionBy("o_custkey")
+    canonical = o.select(
+        rid.alias("resource"),
+        F.concat(F.lit("o"), F.min("o_orderkey").over(w).cast("string")).alias(
+            "canonical_id"
+        ),
+    )
+    edges, _ = functional_mapping(values, "priority", canonical)
+    return edges.select("src", "dst")
+
+
+def q_property_findings(spark, sf):
+    # deviation / value-omission classification over lineitem quantities
+    li = _t(spark, sf, "lineitem")
+    values = _values_from(
+        li,
+        F.col("l_returnflag"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")),
+        "qty",
+        F.col("l_quantity").cast("int").cast("string"),
+        datatype=XSD_INTEGER,
+    )
+    members = values.select("dataset", "resource").distinct()
+    canonical = _identity_canonical(members)
+    _, findings = property_comparison(
+        spark, values, members, canonical, "order_qty", ["qty"]
+    )
+    return findings.select(
+        "kind",
+        "variable",
+        "affected_dataset",
+        "affected_resource",
+        "affected_value",
+        "compared_to_dataset",
+        "compared_to_resource",
+        "compared_to_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # events: sessionization + windowed agg (batch forms; streaming variants in
 # abecto_spark.streaming)
@@ -324,6 +374,77 @@ def q_windowed_agg(spark, sf):
     return ev.groupBy(win.alias("win_start"), "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
+
+
+def q_doc_fingerprint(spark, sf):
+    # whitespace/case-insensitive content fingerprint (md5 form so the
+    # oracle can reproduce it; the library default is xxhash64)
+    from ..functions.text import tokens as _tokens
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.md5(F.concat_ws(" ", _tokens(F.col("text")))).alias("fp")
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    # plant exact duplicates (power-of-2 scaling keeps cosine == 1.0 in FP
+    # and guarantees identical LSH sign buckets); the random corpus tops
+    # out near cosine 0.46, so the planted pairs are the exact expectation
+    e = _t(spark, sf, "embeddings")
+    from ..operators.dedup import embedding_near_dups
+
+    base = e.where(F.col("vec_id") < 2000).select("vec_id", "embedding")
+    dups = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    pairs = embedding_near_dups(
+        base.unionByName(dups), "vec_id", "embedding", threshold=0.99, n_planes=8
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 100)
+    top = lsh_topk(q, e, k=5, n_planes=8)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    from ..operators.multimodal import extract_features, media_spans
+    from ..sources.docs import synth_docs
+
+    docs = synth_docs(spark, n_docs=400, n_entities=50, partitions=8)
+    feats = extract_features(media_spans(docs), dim=8)
+    return feats.select(
+        "doc_id", "span_idx", "kind", "feat_dim", "decode_ok",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def q_kg_pipeline_triples(spark, sf):
+    """Flagship end-to-end slice: synthetic interleaved docs → mention
+    extraction → JW linking → CC canonicalization → triples."""
+    import tempfile
+
+    from ..sources.checkpoint import SnapshotStore
+    from .pipeline import DocsPipeline, PipelineConfig
+
+    docs = synth_docs_cached(spark, n_docs=1500, n_entities=120)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="abecto_q_kg_"))
+    res = DocsPipeline(spark, store, PipelineConfig()).run(docs, resume=False)
+    return res.triples.select("s", "p", "o_kind", "o_value", "doc_id", "span_idx")
+
+
+def synth_docs_cached(spark, n_docs, n_entities):
+    from ..sources.docs import synth_docs
+
+    return synth_docs(spark, n_docs=n_docs, n_entities=n_entities, partitions=8)
 
 
 QUERIES = {
@@ -349,6 +470,13 @@ QUERIES = {
     "ann_top1": q_ann_top1,
     "sessionize": q_sessionize,
     "windowed_agg": q_windowed_agg,
+    "functional_mapping": q_functional_mapping,
+    "property_findings": q_property_findings,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "kg_pipeline_triples": q_kg_pipeline_triples,
 }
 
 ORACLES = {
@@ -572,5 +700,70 @@ ORACLES = {
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
                event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "functional_mapping": """
+        WITH cl AS (SELECT DISTINCT o_custkey AS cust,
+                           'p:' || o_orderpriority AS p FROM orders),
+             lo AS (SELECT cust, MIN(p) AS lo FROM cl GROUP BY cust)
+        SELECT DISTINCT l.lo AS src, c.p AS dst
+        FROM cl c JOIN lo l ON c.cust = l.cust
+        WHERE c.p <> l.lo
+    """,
+    "property_findings": """
+        WITH vals AS (
+          SELECT DISTINCT l_returnflag AS d, 'o' || CAST(l_orderkey AS VARCHAR) AS r,
+                 CAST(l_quantity AS INT) AS q
+          FROM lineitem),
+        members AS (SELECT DISTINCT d, r FROM vals),
+        grouped AS (SELECT r FROM members GROUP BY r HAVING COUNT(DISTINCT d) >= 2),
+        gm AS (SELECT m.d, m.r FROM members m JOIN grouped g USING (r)),
+        pairs AS (SELECT a.r, a.d AS da, b.d AS db
+                  FROM gm a JOIN gm b ON a.r = b.r AND a.d < b.d),
+        va AS (SELECT p.r, p.da, p.db, v.q FROM pairs p
+               JOIN vals v ON v.r = p.r AND v.d = p.da),
+        vb AS (SELECT p.r, p.da, p.db, v.q FROM pairs p
+               JOIN vals v ON v.r = p.r AND v.d = p.db),
+        unc_a AS (SELECT * FROM va WHERE NOT EXISTS (
+            SELECT 1 FROM vb WHERE vb.r = va.r AND vb.da = va.da
+                   AND vb.db = va.db AND vb.q = va.q)),
+        unc_b AS (SELECT * FROM vb WHERE NOT EXISTS (
+            SELECT 1 FROM va WHERE va.r = vb.r AND va.da = vb.da
+                   AND va.db = vb.db AND va.q = vb.q)),
+        has_a AS (SELECT DISTINCT r, da, db FROM unc_a),
+        has_b AS (SELECT DISTINCT r, da, db FROM unc_b),
+        dev AS (SELECT a.r, a.da, a.db, a.q AS qa, b.q AS qb
+                FROM unc_a a JOIN unc_b b
+                  ON a.r = b.r AND a.da = b.da AND a.db = b.db)
+        SELECT 'value_omission' AS kind, 'qty' AS variable,
+               da AS affected_dataset, r AS affected_resource,
+               CAST(NULL AS VARCHAR) AS affected_value,
+               db AS compared_to_dataset, r AS compared_to_resource,
+               CAST(q AS VARCHAR) AS compared_to_value
+        FROM unc_b WHERE NOT EXISTS (
+            SELECT 1 FROM has_a h WHERE h.r = unc_b.r AND h.da = unc_b.da
+                   AND h.db = unc_b.db)
+        UNION ALL
+        SELECT 'value_omission', 'qty', db, r, NULL, da, r, CAST(q AS VARCHAR)
+        FROM unc_a WHERE NOT EXISTS (
+            SELECT 1 FROM has_b h WHERE h.r = unc_a.r AND h.da = unc_a.da
+                   AND h.db = unc_a.db)
+        UNION ALL
+        SELECT 'deviation', 'qty', da, r, CAST(qa AS VARCHAR), db, r,
+               CAST(qb AS VARCHAR) FROM dev
+        UNION ALL
+        SELECT 'deviation', 'qty', db, r, CAST(qb AS VARCHAR), da, r,
+               CAST(qa AS VARCHAR) FROM dev
+    """,
+    "embedding_neardup": """
+        SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+               CAST(1.0 AS DOUBLE) AS cosine
+        FROM embeddings WHERE vec_id < 2000
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''), ' ')) AS fp
+        FROM documents
     """,
 }

@@ -1,0 +1,100 @@
+"""N-Triples source round-trip + report exports
+(FileSourceProcessor analog, `FileSourceProcessor.java:31-55`;
+export templates `Abecto.java:258-281`)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from abecto_spark.plans.reports import (
+    export_deviations_csv,
+    mapping_review,
+    measurements_markdown,
+)
+from abecto_spark.sources.rdf import (
+    read_ntriples,
+    read_ntriples_rejects,
+    write_ntriples,
+)
+
+NT = """\
+<http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
+_:b0 <http://ex.org/p> "plain" .
+<http://ex.org/a> <http://ex.org/label> "caf\\u00e9 \\"x\\""@en .
+<http://ex.org/a> <http://ex.org/n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+# a comment line
+
+not a triple at all
+<http://ex.org/a> <http://ex.org/q> "tab\\there" .
+"""
+
+
+def test_ntriples_parse(spark, tmp_path):
+    p = tmp_path / "in.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p))
+    rows = {(r.s, r.p, r.o_kind, r.o_value, r.o_datatype, r.o_lang) for r in df.collect()}
+    assert (
+        "http://ex.org/a", "http://ex.org/p", "iri", "http://ex.org/b", None, "",
+    ) in rows
+    assert (
+        "_:b0", "http://ex.org/p", "literal", "plain",
+        "http://www.w3.org/2001/XMLSchema#string", "",
+    ) in rows
+    assert (
+        "http://ex.org/a", "http://ex.org/n", "literal", "42",
+        "http://www.w3.org/2001/XMLSchema#integer", "",
+    ) in rows
+    lang_rows = [r for r in rows if r[5] == "en"]
+    assert len(lang_rows) == 1 and 'caf' in lang_rows[0][3] and '"x"' in lang_rows[0][3]
+    tab = [r for r in rows if r[1] == "http://ex.org/q"]
+    assert tab[0][3] == "tab\there"
+    assert len(rows) == 5
+    rejects = read_ntriples_rejects(spark, str(p))
+    assert rejects.count() == 1  # only the malformed line; comment/blank skipped
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.nt"
+    src.write_text(NT)
+    df = read_ntriples(spark, str(src))
+    out = str(tmp_path / "out_nt")
+    write_ntriples(df.drop("graph"), out)
+    back = read_ntriples(spark, out)
+    a = {tuple(r) for r in df.drop("graph").collect()}
+    b = {tuple(r) for r in back.drop("graph").collect()}
+    assert a == b
+
+
+def test_reports(spark, tmp_path):
+    findings = spark.createDataFrame(
+        [
+            ("deviation", "person", "boss", "d1", "r1", "alice", "d2", "r2", "alise", None),
+            ("value_omission", "person", "pnr", "d1", "r1", None, "d2", "r2", "7", None),
+        ],
+        "kind string, aspect string, variable string, affected_dataset string,"
+        "affected_resource string, affected_value string, compared_to_dataset string,"
+        "compared_to_resource string, compared_to_value string, comment string",
+    )
+    out = str(tmp_path / "dev_csv")
+    export_deviations_csv(findings, out)
+    text = "".join(open(f).read() for f in glob.glob(os.path.join(out, "*.csv")))
+    assert "alice" in text and "alise" in text and "pnr" not in text
+
+    measures = spark.createDataFrame(
+        [("count", "d1", ["d2"], "5")],
+        "measure string, dataset string, compared_to array<string>, value string",
+    )
+    md = measurements_markdown(measures)
+    assert "| count | d1 | d2 | 5 |" in md
+
+    edges = spark.createDataFrame([("r1", "r2")], "src string, dst string")
+    values = spark.createDataFrame(
+        [("d1", "r1", "label", "literal", "alice", None, ""),
+         ("d2", "r2", "label", "literal", "alise", None, "")],
+        "dataset string, resource string, variable string, o_kind string,"
+        "o_value string, o_datatype string, o_lang string",
+    )
+    mr = mapping_review(edges, values, "label").collect()
+    assert len(mr) == 1 and mr[0].src_label == "alice" and mr[0].dst_label == "alise"

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import XSD_STRING
-from ..operators.closure import MappingGraph, connected_components, strip_synthetic
+from ..operators.closure import (
+    MappingGraph,
+    canonical_from_value_links,
+    strip_synthetic,
+)
 from ..operators.extract import DEFAULT_RULES, MentionRule, extract_mentions, mentions_as_values
 from ..operators.jw_mapping import jw_mapping
 from ..operators.population import population_comparison
@@ -87,6 +91,12 @@ class DocsPipeline:
         values = mentions_as_values(mentions)
 
         # ---- S2: JW entity linking --------------------------------------
+        # Without exclusions the edge snapshot holds *value-level* links
+        # (matched string pairs, pre-resource-fan-out) — orders of
+        # magnitude smaller than resource edges and the input to the
+        # value-level canonicalization scale path. With exclusions the
+        # resource-level MappingGraph veto path runs instead.
+        value_level = not cfg.exclusions
         if resume and self.store.has("s2_edges", tok):
             edges = self.store.read("s2_edges")
             metrics["s2_edges"] = self.store.manifest("s2_edges")
@@ -98,6 +108,7 @@ class DocsPipeline:
                 case_sensitive=cfg.case_sensitive,
                 block=cfg.block,
                 star=True,  # linear edges under hot-value skew (see operator)
+                return_value_links=value_level,
             )
             metrics["s2_edges"] = self.store.write(edges, "s2_edges", tok)
             edges = self.store.read("s2_edges")
@@ -107,15 +118,17 @@ class DocsPipeline:
             canonical = self.store.read("s3_canonical")
             metrics["s3_canonical"] = self.store.manifest("s3_canonical")
         else:
-            if cfg.exclusions:
+            if value_level:
+                canonical = canonical_from_value_links(
+                    edges, values, list(cfg.variables), cfg.case_sensitive
+                )
+            else:
                 g = MappingGraph(self.spark)
                 g.add_incorrespondences(
                     self.spark.createDataFrame(list(cfg.exclusions), "src string, dst string")
                 )
                 g.add_correspondences(edges)
                 canonical = g.canonical()
-            else:
-                canonical = connected_components(edges)
             canonical = strip_synthetic(canonical)
             metrics["s3_canonical"] = self.store.write(canonical, "s3_canonical", tok)
             canonical = self.store.read("s3_canonical")

@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces shuffles by *input* bytes; similarity joins here
+        # have tiny inputs (blocking-key tables, KBs) but quadratic
+        # outputs + CPU-heavy UDFs downstream. The 1 MB default floor
+        # collapses those stages to ~4 tasks regardless of cores — keep
+        # parallelism-first coalescing effective with a small floor.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -21,7 +21,6 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -53,13 +52,19 @@ class SnapshotStore:
         if os.path.exists(d):
             shutil.rmtree(d)
         df.write.mode("overwrite").parquet(data)
-        written = self.spark.read.parquet(data)
-        part_rows = {
-            str(r["pid"]): r["rows"]
-            for r in written.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        }
+        # per-partition lineage from the parquet footers (driver-side
+        # metadata read — no extra Spark job / full re-scan of the stage)
+        part_rows = {}
+        try:
+            import pyarrow.parquet as pq
+
+            for f in sorted(os.listdir(data)):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    part_rows[f.split("-")[1]] = pq.ParquetFile(
+                        os.path.join(data, f)
+                    ).metadata.num_rows
+        except Exception:
+            part_rows = {"all": self.spark.read.parquet(data).count()}
         manifest = {
             "stage": stage,
             "config_token": config_token,

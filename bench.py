@@ -59,7 +59,12 @@ def main() -> None:
         "ngram_jaccard",
         "text_stats",
         "doc_quality",
+        "doc_fingerprint",
         "ann_top1",
+        "ann_lsh_topk",
+        "embedding_neardup",
+        "functional_mapping",
+        "property_findings",
         "sessionize",
         "windowed_agg",
     ]

@@ -37,6 +37,18 @@ def child(cores: int, n_docs: int, docs_path: str) -> None:
         shuffle_partitions=max(cores, 8),
     )
     docs = spark.read.parquet(docs_path)
+    # warmup: spin up the python-worker pool, codegen and shuffle paths on
+    # a small slice so the timed run measures steady-state throughput (a
+    # long-lived cluster pays these once, not per job)
+    warm_snap = tempfile.mkdtemp(prefix=f"abecto_warm_{cores}_")
+    try:
+        warm_docs = spark.read.parquet(docs_path).limit(5000).localCheckpoint(eager=True)
+        DocsPipeline(spark, SnapshotStore(spark, warm_snap), PipelineConfig()).run(
+            warm_docs, resume=False
+        )
+    finally:
+        shutil.rmtree(warm_snap, ignore_errors=True)
+
     snap = tempfile.mkdtemp(prefix=f"abecto_scale_{cores}_")
     try:
         store = SnapshotStore(spark, snap)

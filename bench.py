@@ -30,7 +30,7 @@ def _noop_write(df):
 def main() -> None:
     sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n_docs = int(os.environ.get("ABECTO_BENCH_DOCS", 50_000))
+    n_docs = int(os.environ.get("ABECTO_BENCH_DOCS", 250_000))
     n_entities = int(os.environ.get("ABECTO_BENCH_ENTITIES", max(n_docs // 12, 10)))
 
     from abecto_spark.session import get_spark

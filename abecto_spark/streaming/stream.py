@@ -43,6 +43,76 @@ def windowed_event_metrics(events: DataFrame, watermark: str = "10 minutes") -> 
     )
 
 
+def stateful_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    user, close a session when no event arrives within ``gap_seconds``.
+    Emits one row per closed session (user_id, session_start, session_end,
+    n_events); the open session rides in group state across micro-batches
+    and is closed by event-time timeout once the watermark passes it.
+
+    This is the streaming counterpart of the batch ``sessionize`` query
+    (entry_queries.q_sessionize) — same gap semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id string, session_start timestamp, session_end timestamp,"
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        closed = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((user, start, last, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            ts = (
+                pd.to_datetime(rows["ts"]).astype("int64") // 1_000_000_000
+            ).sort_values()
+            start, last, n = state.get if state.exists else (None, None, 0)
+            for t in ts:
+                t = int(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_seconds:
+                    closed.append((user, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query to completion over the currently available
     input (test harness path: memory sink + processAllAvailable)."""

@@ -159,3 +159,40 @@ def test_streaming_mentions(spark, tmp_path):
     run_stream_to_memory(streaming_mentions(stream), "mentions_out")
     n = spark.sql("SELECT count(*) FROM mentions_out").collect()[0][0]
     assert n == 300
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    import pandas as pd
+
+    from abecto_spark.streaming.stream import run_stream_to_memory, stateful_sessionize
+
+    # two users; u1 has two sessions separated by > gap, u2 one session.
+    # a late high-watermark row pushes event time far enough forward that
+    # earlier sessions time out and are emitted.
+    rows = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1", "u1", "u2", "u1", "wm"],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 10:00:00",
+                    "2026-01-01 10:10:00",
+                    "2026-01-01 12:00:00",  # > 30 min gap -> new session
+                    "2026-01-01 10:05:00",
+                    "2026-01-01 12:05:00",
+                    "2026-01-02 10:00:00",  # watermark driver
+                ]
+            ),
+            "value": [1.0] * 6,
+        }
+    )
+    path = str(tmp_path / "events_stream")
+    spark.createDataFrame(rows).write.parquet(path)
+    stream = spark.readStream.schema("user_id string, ts timestamp, value double").parquet(path)
+    run_stream_to_memory(stateful_sessionize(stream, gap_seconds=1800), "sessions_out")
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert ("u1", "2026-01-01 10:00:00", 2) in got
+    assert ("u1", "2026-01-01 12:00:00", 2) in got
+    assert ("u2", "2026-01-01 10:05:00", 1) in got

@@ -25,13 +25,14 @@ def _tune(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: population comparison measures over correspondence
-    clusters derived from the orders table at sf0.001 (aspect scan →
-    membership → canonicalization → measures)."""
+    """Flagship: the end-to-end KG-construction slice (synthetic
+    interleaved docs → vectorized mention extraction → blocked JW entity
+    linking → value-level CC canonicalization → (s, p, o) triples with
+    span provenance), per the north rule."""
     _tune(spark)
-    from abecto_spark.plans.entry_queries import q_population_measures
+    from abecto_spark.plans.entry_queries import q_kg_pipeline_triples
 
-    return q_population_measures(spark, "/root/testdata/sf0.001")
+    return q_kg_pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -766,4 +766,40 @@ ORACLES = {
                                x -> x <> ''), ' ')) AS fp
         FROM documents
     """,
+    "doc_quality": """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      AS DOUBLE) AS alpha,
+                 CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                      AS DOUBLE) AS punct,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, n, alpha, punct,
+                 list_aggregate([
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a','in','is','that','it','for'], x))),
+                    'l': 'en'},
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['der','die','das','und','ist','von','zu','mit','den','nicht'], x))),
+                    'l': 'de'},
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['le','la','les','et','de','un','une','est','que','pour'], x))),
+                    'l': 'fr'},
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['el','la','los','de','que','y','en','un','es','por'], x))),
+                    'l': 'es'}
+                 ], 'max') AS best
+          FROM b)
+        SELECT doc_id,
+               ROUND((CASE WHEN n >= 20 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
+                     * (alpha / greatest(n, 1.0))
+                     * (1.0 - least(punct / greatest(n, 1.0) * 4, 1.0)), 6)
+                 AS quality,
+               CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_guess
+        FROM s
+    """,
 }

@@ -35,11 +35,9 @@ from pyspark.sql import functions as F
 
 from ..model import (
     DATEISH_TYPES,
-    RDF_LANG_STRING,
     STRINGISH_TYPES,
     XSD_BOOLEAN,
     XSD_DATE,
-    XSD_DATETIME,
     XSD_DOUBLE,
     XSD_FLOAT,
     XSD_INTEGER_TYPES,

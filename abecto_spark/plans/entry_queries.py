@@ -31,7 +31,7 @@ from ..operators.population import population_comparison
 from ..operators.present_mapping import use_present_mapping
 from ..operators.property_cmp import property_comparison
 from ..operators.rules import transitive_closure
-from ..functions.text import document_stats, lang_id, quality_score
+from ..functions.text import lang_id, quality_score
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -29,7 +29,10 @@ from ..operators.jw_mapping import jw_mapping
 from ..operators.population import population_comparison
 from ..sources.checkpoint import SnapshotStore
 
-STAGES = ("s1_mentions", "s2_edges", "s3_canonical", "s4_triples", "s5_measures")
+STAGES = (
+    "s1_mentions", "s1b_media", "s2_edges", "s3_canonical",
+    "s4_triples", "s5_measures",
+)
 
 
 @dataclass
@@ -41,10 +44,13 @@ class PipelineConfig:
     rules: tuple[MentionRule, ...] = DEFAULT_RULES
     aspect: str = "entity"
     exclusions: tuple[tuple[str, str], ...] = ()  # correspondsNotTo pairs
+    media_features: bool = False
+    media_feature_dim: int = 16
 
     def token(self) -> str:
         payload = json.dumps(
             {
+                "media": [self.media_features, self.media_feature_dim],
                 "variables": list(self.variables),
                 "threshold": self.threshold,
                 "case_sensitive": self.case_sensitive,
@@ -66,6 +72,7 @@ class PipelineResult:
     measures: DataFrame
     findings: DataFrame
     metrics: dict = field(default_factory=dict)
+    media_features: DataFrame | None = None
 
 
 class DocsPipeline:
@@ -89,6 +96,24 @@ class DocsPipeline:
             mentions = self.store.read("s1_mentions")
 
         values = mentions_as_values(mentions)
+
+        # ---- S1b: media feature extraction (interleaved non-text spans) --
+        # Arrow-batched over the typed media table; the decode is
+        # deployment-pluggable (multimodal.extract_features). Optional:
+        # enabled by config, off adds zero jobs.
+        media_features = None
+        if cfg.media_features:
+            if resume and self.store.has("s1b_media", tok):
+                media_features = self.store.read("s1b_media")
+                metrics["s1b_media"] = self.store.manifest("s1b_media")
+            else:
+                from ..operators.multimodal import extract_features, media_spans
+
+                media_features = extract_features(
+                    media_spans(docs), dim=cfg.media_feature_dim
+                )
+                metrics["s1b_media"] = self.store.write(media_features, "s1b_media", tok)
+                media_features = self.store.read("s1b_media")
 
         # ---- S2: JW entity linking --------------------------------------
         # Without exclusions the edge snapshot holds *value-level* links
@@ -152,7 +177,10 @@ class DocsPipeline:
         else:
             metrics["s5_measures"] = self.store.manifest("s5_measures")
 
-        return PipelineResult(mentions, edges, canonical, triples, measures, findings, metrics)
+        return PipelineResult(
+            mentions, edges, canonical, triples, measures, findings, metrics,
+            media_features,
+        )
 
     def _materialize_triples(self, mentions: DataFrame, canonical: DataFrame) -> DataFrame:
         """(subj=canonical entity IRI, pred, obj) rows; every mention doc

@@ -100,3 +100,24 @@ def test_resume_skips_completed_stages(spark, pipeline_run):
 def test_config_change_invalidates_snapshots(spark, pipeline_run):
     docs, store, _, _ = pipeline_run
     assert not store.has("s2_edges", "different-token")
+
+
+def test_media_feature_stage(spark, tmp_path):
+    from abecto_spark.plans.pipeline import DocsPipeline, PipelineConfig
+    from abecto_spark.sources.checkpoint import SnapshotStore
+    from abecto_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, n_docs=300, n_entities=30, seed=42)
+    store = SnapshotStore(spark, str(tmp_path / "snap_media"))
+    cfg = PipelineConfig(media_features=True, media_feature_dim=8)
+    res = DocsPipeline(spark, store, cfg).run(docs, resume=False)
+    assert res.media_features is not None
+    feats = res.media_features.collect()
+    assert len(feats) > 0
+    assert all(len(r.feature) == 8 and r.decode_ok for r in feats)
+    assert res.metrics["s1b_media"]["row_count"] == len(feats)
+    # resume: the media snapshot is reused, and a different dim invalidates
+    res2 = DocsPipeline(spark, store, cfg).run(docs, resume=True)
+    assert res2.metrics["s1b_media"]["row_count"] == len(feats)
+    assert not store.has("s1b_media", PipelineConfig(media_features=True,
+                                                     media_feature_dim=4).token())

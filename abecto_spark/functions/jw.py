@@ -167,6 +167,18 @@ def _duckdb_jw_batch(s1: pd.Series, s2: pd.Series) -> np.ndarray:
     out = _duck_con.execute(
         "SELECT jaro_winkler_similarity(a, b) AS s FROM batch"
     ).fetchnumpy()["s"]
+    # DuckDB's JW walks UTF-8 *bytes*; multibyte codepoints shift lengths
+    # and match windows, so any pair touching non-ASCII goes through the
+    # exact codepoint kernel instead
+    non_ascii = (
+        a.str.contains(r"[^\x00-\x7f]", regex=True).to_numpy()
+        | b.str.contains(r"[^\x00-\x7f]", regex=True).to_numpy()
+    )
+    if non_ascii.any():
+        out = out.copy()
+        out[non_ascii] = jaro_winkler_batch(
+            a[non_ascii].reset_index(drop=True), b[non_ascii].reset_index(drop=True)
+        )
     # empty-vs-empty and exact equality pinned to the reference (1.0)
     return np.where(a.to_numpy() == b.to_numpy(), 1.0, out)
 

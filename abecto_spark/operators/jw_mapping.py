@@ -96,10 +96,27 @@ def _score_buckets_duckdb(
 
     def score(pdf):
         import duckdb
+        import numpy as np
         import pandas as pd
 
+        from ..functions.jw import jaro_winkler_batch
+
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="float64" if c == "score" else "object")
+             for c in ("d1", "variable", "v1", "d2", "v2", "score")}
+        )
         same = bool(pdf["_ti"].iat[0] == pdf["_tj"].iat[0])
         cross = "" if same else "AND a._s <> b._s"
+        # DuckDB's JW walks UTF-8 bytes; pairs touching a non-ASCII string
+        # are joined/length-pruned in DuckDB but scored by the exact
+        # codepoint kernel
+        pdf = pdf.assign(_ascii=~pdf["value"].str.contains(r"[^\x00-\x7f]", regex=True))
+        join_cond = f"""
+              FROM t a JOIN t b
+                ON a.dataset < b.dataset {cross}
+               AND least(length(a.value), length(b.value))
+                   >= ? * greatest(length(a.value), length(b.value))
+        """
         con = duckdb.connect()
         con.execute("SET threads=1")
         con.register("t", pdf)
@@ -109,19 +126,26 @@ def _score_buckets_duckdb(
               SELECT a.dataset AS d1, a.variable AS variable, a.value AS v1,
                      b.dataset AS d2, b.value AS v2,
                      jaro_winkler_similarity(a.value, b.value) AS score
-              FROM t a JOIN t b
-                ON a.dataset < b.dataset {cross}
-               AND least(length(a.value), length(b.value))
-                   >= ? * greatest(length(a.value), length(b.value))
+              {join_cond} AND a._ascii AND b._ascii
             ) WHERE score >= ?
             """,
             [r_min, threshold],
         ).df()
+        if not pdf["_ascii"].all():
+            cand = con.execute(
+                f"""
+                SELECT a.dataset AS d1, a.variable AS variable, a.value AS v1,
+                       b.dataset AS d2, b.value AS v2
+                {join_cond} AND NOT (a._ascii AND b._ascii)
+                """,
+                [r_min],
+            ).df()
+            if len(cand):
+                s = jaro_winkler_batch(cand["v1"], cand["v2"])
+                cand = cand.assign(score=s)[np.asarray(s) >= threshold]
+                out = pd.concat([out, cand], ignore_index=True)
         con.close()
-        return out if len(out) else pd.DataFrame(
-            {c: pd.Series(dtype="float64" if c == "score" else "object")
-             for c in ("d1", "variable", "v1", "d2", "v2", "score")}
-        )
+        return out if len(out) else empty
 
     return (
         exploded.groupBy("variable", "bk", "_ti", "_tj")

@@ -125,3 +125,37 @@ def test_blocking_recall_vs_cross(spark):
     exact = rows_set(jw_mapping(vals, ["label"], 0.90, block="cross"), "src", "dst")
     blocked = rows_set(jw_mapping(vals, ["label"], 0.90, block="grams"), "src", "dst")
     assert blocked == exact
+
+
+def test_unicode_linking_matches_reference_kernel(spark):
+    """DuckDB's byte-walking JW must not leak into results: pairs touching
+    non-ASCII go through the exact codepoint kernel in both the bucket
+    scorer and the pair-level UDF. garçon/garcon scores 0.9222 (codepoints)
+    vs 0.8944 (bytes) — at threshold 0.9 only the codepoint semantics
+    links it."""
+    rows = [
+        ("d1", "r1", "label", "literal", "garçon", None, ""),
+        ("d2", "r2", "label", "literal", "garcon", None, ""),
+        ("d1", "r3", "label", "literal", "münchen", None, ""),
+        ("d2", "r4", "label", "literal", "munchen", None, ""),  # jw 0.9048
+        ("d1", "r5", "label", "literal", "katarina", None, ""),
+        ("d2", "r6", "label", "literal", "katarena", None, ""),  # ascii control
+    ]
+    schema = (
+        "dataset string, resource string, variable string, o_kind string,"
+        "o_value string, o_datatype string, o_lang string"
+    )
+    values = spark.createDataFrame(rows, schema)
+    expect = {("r1", "r2"), ("r3", "r4"), ("r5", "r6")}
+    got_grams = {
+        (r.src, r.dst)
+        for r in jw_mapping(values, ["label"], 0.90, case_sensitive=False,
+                            block="grams").collect()
+    }
+    got_cross = {
+        (r.src, r.dst)
+        for r in jw_mapping(values, ["label"], 0.90, case_sensitive=False,
+                            block="cross").collect()
+    }
+    assert got_grams == expect
+    assert got_cross == expect

@@ -46,11 +46,16 @@ class PipelineConfig:
     exclusions: tuple[tuple[str, str], ...] = ()  # correspondsNotTo pairs
     media_features: bool = False
     media_feature_dim: int = 16
+    # per-variable property measures/findings in S5 (PropertyComparison);
+    # population measures always run. Off by default: the bench headline
+    # times the triple-emission chain (BENCH/BASELINE.md config).
+    property_measures: bool = False
 
     def token(self) -> str:
         payload = json.dumps(
             {
                 "media": [self.media_features, self.media_feature_dim],
+                "property_measures": self.property_measures,
                 "variables": list(self.variables),
                 "threshold": self.threshold,
                 "case_sensitive": self.case_sensitive,
@@ -167,11 +172,20 @@ class DocsPipeline:
             metrics["s4_triples"] = self.store.write(triples, "s4_triples", tok)
             triples = self.store.read("s4_triples")
 
-        # ---- S5: population measures over the linked entities -----------
+        # ---- S5: population + property measures over the linked entities
         members = values.select("dataset", "resource").distinct()
         measures, findings = population_comparison(
             self.spark, members, canonical, cfg.aspect
         )
+        if cfg.property_measures:
+            from ..operators.property_cmp import property_comparison
+
+            pmeasures, pfindings = property_comparison(
+                self.spark, values, members, canonical, cfg.aspect,
+                list(cfg.variables),
+            )
+            measures = measures.unionByName(pmeasures)
+            findings = findings.unionByName(pfindings)
         if not (resume and self.store.has("s5_measures", tok)):
             metrics["s5_measures"] = self.store.write(measures, "s5_measures", tok)
         else:

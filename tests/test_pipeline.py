@@ -121,3 +121,18 @@ def test_media_feature_stage(spark, tmp_path):
     assert res2.metrics["s1b_media"]["row_count"] == len(feats)
     assert not store.has("s1b_media", PipelineConfig(media_features=True,
                                                      media_feature_dim=4).token())
+
+
+def test_pipeline_property_measures(spark, tmp_path):
+    root = str(tmp_path / "snap_prop")
+    docs = synth_docs(spark, n_docs=N_DOCS, n_entities=N_ENTITIES, seed=42)
+    store = SnapshotStore(spark, root)
+    res = DocsPipeline(spark, store, PipelineConfig(property_measures=True)).run(
+        docs, resume=False
+    )
+    per_var = {
+        (r.measure, r.dataset)
+        for r in res.measures.where("variable = 'label'").collect()
+    }
+    assert any(m == "count" for m, _ in per_var)
+    assert any(m == "absoluteCoverage" for m, _ in per_var)

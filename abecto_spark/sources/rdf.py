@@ -30,11 +30,15 @@ _LINE = (
 
 
 def _unescape(col):
-    # N-Triples string escapes: \" \\ \n \r \t (uchar escapes left as-is)
-    for esc, rep in ((r"\\t", "\t"), (r"\\r", "\r"), (r"\\n", "\n"),
-                     (r'\\"', '"'), (r"\\\\", "\\\\")):
+    # N-Triples string escapes: \" \\ \n \r \t (uchar escapes left as-is).
+    # Escaped backslashes are parked on a sentinel FIRST so that e.g. the
+    # 3-char lexical `\\n` (literal backslash + "n") does not decode as a
+    # newline; NUL cannot occur unescaped in the format, so it is a safe
+    # sentinel.
+    col = F.regexp_replace(col, r"\\\\", "\x00")
+    for esc, rep in ((r"\\t", "\t"), (r"\\r", "\r"), (r"\\n", "\n"), (r'\\"', '"')):
         col = F.regexp_replace(col, esc, rep)
-    return col
+    return F.regexp_replace(col, "\x00", "\\\\")
 
 
 def _term_kind(term):
@@ -105,11 +109,12 @@ def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> No
     """Serialize the triples DataFrame back to N-Triples text (the
     TriG-write analog of `Abecto.java:166-173` for line formats)."""
     t = triples
-    esc = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_replace(
-            F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'),
-            "\n", r"\\n"),
-        "\t", r"\\t")
+    def esc(c):
+        c = F.regexp_replace(c, r"\\", r"\\\\")
+        c = F.regexp_replace(c, '"', r'\\"')
+        c = F.regexp_replace(c, "\n", r"\\n")
+        c = F.regexp_replace(c, "\r", r"\\r")
+        return F.regexp_replace(c, "\t", r"\\t")
     obj = (
         F.when(F.col("o_kind") == "iri", F.concat(F.lit("<"), F.col("o_value"), F.lit(">")))
         .when(F.col("o_kind") == "bnode", F.col("o_value"))

@@ -98,3 +98,30 @@ def test_reports(spark, tmp_path):
     )
     mr = mapping_review(edges, values, "label").collect()
     assert len(mr) == 1 and mr[0].src_label == "alice" and mr[0].dst_label == "alise"
+
+
+def test_ntriples_nasty_escapes_roundtrip(spark, tmp_path):
+    """Literal backslash+letter sequences and CR/TAB must survive
+    write → read unchanged (escape-order and CR-escaping regressions)."""
+    from abecto_spark.sources.rdf import read_ntriples, write_ntriples
+
+    nasty = [
+        "back\\nslash-n",   # literal backslash followed by 'n'
+        "tab\there",
+        "cr\rhere",
+        "quote\"bs\\mix\\\\double",
+        "nl\nin value",
+    ]
+    rows = [
+        ("http://ex.org/s", "http://ex.org/p", "literal", v,
+         "http://www.w3.org/2001/XMLSchema#string", "")
+        for v in nasty
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, p string, o_kind string, o_value string,"
+              "o_datatype string, o_lang string"
+    )
+    out = str(tmp_path / "nasty_nt")
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)
+    assert {r.o_value for r in back.collect()} == set(nasty)

@@ -30,9 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
     linking → value-level CC canonicalization → (s, p, o) triples with
     span provenance), per the north rule."""
     _tune(spark)
-    from abecto_spark.plans.entry_queries import q_kg_pipeline_triples
+    from abecto_spark.plans.entry_queries import kg_pipeline_triples_df
 
-    return q_kg_pipeline_triples(spark, "/root/testdata/sf0.001")
+    return kg_pipeline_triples_df(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

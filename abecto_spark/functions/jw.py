@@ -152,8 +152,8 @@ def _duckdb_jw_batch(s1: pd.Series, s2: pd.Series) -> np.ndarray:
     DuckDB applies the Winkler boost only when jaro > 0.7 (the classic
     boost threshold) while the reference applies it unconditionally. With
     unconditional boost, jw <= 0.82 whenever jaro <= 0.7, so for every
-    pair scoring >= 0.82 the two definitions coincide exactly — callers
-    gate this path on threshold >= 0.82 (see jw_score).
+    pair scoring strictly above 0.82 the two definitions coincide exactly
+    — callers gate this path on threshold > 0.82 (see jw_score).
     """
     global _duck_con
     import duckdb
@@ -189,13 +189,16 @@ _jw_udfs: dict = {}
 def jw_score(a, b, threshold: float | None = None):
     """Column: Jaro-Winkler score of two string columns (Arrow-batched).
 
-    ``threshold``: when the caller will discard scores below >= 0.82, the
-    DuckDB C++ scorer is provably identical on all surviving pairs and
+    ``threshold``: when the caller will discard scores at or below 0.82,
+    the DuckDB C++ scorer is provably identical on all surviving pairs and
     ~40x faster than the numpy kernel; otherwise the exact numpy batch
-    runs. The pandas UDF is created lazily because pyspark 4 needs an
-    active SparkSession to resolve the return type.
+    runs. The gate is strict (> 0.82) because at exactly 0.82 a pair with
+    jaro exactly at DuckDB's 0.7 boost cutoff and a 4-char common prefix
+    is kept by the reference's unconditional boost but dropped by DuckDB.
+    The pandas UDF is created lazily because pyspark 4 needs an active
+    SparkSession to resolve the return type.
     """
-    use_duck = threshold is not None and threshold >= 0.82
+    use_duck = threshold is not None and threshold > 0.82
     if use_duck:
         try:
             import duckdb  # noqa: F401

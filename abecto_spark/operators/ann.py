@@ -67,49 +67,106 @@ def _bucket_col(vec_col, planes: np.ndarray):
     return sum(bits[1:], bits[0])
 
 
+def plan_lsh(corpus_size: int, target_bucket: int = 4096, n_planes_max: int = 24) -> int:
+    """Plane count sized to the corpus: 2^planes buckets keep the
+    *expected* bucket at ``target_bucket`` vectors, so per-query re-rank
+    work is O((planes+1) * target_bucket) regardless of corpus size —
+    10^9 vectors get 18 planes, not the fixed 8 that made every bucket
+    ~N/256 (the round-1 scale bug). Capped because past ~2^24 buckets the
+    bucket-id shuffle key space stops helping recall."""
+    import math
+
+    if corpus_size <= target_bucket:
+        return 4
+    return min(n_planes_max, max(4, math.ceil(math.log2(corpus_size / target_bucket))))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    corpus_size: int | None = None,
+    n_tables: int = 1,
+    n_probes: int | None = None,
+    bucket_cap: int | None = None,
     seed: int = 11,
     dim: int | None = None,
-    multiprobe: bool = True,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket (plus hamming-1
-    probes of the query bucket), re-ranked by exact cosine. Recall vs
-    brute force is measured in tests; raise n_probes/planes to trade
-    recall for cost. Scales as a plain shuffle join on bucket ids."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    probes of the query bucket), re-ranked by exact cosine inside the
+    bucket join. Scales as a plain shuffle join on bucket ids.
 
-    c = corpus.select(
+    Sizing: pass ``n_planes`` directly or ``corpus_size`` (a count the
+    caller already has) and the plane count is derived via ``plan_lsh`` so
+    expected per-bucket work stays constant as the corpus grows. ``dim``
+    must be supplied when the plan is built lazily — deriving it would
+    force a driver-side ``first()`` inside plan construction, so that
+    fallback is intentionally loud (ValueError) rather than implicit.
+
+    Recall/cost knobs (see SCALE.md §ANN):
+      * ``n_probes``   — hamming-1 probes of the query bucket
+        (default: all ``n_planes``); more probes = higher recall, more
+        candidate rows, linear cost.
+      * ``n_tables``   — independent hash tables (different plane seeds),
+        candidates unioned before re-rank; the classic recall amplifier
+        for high-dim clustered corpora, multiplies candidate cost.
+      * ``bucket_cap`` — hard per-(table, bucket) corpus cap (deterministic
+        xxhash order). Bounds the worst-case straggler when the corpus is
+        degenerate (many near-identical vectors hash together) at a
+        measured recall cost; leave None to rely on AQE skew splitting,
+        which preserves recall.
+    """
+    if n_planes is None:
+        if corpus_size is None:
+            raise ValueError("pass n_planes or corpus_size (see plan_lsh)")
+        n_planes = plan_lsh(corpus_size)
+    if dim is None:
+        raise ValueError(
+            "pass dim explicitly (array length is not in the schema; probing "
+            "it would run a driver action during plan construction)"
+        )
+    if n_probes is None:
+        n_probes = n_planes
+    n_probes = min(n_probes, n_planes)
+
+    c_base = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("bucket", _bucket_col(F.col("cv"), planes))
-
-    q = queries.select(
+    q_base = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    q = q.withColumn("bucket0", _bucket_col(F.col("qv"), planes))
-    if multiprobe:
+
+    tables = []
+    for t in range(n_tables):
+        rng = np.random.RandomState(seed + 7919 * t)
+        planes = rng.randn(n_planes, dim)
+        c = c_base.withColumn("bucket", _bucket_col(F.col("cv"), planes)).withColumn(
+            "table", F.lit(t)
+        )
+        if bucket_cap is not None:
+            wcap = Window.partitionBy("bucket").orderBy(F.xxhash64("neighbor_id"))
+            c = (
+                c.withColumn("_r", F.row_number().over(wcap))
+                .where(F.col("_r") <= bucket_cap)
+                .drop("_r")
+            )
+        q = q_base.withColumn("bucket0", _bucket_col(F.col("qv"), planes))
         probes = F.array(
             F.col("bucket0"),
-            *[
-                F.col("bucket0").bitwiseXOR(F.lit(1 << i))
-                for i in range(n_planes)
-            ],
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)],
         )
-    else:
-        probes = F.array(F.col("bucket0"))
-    q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket"), F.lit(t).alias("table")
+        )
+        tables.append(q.join(c, ["table", "bucket"]))
 
-    scored = q.join(c, "bucket")
+    scored = tables[0]
+    for more in tables[1:]:
+        scored = scored.unionByName(more)
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.dropDuplicates(["query_id", "neighbor_id"]).withColumn(

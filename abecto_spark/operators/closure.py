@@ -61,7 +61,7 @@ def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
-    small_threshold: int = 2_000_000,
+    small_threshold: int | None = None,
 ) -> DataFrame:
     """(resource, canonical_id) for every node appearing in ``edges``;
     canonical_id = min(member) of the component.
@@ -71,10 +71,17 @@ def connected_components(
     Measured crossover on this class of graph is ~2M bidirected edges
     (union-find ~11 s vs distributed ~19 s at 1.4M edges, and the
     distributed rounds win beyond that); the threshold is on edges after
-    distinct, not docs. The intended caller regime is *value-level*
-    graphs (canonical_from_value_links), which are orders of magnitude
-    smaller than resource graphs.
+    distinct, not docs, and is a deployment knob: pass ``small_threshold``
+    explicitly or set ``ABECTO_CC_LOCAL_EDGE_MAX`` (0 disables the
+    short-circuit entirely; an edge row is ~100 B on the driver, so the
+    default 2M caps driver usage at a few hundred MB). The intended
+    caller regime is *value-level* graphs (canonical_from_value_links),
+    which are orders of magnitude smaller than resource graphs.
     """
+    if small_threshold is None:
+        import os
+
+        small_threshold = int(os.environ.get("ABECTO_CC_LOCAL_EDGE_MAX", 2_000_000))
     spark = edges.sparkSession
     sym = _bidirect(edges).where(F.col("src") != F.col("dst")).distinct()
     sym = sym.localCheckpoint(eager=True)

@@ -148,8 +148,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     global _SIMHASH_UDF
     if _SIMHASH_UDF is None:
         _SIMHASH_UDF = F.pandas_udf(_simhash_batch, "long")
-    with np.errstate(over="ignore"):
-        pass
     return df.select(
         F.col(id_col), _SIMHASH_UDF(_tokens(F.col(text_col))).alias("simhash")
     )
@@ -193,9 +191,13 @@ def embedding_near_dups(
     dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH bucketing +
-    exact cosine verify inside buckets (JVM fold for the dot product)."""
+    exact cosine verify inside buckets (JVM fold for the dot product).
+
+    ``dim`` is required: the array length is not in the schema, and
+    probing it with ``first()`` would run a driver action inside plan
+    construction (the round-1 review flagged exactly that)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError("pass dim explicitly (vector length)")
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     plane_lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]

@@ -41,8 +41,10 @@ _SCORED_SCHEMA = (
 
 def _duckdb_ok(threshold: float) -> bool:
     # DuckDB's boost-threshold JW coincides with the reference's
-    # unconditional-boost JW on every pair scoring >= 0.82 (functions/jw.py)
-    if threshold < 0.82:
+    # unconditional-boost JW on every pair scoring > 0.82 (functions/jw.py);
+    # at exactly 0.82 the identity has an open boundary (jaro exactly 0.7
+    # with a 4-char common prefix), so the gate is strict
+    if threshold <= 0.82:
         return False
     try:
         import duckdb  # noqa: F401
@@ -125,7 +127,9 @@ def _score_buckets_duckdb(
             SELECT d1, variable, v1, d2, v2, score FROM (
               SELECT a.dataset AS d1, a.variable AS variable, a.value AS v1,
                      b.dataset AS d2, b.value AS v2,
-                     jaro_winkler_similarity(a.value, b.value) AS score
+                     CASE WHEN a.value = b.value THEN 1.0
+                          ELSE jaro_winkler_similarity(a.value, b.value)
+                     END AS score
               {join_cond} AND a._ascii AND b._ascii
             ) WHERE score >= ?
             """,

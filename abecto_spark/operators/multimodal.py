@@ -61,14 +61,19 @@ def media_spans(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(refs: pd.Series, payloads: pd.Series, dim: int) -> np.ndarray:
     """Deterministic pseudo-features from the locator/payload bytes —
-    stands in for a real image/audio decoder in this container."""
+    stands in for a real image/audio decoder in this container. The
+    formula (first byte * 131 + byte length, stepped by 7 per dimension,
+    mod 1000, scaled to [0, 1)) is deliberately plain-SQL-reproducible so
+    the driver's DuckDB oracle can verify the whole mapInPandas plumbing
+    end to end (entry_queries.q_multimodal_features)."""
     out = np.zeros((len(refs), dim), dtype=np.float32)
+    steps = 7 * np.arange(dim, dtype=np.int64)
     for i, (ref, pl) in enumerate(zip(refs, payloads)):
         data = pl if pl is not None else (ref or "").encode()
-        h = np.frombuffer(
-            (data * ((dim * 4) // max(len(data), 1) + 1))[: dim * 4], dtype=np.uint32
-        )
-        out[i] = (h % 1000).astype(np.float32) / 1000.0
+        if len(data) == 0:
+            continue
+        base = int(data[0]) * 131 + len(data)
+        out[i] = ((base + steps) % 1000).astype(np.float32) / 1000.0
     return out
 
 

@@ -89,7 +89,8 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         o_datatype.alias("o_datatype"),
         F.when(o_kind == "literal", lang).otherwise(F.lit("")).alias("o_lang"),
         F.when(gt == "", F.lit(None).cast("string"))
-        .otherwise(strip_iri(gt))
+        .when(gt.startswith("<"), strip_iri(gt))
+        .otherwise(gt)  # blank-node graph label kept verbatim
         .alias("graph"),
     )
 

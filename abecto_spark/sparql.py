@@ -1,0 +1,770 @@
+"""Restricted SPARQL SELECT compiler over the triples DataFrame — the
+aspect "defining query" layer of the reference (`Aspect.java:91-116`,
+pattern execution `Aspect.java:209-235`), re-expressed as Catalyst joins.
+
+The reference hands aspect patterns to Jena ARQ; this engine compiles the
+subset those patterns actually use — basic graph patterns (with ``;`` /
+``,`` abbreviations), OPTIONAL groups, FILTER expressions, BIND /
+projection expressions (e.g. the ``(SHA256(?v) AS ?x)`` of
+`EquivalentValueMappingProcessorTest.java:45-47`) — directly into a
+DataFrame plan over the ``(s, p, o_kind, o_value, o_datatype, o_lang)``
+triples table:
+
+  * each triple pattern       → a filtered scan of the triples table
+  * shared variables          → equi-joins on full RDF-term identity
+  * OPTIONAL { ... }          → left outer join on the shared variables
+  * FILTER(...)               → ``where`` on compiled columns
+  * BIND(expr AS ?v)          → ``withColumn``
+
+Every variable is carried as a 4-field struct ``(kind, value, datatype,
+lang)`` (the tagged-union term of SURVEY.md §1.3) with datatype/lang
+normalised to ``''`` when absent so struct equality is exact term
+identity. Catalyst then prunes/pushes/reorders the joins — the per-row
+SPARQL probes of the reference (`Aspect.java:145-149`) never exist here.
+
+Restrictions (documented, loud): no property paths, UNION, MINUS,
+GROUP BY, subqueries, or named-graph patterns; FILTER comparisons are
+numeric when either side is a numeric literal/arithmetic expression and
+lexical otherwise. Unsupported syntax raises ``SparqlUnsupported``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .model import RDF_LANG_STRING, XSD, XSD_STRING
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlUnsupported(ValueError):
+    """Raised for SPARQL syntax outside the compiled subset."""
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    lex: str
+    datatype: str = XSD_STRING
+    lang: str = ""
+
+
+@dataclass(frozen=True)
+class Triple:
+    s: object
+    p: object
+    o: object
+
+
+@dataclass(frozen=True)
+class Call:
+    fn: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Op:
+    op: str
+    left: object
+    right: object = None  # None => unary
+
+
+@dataclass
+class Group:
+    triples: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)  # nested Groups
+    filters: list = field(default_factory=list)  # exprs
+    binds: list = field(default_factory=list)  # (expr, var_name)
+
+
+@dataclass
+class SelectQuery:
+    projections: list  # list[(expr_or_Var, out_name)]
+    where: Group
+    distinct: bool = False
+
+
+# ---------------------------------------------------------------------------
+# tokenizer / parser
+
+_TOKEN = re.compile(
+    r"""
+    \s+|\#[^\n]*                                   # whitespace / comment
+  | (?P<iri><[^<>\s]*>)
+  | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<dtsep>\^\^)
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(){};,.])
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise SparqlUnsupported(f"cannot tokenize at: {text[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind:
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, val: str):
+        k, v = self.next()
+        if v.upper() != val.upper():
+            raise SparqlUnsupported(f"expected {val!r}, got {v!r}")
+
+    def at_word(self, *words: str) -> bool:
+        k, v = self.peek()
+        return k in ("word", "pname") and v.upper() in words
+
+    # -- query ----------------------------------------------------------
+
+    def parse_query(self) -> SelectQuery:
+        while self.at_word("PREFIX"):
+            self.next()
+            k, pname = self.next()
+            k2, iri = self.next()
+            if not (pname.endswith(":") or k == "pname") or k2 != "iri":
+                raise SparqlUnsupported("bad PREFIX declaration")
+            self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri[1:-1]
+        if self.at_word("BASE"):
+            raise SparqlUnsupported("BASE not supported")
+        self.eat("SELECT")
+        distinct = False
+        if self.at_word("DISTINCT"):
+            self.next()
+            distinct = True
+        if self.at_word("REDUCED"):
+            self.next()
+        projections = []
+        while True:
+            k, v = self.peek()
+            if k == "var":
+                self.next()
+                projections.append((Var(v[1:]), v[1:]))
+            elif v == "(":
+                self.next()
+                expr = self.parse_expr()
+                self.eat("AS")
+                kv, vv = self.next()
+                if kv != "var":
+                    raise SparqlUnsupported("expected variable after AS")
+                self.eat(")")
+                projections.append((expr, vv[1:]))
+            elif v == "*":
+                raise SparqlUnsupported("SELECT * not supported; list variables")
+            else:
+                break
+        if self.at_word("WHERE"):
+            self.next()
+        group = self.parse_group()
+        k, v = self.peek()
+        if self.at_word("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING", "VALUES"):
+            raise SparqlUnsupported(f"solution modifier {v!r} not supported")
+        if not projections:
+            raise SparqlUnsupported("empty projection")
+        return SelectQuery(projections, group, distinct)
+
+    # -- group ----------------------------------------------------------
+
+    def parse_group(self) -> Group:
+        self.eat("{")
+        g = Group()
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                return g
+            if self.at_word("OPTIONAL"):
+                self.next()
+                g.optionals.append(self.parse_group())
+            elif self.at_word("FILTER"):
+                self.next()
+                k2, v2 = self.peek()
+                if v2 == "(":
+                    self.next()
+                    g.filters.append(self.parse_expr())
+                    self.eat(")")
+                else:  # FILTER langMatches(...) — bare function call form
+                    g.filters.append(self.parse_expr())
+            elif self.at_word("BIND"):
+                self.next()
+                self.eat("(")
+                expr = self.parse_expr()
+                self.eat("AS")
+                kv, vv = self.next()
+                if kv != "var":
+                    raise SparqlUnsupported("expected variable after AS")
+                self.eat(")")
+                g.binds.append((expr, vv[1:]))
+            elif self.at_word("UNION", "MINUS", "GRAPH", "SERVICE", "VALUES"):
+                raise SparqlUnsupported(f"{v} not supported")
+            elif v == "{":
+                raise SparqlUnsupported("nested group patterns not supported")
+            elif v == ".":
+                self.next()
+            else:
+                self.parse_triples_block(g)
+        return g
+
+    def parse_triples_block(self, g: Group) -> None:
+        s = self.parse_term(position="subject")
+        while True:
+            p = self.parse_term(position="predicate")
+            while True:
+                o = self.parse_term(position="object")
+                g.triples.append(Triple(s, p, o))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.next()
+                if self.peek()[1] in (".", "}"):  # trailing ;
+                    break
+                continue
+            break
+        if self.peek()[1] == ".":
+            self.next()
+
+    def parse_term(self, position: str):
+        k, v = self.next()
+        if k == "var":
+            return Var(v[1:])
+        if k == "iri":
+            return Iri(v[1:-1])
+        if k == "pname":
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlUnsupported(f"undeclared prefix {pfx!r}")
+            return Iri(self.prefixes[pfx] + local)
+        if k == "word" and v == "a" and position == "predicate":
+            return Iri(RDF_TYPE)
+        if position != "object":
+            raise SparqlUnsupported(f"bad {position} term {v!r}")
+        if k == "str":
+            lex = _unquote(v)
+            nk, nv = self.peek()
+            if nk == "langtag":
+                self.next()
+                return Lit(lex, RDF_LANG_STRING, nv[1:].lower())
+            if nk == "dtsep":
+                self.next()
+                dt = self.parse_term(position="predicate")  # IRI expected
+                if not isinstance(dt, Iri):
+                    raise SparqlUnsupported("bad datatype IRI")
+                return Lit(lex, dt.value)
+            return Lit(lex)
+        if k == "num":
+            if re.fullmatch(r"[+-]?\d+", v):
+                return Lit(v, XSD + "integer")
+            if "e" in v.lower():
+                return Lit(v, XSD + "double")
+            return Lit(v, XSD + "decimal")
+        if k == "word" and v in ("true", "false"):
+            return Lit(v, XSD + "boolean")
+        raise SparqlUnsupported(f"bad object term {v!r}")
+
+    # -- expressions (precedence climbing) ------------------------------
+
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek()[1] == "||":
+            self.next()
+            left = Op("||", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.peek()[1] == "&&":
+            self.next()
+            left = Op("&&", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        if self.peek()[1] in ("=", "!=", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            return Op(op, left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            left = Op(op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            left = Op(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if v == "!":
+            self.next()
+            return Op("!", self.parse_unary())
+        if v == "-":
+            self.next()
+            return Op("neg", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        k, v = self.peek()
+        if v == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat(")")
+            return e
+        if k == "var":
+            self.next()
+            return Var(v[1:])
+        if k in ("str", "num") or (k == "word" and v in ("true", "false")):
+            return self.parse_term(position="object")
+        if k == "iri" or k == "pname":
+            # could be a constant IRI or (not supported) a function by IRI
+            return self.parse_term(position="subject")
+        if k == "word":
+            self.next()
+            self.eat("(")
+            args = []
+            if self.peek()[1] != ")":
+                args.append(self.parse_expr())
+                while self.peek()[1] == ",":
+                    self.next()
+                    args.append(self.parse_expr())
+            self.eat(")")
+            return Call(v.upper(), tuple(args))
+        raise SparqlUnsupported(f"bad expression at {v!r}")
+
+
+def _unquote(v: str) -> str:
+    body = v[1:-1]
+    return (
+        body.replace("\\\\", "\x00")
+        .replace('\\"', '"')
+        .replace("\\'", "'")
+        .replace("\\n", "\n")
+        .replace("\\r", "\r")
+        .replace("\\t", "\t")
+        .replace("\x00", "\\")
+    )
+
+
+def parse_select(text: str) -> SelectQuery:
+    return _Parser(text).parse_query()
+
+
+def pattern_vars(text: str) -> list[str]:
+    """The pattern's result variables = the aspect's covered variables
+    (`Aspect.java:347-355`)."""
+    return [name for _, name in parse_select(text).projections]
+
+
+# ---------------------------------------------------------------------------
+# compiler
+
+_TERM_FIELDS = ("kind", "value", "datatype", "lang")
+
+
+def _term_struct(kind, value, datatype, lang) -> Column:
+    return F.struct(
+        kind.alias("kind"),
+        value.alias("value"),
+        F.coalesce(datatype, F.lit("")).alias("datatype"),
+        F.coalesce(lang, F.lit("")).alias("lang"),
+    )
+
+
+def _subject_struct(col: Column) -> Column:
+    kind = F.when(col.startswith("_:"), F.lit("bnode")).otherwise(F.lit("iri"))
+    return _term_struct(kind, col, F.lit(""), F.lit(""))
+
+
+def _const_struct(term) -> Column:
+    if isinstance(term, Iri):
+        return _term_struct(F.lit("iri"), F.lit(term.value), F.lit(""), F.lit(""))
+    return _term_struct(
+        F.lit("literal"), F.lit(term.lex), F.lit(term.datatype), F.lit(term.lang)
+    )
+
+
+class _Compiler:
+    """Compile one Group into a DataFrame with a struct column per var."""
+
+    def __init__(self, triples: DataFrame):
+        # normalized term fields so struct equality is term identity
+        self.t = triples.select(
+            F.col("s"),
+            F.col("p"),
+            F.col("o_kind"),
+            F.col("o_value"),
+            F.coalesce(F.col("o_datatype"), F.lit("")).alias("o_datatype"),
+            F.coalesce(F.col("o_lang"), F.lit("")).alias("o_lang"),
+        )
+
+    def triple_df(self, tp: Triple) -> tuple[DataFrame, set[str]]:
+        df = self.t
+        cols: dict[str, Column] = {}
+        # subject
+        if isinstance(tp.s, Var):
+            cols[tp.s.name] = _subject_struct(F.col("s"))
+        elif isinstance(tp.s, Iri):
+            df = df.where(F.col("s") == tp.s.value)
+        else:
+            raise SparqlUnsupported("literal subject")
+        # predicate
+        if isinstance(tp.p, Var):
+            if tp.p.name in cols:
+                raise SparqlUnsupported("repeated variable within one triple pattern")
+            cols[tp.p.name] = _term_struct(F.lit("iri"), F.col("p"), F.lit(""), F.lit(""))
+        else:
+            df = df.where(F.col("p") == tp.p.value)
+        # object
+        if isinstance(tp.o, Var):
+            if tp.o.name in cols:
+                # e.g. ?x ?x ?x — join a fresh scan instead
+                raise SparqlUnsupported("repeated variable within one triple pattern")
+            cols[tp.o.name] = _term_struct(
+                F.col("o_kind"), F.col("o_value"), F.col("o_datatype"), F.col("o_lang")
+            )
+        elif isinstance(tp.o, Iri):
+            df = df.where((F.col("o_kind") == "iri") & (F.col("o_value") == tp.o.value))
+        else:
+            df = df.where(
+                (F.col("o_kind") == "literal")
+                & (F.col("o_value") == tp.o.lex)
+                & (F.col("o_datatype") == tp.o.datatype)
+                & (F.col("o_lang") == tp.o.lang)
+            )
+        out = df.select(*[c.alias(n) for n, c in cols.items()])
+        return out, set(cols)
+
+    def group_df(self, g: Group) -> tuple[DataFrame, set[str]]:
+        if not g.triples and not g.binds:
+            raise SparqlUnsupported("empty group pattern")
+        acc: DataFrame | None = None
+        bound: set[str] = set()
+        for tp in g.triples:
+            df, vs = self.triple_df(tp)
+            if acc is None:
+                acc, bound = df, vs
+            else:
+                shared = sorted(bound & vs)
+                acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
+                bound |= vs
+        for expr, name in g.binds:
+            if acc is None:
+                raise SparqlUnsupported("BIND before any triple pattern")
+            if name in bound:
+                raise SparqlUnsupported(f"BIND re-binds ?{name}")
+            acc = acc.withColumn(name, compile_expr_term(expr, bound))
+            bound.add(name)
+        for opt in g.optionals:
+            odf, ovs = self.group_df(opt)
+            shared = sorted(bound & ovs)
+            if not shared:
+                raise SparqlUnsupported("OPTIONAL sharing no variables")
+            acc = acc.join(odf, on=shared, how="left")
+            bound |= ovs
+        for fexpr in g.filters:
+            acc = acc.where(compile_expr_bool(fexpr, bound))
+        return acc, bound
+
+
+# -- expression compilation --------------------------------------------
+
+_NUMERIC_DTS = tuple(
+    XSD + n
+    for n in ("integer", "decimal", "float", "double", "long", "int", "short", "byte",
+              "nonNegativeInteger", "positiveInteger", "negativeInteger",
+              "nonPositiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+              "unsignedByte")
+)
+
+
+def _is_numeric_expr(e) -> bool:
+    if isinstance(e, Lit):
+        return e.datatype in _NUMERIC_DTS
+    if isinstance(e, Op):
+        return e.op in ("+", "-", "*", "/", "neg")
+    if isinstance(e, Call):
+        return e.fn in ("STRLEN", "ABS", "ROUND", "CEIL", "FLOOR")
+    return False
+
+
+def _val(e, bound: set[str]) -> Column:
+    """Lexical/plain value of an expression (string Column)."""
+    if isinstance(e, Var):
+        if e.name not in bound:
+            return F.lit(None).cast("string")
+        return F.col(e.name)["value"]
+    if isinstance(e, Lit):
+        return F.lit(e.lex)
+    if isinstance(e, Iri):
+        return F.lit(e.value)
+    if isinstance(e, (Op, Call)):
+        c = _compile(e, bound)
+        return c.cast("string")
+    raise SparqlUnsupported(f"bad expression {e!r}")
+
+
+def _num(e, bound: set[str]) -> Column:
+    return _val(e, bound).cast("double")
+
+
+def _compile(e, bound: set[str]) -> Column:
+    """Compile to a plain Spark column (boolean/number/string)."""
+    if isinstance(e, Op):
+        if e.op == "||":
+            return _compile(e.left, bound) | _compile(e.right, bound)
+        if e.op == "&&":
+            return _compile(e.left, bound) & _compile(e.right, bound)
+        if e.op == "!":
+            return ~_compile(e.left, bound)
+        if e.op == "neg":
+            return -_num(e.left, bound)
+        if e.op in ("=", "!=", "<", "<=", ">", ">="):
+            numeric = _is_numeric_expr(e.left) or _is_numeric_expr(e.right)
+            lv = _num(e.left, bound) if numeric else _val(e.left, bound)
+            rv = _num(e.right, bound) if numeric else _val(e.right, bound)
+            return {
+                "=": lv == rv, "!=": lv != rv, "<": lv < rv,
+                "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv,
+            }[e.op]
+        lv, rv = _num(e.left, bound), _num(e.right, bound)
+        return {"+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv}[e.op]
+    if isinstance(e, Call):
+        return _compile_call(e, bound)
+    if isinstance(e, (Var, Lit, Iri)):
+        return _val(e, bound)
+    raise SparqlUnsupported(f"bad expression {e!r}")
+
+
+def _compile_call(e: Call, bound: set[str]) -> Column:
+    fn, a = e.fn, e.args
+    if fn == "BOUND":
+        if not isinstance(a[0], Var):
+            raise SparqlUnsupported("BOUND needs a variable")
+        if a[0].name not in bound:
+            return F.lit(False)
+        return F.col(a[0].name).isNotNull()
+    if fn == "STR":
+        return _val(a[0], bound)
+    if fn == "LANG":
+        if isinstance(a[0], Var) and a[0].name in bound:
+            return F.coalesce(F.col(a[0].name)["lang"], F.lit(""))
+        return F.lit("")
+    if fn == "DATATYPE":
+        if isinstance(a[0], Var) and a[0].name in bound:
+            return F.col(a[0].name)["datatype"]
+        return F.lit(None).cast("string")
+    if fn == "LANGMATCHES":
+        from .functions.lang import lang_matches
+
+        if not isinstance(a[1], Lit):
+            raise SparqlUnsupported("langMatches pattern must be a literal")
+        return lang_matches(_val(a[0], bound), a[1].lex)
+    if fn == "REGEX":
+        if not isinstance(a[1], Lit):
+            raise SparqlUnsupported("regex pattern must be a literal")
+        pat = a[1].lex
+        if len(a) > 2:
+            if not isinstance(a[2], Lit) or not re.fullmatch(r"[ims]*", a[2].lex):
+                raise SparqlUnsupported("unsupported regex flags")
+            if a[2].lex:
+                pat = f"(?{a[2].lex}){pat}"
+        return _val(a[0], bound).rlike(pat)
+    if fn in ("LCASE", "UCASE"):
+        v = _val(a[0], bound)
+        return F.lower(v) if fn == "LCASE" else F.upper(v)
+    if fn == "STRLEN":
+        return F.length(_val(a[0], bound))
+    if fn == "CONTAINS":
+        return F.instr(_val(a[0], bound), _val(a[1], bound)) > 0
+    if fn == "STRSTARTS":
+        return _val(a[0], bound).startswith(_val(a[1], bound))
+    if fn == "STRENDS":
+        return _val(a[0], bound).endswith(_val(a[1], bound))
+    if fn == "CONCAT":
+        return F.concat(*[_val(x, bound) for x in a])
+    if fn == "SUBSTR":
+        v, pos = _val(a[0], bound), _num(a[1], bound).cast("int")
+        length = _num(a[2], bound).cast("int") if len(a) > 2 else F.lit(2**31 - 1)
+        return F.substring(v, pos, length)
+    if fn in ("SHA256", "SHA512"):
+        return F.sha2(_val(a[0], bound), 256 if fn == "SHA256" else 512)
+    if fn == "MD5":
+        return F.md5(_val(a[0], bound))
+    if fn == "ABS":
+        return F.abs(_num(a[0], bound))
+    if fn in ("CEIL", "FLOOR", "ROUND"):
+        v = _num(a[0], bound)
+        return {"CEIL": F.ceil(v), "FLOOR": F.floor(v), "ROUND": F.round(v)}[fn]
+    if fn == "SAMETERM":
+        lt = _term_of(a[0], bound)
+        rt = _term_of(a[1], bound)
+        return lt == rt
+    raise SparqlUnsupported(f"function {fn} not supported")
+
+
+def _term_of(e, bound: set[str]) -> Column:
+    if isinstance(e, Var):
+        if e.name not in bound:
+            return F.lit(None)
+        return F.col(e.name)
+    if isinstance(e, (Iri, Lit)):
+        return _const_struct(e)
+    raise SparqlUnsupported("sameTerm over expressions not supported")
+
+
+def compile_expr_bool(e, bound: set[str]) -> Column:
+    return _compile(e, bound)
+
+
+def compile_expr_term(e, bound: set[str]) -> Column:
+    """BIND/projection expression → term struct. String-valued functions
+    yield xsd:string literals, numeric ones xsd:double (documented
+    restriction; the reference patterns only bind string digests)."""
+    if isinstance(e, (Var,)):
+        if e.name not in bound:
+            return F.lit(None)
+        return F.col(e.name)
+    if isinstance(e, (Iri, Lit)):
+        return _const_struct(e)
+    c = _compile(e, bound)
+    numeric = _is_numeric_expr(e)
+    dt = XSD + "double" if numeric else XSD_STRING
+    return F.when(
+        c.isNotNull(),
+        _term_struct(F.lit("literal"), c.cast("string"), F.lit(dt), F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
+    """Run a restricted SPARQL SELECT over the triples DataFrame. Output:
+    one struct column (kind, value, datatype, lang) per projected
+    variable; unbound optionals are NULL structs."""
+    q = parse_select(query_text)
+    comp = _Compiler(triples)
+    df, bound = comp.group_df(q.where)
+    cols = []
+    for expr, name in q.projections:
+        if isinstance(expr, Var):
+            if expr.name in bound:
+                cols.append(F.col(expr.name).alias(name))
+            else:
+                cols.append(F.lit(None).cast(
+                    "struct<kind:string,value:string,datatype:string,lang:string>"
+                ).alias(name))
+        else:
+            cols.append(compile_expr_term(expr, bound).alias(name))
+    out = df.select(*cols)
+    return out.distinct() if q.distinct else out
+
+
+def aspect_pattern_values(
+    triples: DataFrame, dataset: str, pattern: str, key_var: str
+) -> tuple[DataFrame, DataFrame]:
+    """Execute an aspect defining query (`Aspect.java:91-116`) for one
+    dataset and return ``(values, members)``:
+
+      * values  — VALUES_SCHEMA long rows (dataset, resource, variable,
+        o_kind, o_value, o_datatype, o_lang), one per bound (resource,
+        variable, value); unbound OPTIONAL slots yield no row, matching
+        the reference's Set<RDFNode> semantics (`Aspect.java:145-170`).
+      * members — MEMBERS_SCHEMA distinct (dataset, resource).
+    """
+    wide = sparql_select(triples, pattern)
+    names = [f.name for f in wide.schema.fields]
+    if key_var not in names:
+        raise SparqlUnsupported(f"key variable ?{key_var} not in projection")
+    value_vars = [n for n in names if n != key_var]
+    key = F.col(key_var)["value"]
+    members = (
+        wide.where(key.isNotNull())
+        .select(F.lit(dataset).alias("dataset"), key.alias("resource"))
+        .distinct()
+    )
+    parts = []
+    for v in value_vars:
+        t = F.col(v)
+        parts.append(
+            wide.where(key.isNotNull() & t.isNotNull()).select(
+                F.lit(dataset).alias("dataset"),
+                key.alias("resource"),
+                F.lit(v).alias("variable"),
+                t["kind"].alias("o_kind"),
+                t["value"].alias("o_value"),
+                F.when(t["kind"] == "literal", t["datatype"]).alias("o_datatype"),
+                F.coalesce(
+                    F.when(t["kind"] == "literal", t["lang"]), F.lit("")
+                ).alias("o_lang"),
+            )
+        )
+    if not parts:
+        values = members.sparkSession.createDataFrame([], schema=_values_ddl())
+    else:
+        values = parts[0]
+        for p in parts[1:]:
+            values = values.unionByName(p)
+        values = values.distinct()
+    return values, members
+
+
+def _values_ddl() -> str:
+    return (
+        "dataset string, resource string, variable string, o_kind string,"
+        " o_value string, o_datatype string, o_lang string"
+    )

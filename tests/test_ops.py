@@ -93,14 +93,16 @@ def test_lsh_topk_recall(spark, emb_df):
     brute = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb_df, k=1).collect()}
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_topk(q, emb_df, k=1, n_planes=8).collect()
+        for r in lsh_topk(q, emb_df, k=1, n_planes=8, dim=16).collect()
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.9, recall
 
 
 def test_embedding_near_dups(spark, emb_df):
-    out = embedding_near_dups(emb_df, "vec_id", "embedding", threshold=0.99, n_planes=8)
+    out = embedding_near_dups(
+        emb_df, "vec_id", "embedding", threshold=0.99, n_planes=8, dim=16
+    )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     hits = sum(1 for i in range(20) if (i, 1000 + i) in pairs)
     assert hits >= 16  # LSH recall on planted near-identical pairs

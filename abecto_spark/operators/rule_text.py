@@ -1,0 +1,298 @@
+"""Rule-text execution — the user-facing surface of the reference's
+transform processors, compiled onto the semi-naive fixpoint kernel:
+
+  * ``apply_jena_rules`` — Jena-style forward rule text
+    ``[name: (?a <p> ?b) (?b <q> ?c) -> (?a <r> ?c)]`` run to fixpoint,
+    matching GenericRuleReasoner FORWARD_RETE semantics
+    (`ForwardRuleReasoningProcessor.java:33-44`; syntax as used by
+    `ForwardRuleReasoningProcessorTest.java:49`).
+  * ``apply_construct`` — SPARQL CONSTRUCT text re-run up to
+    ``max_iterations`` times until no new statements
+    (`SparqlConstructProcessor.java:30-56`), including the IRI sequence
+    paths its own test exercises (`SparqlConstructProcessorTest.java:49`).
+
+Each rule body compiles to the same Catalyst join plan as an aspect
+pattern (sparql._Compiler); iteration is driver-side with
+``localCheckpoint`` per round (Catalyst does not iterate, SURVEY.md §4).
+The forward-rule loop is **semi-naive**: after round 1, each body atom is
+in turn restricted to the previous round's delta, so per-round work is
+proportional to new facts — the property that keeps recursive rules
+feasible at 10^9+ triples (a naive loop re-derives everything each
+round).
+
+Restrictions: no Jena builtins (``noValue``, ``makeTemp``, ...), no
+backward rules; CONSTRUCT WHERE supports the aspect-pattern subset of
+sparql.py. Unsupported syntax raises ``SparqlUnsupported``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import XSD_STRING
+from ..sparql import (
+    Iri,
+    Lit,
+    SparqlUnsupported,
+    Triple,
+    Var,
+    _Compiler,
+    _Parser,
+    parse_construct,
+)
+
+TRIPLE_COLS = ("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    body: tuple[Triple, ...]
+    head: tuple[Triple, ...]
+
+
+# ---------------------------------------------------------------------------
+# Jena rule text parsing
+
+
+def parse_jena_rules(text: str) -> list[Rule]:
+    """Parse forward rule text: ``PREFIX`` lines plus
+    ``[name: atoms -> atoms]`` (or bare ``atoms -> atoms .``) with
+    parenthesized triple atoms."""
+    p = _Parser(text)
+    rules: list[Rule] = []
+    while True:
+        k, v = p.peek()
+        if k == "eof":
+            break
+        if p.at_word("PREFIX"):
+            p.parse_prologue()
+            continue
+        rules.append(_parse_rule(p))
+    if not rules:
+        raise SparqlUnsupported("no rules found")
+    return rules
+
+
+def _parse_rule(p: _Parser) -> Rule:
+    bracketed = False
+    name = ""
+    if p.peek()[1] == "[":
+        bracketed = True
+        p.next()
+    k2, v2 = p.peek()
+    if k2 == "pname" and v2.endswith(":"):
+        # optional "name:" label
+        name = v2[:-1]
+        p.next()
+    body = []
+    while p.peek()[1] == "(":
+        body.append(_parse_atom(p))
+    if p.peek()[1] == "-":
+        p.next()
+    if p.peek()[1] != ">":
+        raise SparqlUnsupported("expected -> between body and head")
+    p.next()
+    head = []
+    while p.peek()[1] == "(":
+        head.append(_parse_atom(p))
+    if bracketed:
+        if p.peek()[1] != "]":
+            raise SparqlUnsupported(
+                f"unsupported rule syntax near {p.peek()[1]!r} (builtins are "
+                "not supported)"
+            )
+        p.next()
+    if p.peek()[1] == ".":
+        p.next()
+    if not body or not head:
+        raise SparqlUnsupported("rule needs at least one body and head atom")
+    body_vars = _triple_vars(body)
+    for tp in head:
+        if not _triple_vars([tp]) <= body_vars:
+            raise SparqlUnsupported("head variable not bound in body")
+    return Rule(name, tuple(body), tuple(head))
+
+
+def _parse_atom(p: _Parser) -> Triple:
+    p.eat("(")
+    s = p.parse_term(position="subject")
+    pred = p.parse_term(position="predicate")
+    o = p.parse_term(position="object")
+    p.eat(")")
+    return Triple(s, pred, o)
+
+
+def _triple_vars(triples) -> set[str]:
+    out = set()
+    for tp in triples:
+        for t in (tp.s, tp.p, tp.o):
+            if isinstance(t, Var):
+                out.add(t.name)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# compilation / evaluation
+
+
+def _body_df(comp_all: _Compiler, comp_delta: _Compiler | None, body, delta_idx):
+    """Join plan for one rule body; atom ``delta_idx`` (if given) scans the
+    delta relation instead of the full one (semi-naive)."""
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    for i, tp in enumerate(body):
+        comp = comp_delta if (comp_delta is not None and i == delta_idx) else comp_all
+        df, vs = comp.triple_df(tp)
+        if acc is None:
+            acc, bound = df, set(vs)
+        else:
+            shared = sorted(bound & vs)
+            acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
+            bound |= vs
+    return acc, bound
+
+
+def _head_rows(match: DataFrame, bound: set[str], head) -> DataFrame:
+    """Project matched bindings through the head templates into triple
+    rows. Rows whose subject binds a literal (illegal RDF) are dropped."""
+    outs = []
+    for tp in head:
+        cols = []
+        if isinstance(tp.s, Var):
+            scol = F.col(tp.s.name)["value"]
+            svalid = F.col(tp.s.name)["kind"] != "literal"
+        elif isinstance(tp.s, Iri):
+            scol, svalid = F.lit(tp.s.value), F.lit(True)
+        else:
+            raise SparqlUnsupported("literal subject in rule head")
+        cols.append(scol.alias("s"))
+        if isinstance(tp.p, Var):
+            pcol = F.col(tp.p.name)["value"]
+        elif isinstance(tp.p, Iri):
+            pcol = F.lit(tp.p.value)
+        else:
+            raise SparqlUnsupported("literal predicate in rule head")
+        cols.append(pcol.alias("p"))
+        if isinstance(tp.o, Var):
+            t = F.col(tp.o.name)
+            cols += [
+                t["kind"].alias("o_kind"),
+                t["value"].alias("o_value"),
+                t["datatype"].alias("o_datatype"),
+                t["lang"].alias("o_lang"),
+            ]
+        elif isinstance(tp.o, Iri):
+            cols += [
+                F.lit("iri").alias("o_kind"), F.lit(tp.o.value).alias("o_value"),
+                F.lit("").alias("o_datatype"), F.lit("").alias("o_lang"),
+            ]
+        else:
+            cols += [
+                F.lit("literal").alias("o_kind"), F.lit(tp.o.lex).alias("o_value"),
+                F.lit(tp.o.datatype).alias("o_datatype"), F.lit(tp.o.lang).alias("o_lang"),
+            ]
+        outs.append(match.where(svalid).select(*cols))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _norm_triples(triples: DataFrame) -> DataFrame:
+    """Internal convention: o_datatype/o_lang are NEVER null ('' for
+    non-literals, xsd:string default for plain literals) so that the
+    delta anti-join's equality keys behave (NULL = NULL would never
+    match and every derived IRI triple would count as 'new' forever)."""
+    return triples.select(
+        "s", "p", "o_kind", "o_value",
+        F.when(
+            F.col("o_kind") == "literal",
+            F.coalesce("o_datatype", F.lit(XSD_STRING)),
+        ).otherwise(F.lit("")).alias("o_datatype"),
+        F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+    )
+
+
+def _denorm_triples(triples: DataFrame) -> DataFrame:
+    """Back to the public schema: non-literal datatype is NULL."""
+    return triples.select(
+        "s", "p", "o_kind", "o_value",
+        F.when(F.col("o_kind") == "literal", F.col("o_datatype")).alias("o_datatype"),
+        "o_lang",
+    )
+
+
+def apply_jena_rules(
+    triples: DataFrame, rules_text: str | list[Rule], max_iterations: int = 50
+) -> DataFrame:
+    """Forward-chain the rules to fixpoint over the triples DataFrame and
+    return base ∪ deductions (the reference adds deductions to the primary
+    model, `AbstractReasoningProcessor.java:31-47`)."""
+    rules = parse_jena_rules(rules_text) if isinstance(rules_text, str) else rules_text
+
+    all_rows = _norm_triples(triples).distinct().localCheckpoint(eager=True)
+    delta = all_rows
+    first = True
+    for _ in range(max_iterations):
+        comp_all = _Compiler(all_rows)
+        comp_delta = _Compiler(delta)
+        news = []
+        for r in rules:
+            if first:
+                match, bound = _body_df(comp_all, None, r.body, None)
+                news.append(_head_rows(match, bound, r.head))
+            else:
+                # semi-naive: any new derivation uses ≥1 delta fact; cover
+                # each atom position once
+                for i in range(len(r.body)):
+                    match, bound = _body_df(comp_all, comp_delta, r.body, i)
+                    news.append(_head_rows(match, bound, r.head))
+        first = False
+        cand = news[0]
+        for n in news[1:]:
+            cand = cand.unionByName(n)
+        new = (
+            cand.distinct()
+            .join(all_rows, list(TRIPLE_COLS), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        all_rows = all_rows.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    return _denorm_triples(all_rows)
+
+
+def apply_construct(
+    triples: DataFrame, query_text: str, max_iterations: int = 1
+) -> DataFrame:
+    """Apply a SPARQL CONSTRUCT up to ``max_iterations`` times, stopping
+    early when an iteration adds nothing new — exactly the reference's
+    loop (`SparqlConstructProcessor.java:39-55`). Returns base ∪ derived.
+
+    Unlike the forward-rule fixpoint, each iteration evaluates the full
+    pattern (the WHERE may contain OPTIONAL/FILTER, for which semi-naive
+    deltas are not sound); callers wanting deep recursion should prefer
+    ``apply_jena_rules``."""
+    q = parse_construct(query_text)
+    all_rows = _norm_triples(triples).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        comp = _Compiler(all_rows)
+        match, bound = comp.group_df(q.where)
+        for tp in q.template:
+            if not _triple_vars([tp]) <= bound:
+                raise SparqlUnsupported("template variable not bound in WHERE")
+        new = (
+            _head_rows(match, bound, q.template)
+            .distinct()
+            .join(all_rows, list(TRIPLE_COLS), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        all_rows = all_rows.unionByName(new).localCheckpoint(eager=True)
+    return _denorm_triples(all_rows)

@@ -195,6 +195,48 @@ def q_closure_cc(spark, sf):
     return connected_components(edges).select("resource", "canonical_id")
 
 
+def q_construct_rules(spark, sf):
+    """Rule-TEXT execution (operators/rule_text.py): a parsed Jena-style
+    transitive rule plus a typed derivation rule, forward-chained to
+    fixpoint over supplier/nation/region triples."""
+    from ..operators.rule_text import apply_jena_rules
+
+    ex = "http://example.org/"
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+
+    def iri_t(subj, pred, obj):
+        return [
+            subj.alias("s"), F.lit(ex + pred).alias("p"),
+            F.lit("iri").alias("o_kind"), obj.alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"), F.lit("").alias("o_lang"),
+        ]
+
+    triples = (
+        s.select(*iri_t(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")), "loc",
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string"))))
+        .unionByName(n.select(*iri_t(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")), "loc",
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")))))
+        .unionByName(r.select(*iri_t(
+            F.concat(F.lit("r"), F.col("r_regionkey").cast("string")), "type",
+            F.lit(ex + "Region"))))
+    )
+    rules = f"""
+        PREFIX ex: <{ex}>
+        [tc:  (?a ex:loc ?b) (?b ex:loc ?c) -> (?a ex:loc ?c)]
+        [reg: (?a ex:loc ?r) (?r ex:type <{ex}Region>) -> (?a ex:inRegion ?r)]
+    """
+    out = apply_jena_rules(triples, rules)
+    return out.where(F.col("p") != ex + "type").select(
+        F.regexp_replace("p", ex, "").alias("pred"),
+        F.col("s").alias("src"),
+        F.col("o_value").alias("dst"),
+    )
+
+
 def q_rule_fixpoint(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
@@ -617,6 +659,7 @@ QUERIES = {
     "jw_linking": q_jw_linking,
     "closure_cc": q_closure_cc,
     "rule_fixpoint": q_rule_fixpoint,
+    "construct_rules": q_construct_rules,
     "population_measures": q_population_measures,
     "property_value_coverage": q_property_value_coverage,
     "ceq_numeric": q_ceq_numeric,
@@ -732,6 +775,23 @@ ORACLES = {
           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
         )
         SELECT DISTINCT src, dst FROM reach
+    """,
+    "construct_rules": """
+        WITH RECURSIVE e AS (
+          SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
+                 'n' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+          UNION ALL
+          SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR)
+          FROM nation
+        ), reach AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT 'loc' AS pred, src, dst FROM reach
+        UNION ALL
+        SELECT DISTINCT 'inRegion', reach.src, reach.dst
+        FROM reach JOIN region ON reach.dst = 'r' || CAST(r_regionkey AS VARCHAR)
     """,
     "population_measures": """
         WITH members AS (

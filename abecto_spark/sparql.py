@@ -101,6 +101,12 @@ class SelectQuery:
     distinct: bool = False
 
 
+@dataclass
+class ConstructQuery:
+    template: list  # list[Triple]
+    where: Group
+
+
 # ---------------------------------------------------------------------------
 # tokenizer / parser
 
@@ -113,7 +119,7 @@ _TOKEN = re.compile(
   | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<dtsep>\^\^)
-  | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(){};,.])
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(){};,.\[\]])
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     """,
@@ -140,6 +146,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._fresh = 0  # counter for path-desugaring variables
 
     def peek(self):
         return self.toks[self.i]
@@ -160,7 +167,7 @@ class _Parser:
 
     # -- query ----------------------------------------------------------
 
-    def parse_query(self) -> SelectQuery:
+    def parse_prologue(self) -> None:
         while self.at_word("PREFIX"):
             self.next()
             k, pname = self.next()
@@ -170,6 +177,9 @@ class _Parser:
             self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri[1:-1]
         if self.at_word("BASE"):
             raise SparqlUnsupported("BASE not supported")
+
+    def parse_query(self) -> SelectQuery:
+        self.parse_prologue()
         self.eat("SELECT")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -205,6 +215,19 @@ class _Parser:
         if not projections:
             raise SparqlUnsupported("empty projection")
         return SelectQuery(projections, group, distinct)
+
+    def parse_construct(self) -> ConstructQuery:
+        self.parse_prologue()
+        self.eat("CONSTRUCT")
+        template = self.parse_group()
+        if template.optionals or template.filters or template.binds:
+            raise SparqlUnsupported("CONSTRUCT template must be plain triples")
+        if self.at_word("WHERE"):
+            self.next()
+        where = self.parse_group()
+        if self.at_word("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING", "VALUES"):
+            raise SparqlUnsupported("solution modifier not supported")
+        return ConstructQuery(template.triples, where)
 
     # -- group ----------------------------------------------------------
 
@@ -251,10 +274,23 @@ class _Parser:
     def parse_triples_block(self, g: Group) -> None:
         s = self.parse_term(position="subject")
         while True:
-            p = self.parse_term(position="predicate")
+            # predicate, optionally an IRI sequence path p1/p2/... (the only
+            # property-path form the reference's own queries use, e.g.
+            # `SparqlConstructProcessorTest.java:49`); desugared to a chain
+            # of fresh internal variables
+            path = [self.parse_term(position="predicate")]
+            while self.peek()[1] == "/":
+                self.next()
+                path.append(self.parse_term(position="predicate"))
             while True:
                 o = self.parse_term(position="object")
-                g.triples.append(Triple(s, p, o))
+                node = s
+                for hop in path[:-1]:
+                    self._fresh += 1
+                    mid = Var(f"__p{self._fresh}")
+                    g.triples.append(Triple(node, hop, mid))
+                    node = mid
+                g.triples.append(Triple(node, path[-1], o))
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -400,6 +436,10 @@ def _unquote(v: str) -> str:
 
 def parse_select(text: str) -> SelectQuery:
     return _Parser(text).parse_query()
+
+
+def parse_construct(text: str) -> ConstructQuery:
+    return _Parser(text).parse_construct()
 
 
 def pattern_vars(text: str) -> list[str]:

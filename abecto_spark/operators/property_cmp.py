@@ -69,6 +69,7 @@ def property_comparison(
     allow_time_skip: bool = False,
     allow_lang_tag_skip: bool = False,
     datasets: list[str] | None = None,
+    pair_salt_cap: int = 2000,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (measures, findings).
 
@@ -219,13 +220,73 @@ def property_comparison(
 
     # ---------------- findings ----------------
     findings = _deviations_and_omissions(
-        spark, rv, mem, aspect, variables, coverage, datasets, wrong_values
+        spark, rv, mem, aspect, variables, coverage, datasets, wrong_values,
+        pair_cap=pair_salt_cap,
     )
     return measures, findings
 
 
+def _group_pairs(gmem: DataFrame, pair_cap: int) -> DataFrame:
+    """All within-group resource pairs — cross-dataset (da<db) or
+    same-dataset (ra<rb) — via a *salted triangle self-join* so one
+    pathological mega-group (hub entity, bad linking round) cannot create
+    a |group|²-row straggler task (the round-1 scale flag on the plain
+    ``m1.join(m2, "group_id")``).
+
+    Members of a group of n rows get salt s = hash(resource) mod k with
+    k = ceil(n / pair_cap); a row is replicated to pair-tasks (i, s) for
+    i ≤ s and (s, j) for j > s (same construction as
+    jw_mapping._score_buckets_duckdb). Joining on (group, ti, tj) and
+    keeping same-salt pairs only on the diagonal yields every unordered
+    pair exactly once per role order, with per-task join work bounded by
+    ~(2·pair_cap)² instead of n². Small groups (k = 1) degenerate to the
+    plain join with one extra tiny aggregate."""
+    cnt = gmem.groupBy("group_id").agg(F.count("*").alias("_n"))
+    k = F.greatest(F.ceil(F.col("_n") / pair_cap), F.lit(1)).cast("int")
+    salted = (
+        gmem.join(cnt, "group_id")
+        .withColumn("_k", k)
+        .withColumn("_s", F.pmod(F.xxhash64("resource"), F.col("_k")).cast("int"))
+    )
+    tasks = F.expr(
+        """
+        concat(
+          transform(sequence(0, _s), i -> struct(i AS ti, _s AS tj)),
+          CASE WHEN _s < _k - 1
+               THEN transform(sequence(_s + 1, _k - 1), j -> struct(_s AS ti, j AS tj))
+               ELSE array() END
+        )
+        """
+    )
+    ex = salted.withColumn("_t", F.explode(tasks)).select(
+        "group_id", "dataset", "resource", "_s",
+        F.col("_t.ti").alias("_ti"), F.col("_t.tj").alias("_tj"),
+    )
+    a = ex.select(
+        "group_id", "_ti", "_tj",
+        F.col("dataset").alias("da"), F.col("resource").alias("ra"),
+        F.col("_s").alias("_sa"),
+    )
+    b = ex.select(
+        "group_id", "_ti", "_tj",
+        F.col("dataset").alias("db"), F.col("resource").alias("rb"),
+        F.col("_s").alias("_sb"),
+    )
+    return (
+        a.join(b, ["group_id", "_ti", "_tj"])
+        # same-salt pairs live on the diagonal task only (uniqueness)
+        .where((F.col("_ti") == F.col("_tj")) | (F.col("_sa") != F.col("_sb")))
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("ra") < F.col("rb")))
+        )
+        .select("group_id", "da", "ra", "db", "rb")
+    )
+
+
 def _deviations_and_omissions(
-    spark, rv, mem, aspect, variables, coverage, datasets, wrong_values
+    spark, rv, mem, aspect, variables, coverage, datasets, wrong_values,
+    pair_cap: int = 2000,
 ):
     gmem = mem.where(F.col("grouped"))
     # one representative term per (resource, eq class) — the reference's
@@ -241,16 +302,7 @@ def _deviations_and_omissions(
     # resource pairs within a group: cross-dataset (d1<d2) or same-dataset
     # (r1 != r2); the latter yields the reference's duplicate-resource
     # findings (`:375-379`)
-    m1 = gmem.select(
-        "group_id", F.col("dataset").alias("da"), F.col("resource").alias("ra")
-    )
-    m2 = gmem.select(
-        "group_id", F.col("dataset").alias("db"), F.col("resource").alias("rb")
-    )
-    pairs = m1.join(m2, "group_id").where(
-        (F.col("da") < F.col("db"))
-        | ((F.col("da") == F.col("db")) & (F.col("ra") < F.col("rb")))
-    )
+    pairs = _group_pairs(gmem, pair_cap)
 
     # per-variable coverage gate for the pair
     cov_rows = [(v, d) for v in variables for d in coverage.get(v, datasets)]

@@ -75,6 +75,108 @@ def measurements_markdown(measures: DataFrame) -> str:
     return "\n".join(out) + "\n"
 
 
+def deviations_markdown(findings: DataFrame) -> str:
+    """Markdown deviation report grouped by dataset → aspect with a
+    ready-to-paste wrong-value annotation snippet per row — the
+    `deviationsMarkdown` export (`export/deviationsMarkdown.rq:29-71`,
+    table layout `export/deviationsMarkdown.ftl`). The reference's
+    snippet is a Turtle `av:WrongValue` annotation; this engine's
+    wrong-value channel is the ``wrong_values`` DataFrame
+    (property_cmp.property_comparison), so the snippet is the matching
+    (dataset, resource, variable, o_value) row literal."""
+    rows = (
+        findings.where(F.col("kind") == "deviation")
+        .select(*DEVIATION_COLS)
+        .orderBy("affected_dataset", "aspect", "affected_resource", "variable")
+        .collect()
+    )
+    out: list[str] = []
+    prev_ds = prev_aspect = None
+    header = (
+        "| Resource | Variable Name | Value | Compared Value | Compared Resource "
+        "| Compared Dataset | Wrong Compared Value Annotate Snippet |"
+    )
+    for r in rows:
+        if r["affected_dataset"] != prev_ds:
+            prev_ds, prev_aspect = r["affected_dataset"], None
+            out += ["", f"## Dataset: {prev_ds}"]
+        if r["aspect"] != prev_aspect:
+            prev_aspect = r["aspect"]
+            out += ["", f"### Aspect: {prev_aspect}", "", header, "|---|---|---|---|---|---|---|"]
+        snippet = (
+            f"(\"{r['compared_to_dataset']}\", \"{r['compared_to_resource']}\", "
+            f"\"{r['variable']}\", \"{r['compared_to_value']}\")"
+        )
+        cells = [
+            r["affected_resource"], r["variable"], r["affected_value"],
+            r["compared_to_value"], r["compared_to_resource"],
+            r["compared_to_dataset"], f"`{snippet}`",
+        ]
+        out.append("| " + " | ".join("" if c is None else str(c) for c in cells) + " |")
+    return "\n".join(out).lstrip("\n") + "\n"
+
+
+def wd_mismatch_finder(
+    findings: DataFrame,
+    wikidata_dataset: str,
+    property_ids: dict[str, str],
+    entity_prefix: str = "http://www.wikidata.org/entity/",
+) -> DataFrame:
+    """Rows for the Wikidata Mismatch Finder import CSV
+    (`export/wdMismatchFinder.rq:29-120`, columns per
+    `export/wdMismatchFinder.ftl`): deviations and value omissions whose
+    affected side is the Wikidata dataset.
+
+    ``property_ids``: variable name → Wikidata property id (the reference
+    derives this from aspect-pattern variable paths; this engine stores
+    the mapping as explicit config, SURVEY.md §2.2 'variable path
+    extraction'). Statement GUIDs and calendar-model metadata require
+    statement reification the flat triples model does not carry, so those
+    columns are empty — legal per the Mismatch Finder format."""
+    pid_rows = [(v, p) for v, p in sorted(property_ids.items())]
+    pids = F.broadcast(
+        findings.sparkSession.createDataFrame(
+            pid_rows, "variable string, property_id string"
+        )
+    )
+    f = (
+        findings.where(
+            F.col("kind").isin("deviation", "value_omission")
+            & (F.col("affected_dataset") == wikidata_dataset)
+            & F.col("compared_to_value").isNotNull()
+            & (F.col("compared_to_value") != "")
+        )
+        .join(pids, "variable")
+    )
+    strip = lambda c: F.regexp_replace(c, entity_prefix + r"(Q\d+)", "$1")  # noqa: E731
+    return f.select(
+        F.regexp_replace("affected_resource", entity_prefix, "").alias("item_id"),
+        F.lit("").alias("statement_guid"),
+        "property_id",
+        strip(F.coalesce("affected_value", F.lit(""))).alias("wikidata_value"),
+        F.lit("").alias("meta_wikidata_value"),
+        F.col("compared_to_value").alias("external_value"),
+        F.coalesce("compared_to_resource", F.lit("")).alias("external_url"),
+        F.lit("statement").alias("type"),
+    ).distinct()
+
+
+def export_wd_mismatch_finder_csv(
+    findings: DataFrame,
+    path: str,
+    wikidata_dataset: str,
+    property_ids: dict[str, str],
+    mode: str = "overwrite",
+) -> None:
+    (
+        wd_mismatch_finder(findings, wikidata_dataset, property_ids)
+        .orderBy("item_id", "property_id", "external_value")
+        .write.mode(mode)
+        .option("header", True)
+        .csv(path)
+    )
+
+
 def mapping_review(edges: DataFrame, values: DataFrame, variable: str) -> DataFrame:
     """The `mappingReview` export: correspondence pairs side-by-side with
     a chosen label variable from each side, for human review."""

@@ -254,3 +254,54 @@ def test_variable_coverage_gap(spark):
     assert ("count", "value", "d2", ()) not in m
     assert not any(k[0] == "absoluteCoverage" for k in m)
     assert not f
+
+
+def test_salted_pair_join_identical_findings(spark):
+    # a 60-member cluster across 3 datasets with per-resource values;
+    # pair_salt_cap=10 forces k=6 triangle tasks — findings must be
+    # identical to the unsalted (single-task) join
+    rows, members, edges = [], [], []
+    for i in range(60):
+        d = f"d{i % 3}"
+        r = f"r{i:03d}"
+        members.append((d, r))
+        rows.append((d, r, "value", "literal", f"v{i % 7}", XSD_STRING, ""))
+        if i:
+            edges.append(("r000", r))
+    base = dict(
+        value_rows=rows, member_rows=members, edges=edges,
+        datasets=["d0", "d1", "d2"],
+    )
+    _, f_salted = _run(spark, **base, pair_salt_cap=10)
+    _, f_plain = _run(spark, **base, pair_salt_cap=10**9)
+
+    def norm(fs):
+        return sorted(
+            (r["kind"], r["variable"], r["affected_dataset"], r["affected_resource"],
+             r["affected_value"], r["compared_to_dataset"], r["compared_to_resource"],
+             r["compared_to_value"])
+            for r in fs
+        )
+
+    assert norm(f_salted) == norm(f_plain)
+    assert len(f_salted) > 0
+
+
+def test_mega_group_pair_join_bounded(spark):
+    # one 3000-member hub cluster: the salted triangle join splits the
+    # |group|^2 pair space across ceil(n/cap)^2/2 tasks instead of one
+    # straggler; identical values => zero findings, but the full pair
+    # stream is materialized by the anti-joins
+    from abecto_spark.operators.property_cmp import _group_pairs
+
+    n = 3000
+    gmem = spark.range(n).select(
+        F.lit("hub").alias("group_id"),
+        F.concat(F.lit("d"), (F.col("id") % 2).cast("string")).alias("dataset"),
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("resource"),
+        F.lit(True).alias("grouped"),
+    )
+    # every unordered pair exactly once: cross-dataset pairs in dataset
+    # order, same-dataset pairs in resource order
+    got = _group_pairs(gmem.drop("grouped"), pair_cap=500).count()
+    assert got == n * (n - 1) // 2

@@ -125,3 +125,62 @@ def test_ntriples_nasty_escapes_roundtrip(spark, tmp_path):
     write_ntriples(df, out)
     back = read_ntriples(spark, out)
     assert {r.o_value for r in back.collect()} == set(nasty)
+
+
+FINDINGS_DDL = (
+    "kind string, aspect string, variable string, affected_dataset string,"
+    " affected_resource string, affected_value string,"
+    " compared_to_dataset string, compared_to_resource string,"
+    " compared_to_value string, comment string"
+)
+
+
+def _sample_findings(spark):
+    rows = [
+        ("deviation", "person", "pnr", "d1", "http://a/alice", "45678",
+         "d3", "http://c/P001", "12345", None),
+        ("deviation", "person", "boss", "d1", "http://a/alice", "http://a/bob",
+         "d2", "http://b/alice", "http://b/alice", None),
+        ("value_omission", "person", "pnr", "d2", "http://b/alice", None,
+         "d3", "http://c/P001", "12345", None),
+    ]
+    return spark.createDataFrame(rows, FINDINGS_DDL)
+
+
+def test_deviations_markdown(spark):
+    from abecto_spark.plans.reports import deviations_markdown
+
+    md = deviations_markdown(_sample_findings(spark))
+    assert "## Dataset: d1" in md
+    assert "### Aspect: person" in md
+    assert "| Resource | Variable Name | Value |" in md
+    assert "| http://a/alice | pnr | 45678 | 12345 | http://c/P001 | d3 |" in md
+    # the snippet is a paste-ready wrong_values row for the compared value
+    assert '`("d3", "http://c/P001", "pnr", "12345")`' in md
+    # omissions are not part of the deviations report: only the two
+    # deviation data rows are present
+    assert md.count("\n| http://") == 2
+
+
+def test_wd_mismatch_finder(spark):
+    from abecto_spark.plans.reports import wd_mismatch_finder
+
+    wd = "http://www.wikidata.org/entity/"
+    rows = [
+        ("deviation", "person", "pnr", "wikidata", wd + "Q42", wd + "Q7",
+         "ext", "http://x/douglas", "42", None),
+        ("value_omission", "person", "pnr", "wikidata", wd + "Q1", None,
+         "ext", "http://x/one", "one", None),
+        ("deviation", "person", "pnr", "ext", "http://x/douglas", "42",
+         "wikidata", wd + "Q42", "43", None),  # wrong side: excluded
+    ]
+    f = spark.createDataFrame(rows, FINDINGS_DDL)
+    out = {
+        (r["item_id"], r["property_id"], r["wikidata_value"],
+         r["external_value"], r["external_url"], r["type"])
+        for r in wd_mismatch_finder(f, "wikidata", {"pnr": "P123"}).collect()
+    }
+    assert out == {
+        ("Q42", "P123", "Q7", "42", "http://x/douglas", "statement"),
+        ("Q1", "P123", "", "one", "http://x/one", "statement"),
+    }

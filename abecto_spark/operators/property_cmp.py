@@ -233,18 +233,41 @@ def _group_pairs(gmem: DataFrame, pair_cap: int) -> DataFrame:
     a |group|²-row straggler task (the round-1 scale flag on the plain
     ``m1.join(m2, "group_id")``).
 
-    Members of a group of n rows get salt s = hash(resource) mod k with
-    k = ceil(n / pair_cap); a row is replicated to pair-tasks (i, s) for
-    i ≤ s and (s, j) for j > s (same construction as
-    jw_mapping._score_buckets_duckdb). Joining on (group, ti, tj) and
-    keeping same-salt pairs only on the diagonal yields every unordered
-    pair exactly once per role order, with per-task join work bounded by
-    ~(2·pair_cap)² instead of n². Small groups (k = 1) degenerate to the
-    plain join with one extra tiny aggregate."""
-    cnt = gmem.groupBy("group_id").agg(F.count("*").alias("_n"))
+    Only groups larger than ``pair_cap`` take the salted path — the mass
+    of small groups keeps the plain self-join (no replication, no extra
+    join columns), paying just one aggregate + a broadcast anti-join to
+    split the two populations. Oversized-group members get salt
+    s = hash(resource) mod k with k = ceil(n / pair_cap) and are
+    replicated to pair-tasks (i, s) for i ≤ s and (s, j) for j > s (same
+    construction as jw_mapping._score_buckets_duckdb). Joining on
+    (group, ti, tj) and keeping same-salt pairs only on the diagonal
+    yields every unordered pair exactly once per role order, with
+    per-task join work bounded by ~(2·pair_cap)² instead of n²."""
+    gmem = gmem.select("group_id", "dataset", "resource").localCheckpoint(eager=True)
+    big_ids = (
+        gmem.groupBy("group_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > pair_cap)
+    )
+    # mega-groups are by definition few (they are the pathology); the id
+    # list broadcast keeps the small-group path a single plain join
+    big_ids = F.broadcast(big_ids.localCheckpoint(eager=True))
+
+    small = gmem.join(big_ids, "group_id", "left_anti")
+    s1 = small.select(
+        "group_id", F.col("dataset").alias("da"), F.col("resource").alias("ra")
+    )
+    s2 = small.select(
+        "group_id", F.col("dataset").alias("db"), F.col("resource").alias("rb")
+    )
+    small_pairs = s1.join(s2, "group_id").where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("ra") < F.col("rb")))
+    )
+
     k = F.greatest(F.ceil(F.col("_n") / pair_cap), F.lit(1)).cast("int")
     salted = (
-        gmem.join(cnt, "group_id")
+        gmem.join(big_ids, "group_id")  # inner: big-group members + _n
         .withColumn("_k", k)
         .withColumn("_s", F.pmod(F.xxhash64("resource"), F.col("_k")).cast("int"))
     )
@@ -272,7 +295,7 @@ def _group_pairs(gmem: DataFrame, pair_cap: int) -> DataFrame:
         F.col("dataset").alias("db"), F.col("resource").alias("rb"),
         F.col("_s").alias("_sb"),
     )
-    return (
+    big_pairs = (
         a.join(b, ["group_id", "_ti", "_tj"])
         # same-salt pairs live on the diagonal task only (uniqueness)
         .where((F.col("_ti") == F.col("_tj")) | (F.col("_sa") != F.col("_sb")))
@@ -281,6 +304,9 @@ def _group_pairs(gmem: DataFrame, pair_cap: int) -> DataFrame:
             | ((F.col("da") == F.col("db")) & (F.col("ra") < F.col("rb")))
         )
         .select("group_id", "da", "ra", "db", "rb")
+    )
+    return small_pairs.select("group_id", "da", "ra", "db", "rb").unionByName(
+        big_pairs
     )
 
 

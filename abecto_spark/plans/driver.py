@@ -191,12 +191,35 @@ def _p_forward_rules(state: PlanState, step: dict) -> None:
     state.add_primary(dataset, derived)
 
 
+def _load_meta_triples(state: PlanState, path: str) -> DataFrame:
+    from ..sources.rdf import read_ntriples
+    from ..sources.turtle import read_turtle_local
+
+    if path.endswith((".ttl", ".turtle")):
+        return read_turtle_local(state.spark, path)
+    return read_ntriples(state.spark, path).drop("graph")
+
+
 def _register_incorr(state: PlanState, step: dict) -> None:
-    pairs = step.get("params", {}).get("incorrespondences") or []
+    """Predefined metadata for a mapping step (`Step.java:160-174`,
+    av:predefinedMetaDataGraph): inline incorrespondence pairs and/or a
+    metadata graph file carrying av:corresponds(Not)ToResource
+    statements — registered before the step's own edges (first wins)."""
+    params = step.get("params", {})
+    pairs = params.get("incorrespondences") or []
     if pairs:
         state.mapping_graph().add_incorrespondences(
             state.spark.createDataFrame([tuple(p) for p in pairs], EDGES_SCHEMA)
         )
+    meta_path = params.get("predefined_meta_path")
+    if meta_path:
+        from ..operators.metadata import correspondences_from_metadata
+
+        corr, incorr = correspondences_from_metadata(
+            _load_meta_triples(state, meta_path)
+        )
+        state.mapping_graph().add_incorrespondences(incorr)
+        state.mapping_graph().add_correspondences(corr)
 
 
 def _p_jw_mapping(state: PlanState, step: dict) -> None:
@@ -292,6 +315,18 @@ def _p_property(state: PlanState, step: dict) -> None:
             kwargs[k] = (
                 tuple(params[k]) if k == "language_filter_patterns" else params[k]
             )
+    # wrong-value suppression from metadata graphs (Metadata.java:199-228):
+    # {"wrong_values_meta": {"<dataset>": "<path to .ttl/.nt>"}}
+    if params.get("wrong_values_meta"):
+        from ..operators.metadata import wrong_values_from_metadata
+
+        wv = None
+        for ds, path in sorted(params["wrong_values_meta"].items()):
+            part = wrong_values_from_metadata(
+                _load_meta_triples(state, path), ds
+            )
+            wv = part if wv is None else wv.unionByName(part)
+        kwargs["wrong_values"] = wv
     measures, findings = property_comparison(
         state.spark, values, members, state.canonical(), params["aspect"],
         list(params["variables"]),

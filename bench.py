@@ -45,6 +45,8 @@ def main() -> None:
 
     bench_queries = [
         "aspect_scan",
+        "aspect_bgp",
+        "construct_rules",
         "topk_per_group",
         "anti_join",
         "equivalent_value_mapping",

@@ -175,7 +175,9 @@ def _p_construct(state: PlanState, step: dict) -> None:
         raise PlanError(f"step {step['id']}: construct needs a dataset")
     base = state.primary_union(dataset)
     out = apply_construct(base, params["query"], params.get("max_iterations", 1))
-    derived = out.join(base.select(out.columns).distinct(), out.columns, "left_anti")
+    # exceptAll, not left_anti: o_datatype is NULL for IRI objects and an
+    # anti-join's equality keys would treat every such base row as new
+    derived = out.exceptAll(base.select(out.columns))
     state.add_primary(dataset, derived)
 
 
@@ -187,7 +189,7 @@ def _p_forward_rules(state: PlanState, step: dict) -> None:
         raise PlanError(f"step {step['id']}: forward_rules needs a dataset")
     base = state.primary_union(dataset)
     out = apply_jena_rules(base, params["rules"], params.get("max_iterations", 50))
-    derived = out.join(base.select(out.columns).distinct(), out.columns, "left_anti")
+    derived = out.exceptAll(base.select(out.columns))
     state.add_primary(dataset, derived)
 
 

@@ -147,6 +147,43 @@ def q_aspect_bgp(spark, sf):
     return values.select("resource", "variable", "o_value", "o_datatype")
 
 
+def q_rdf_roundtrip(spark, sf):
+    """FileSource scan round-trip (sources/rdf.py): serialize triples
+    derived from customer to N-Triples text (with embedded quote/newline/
+    tab to exercise escaping), re-parse with the distributed reader, and
+    return the parsed rows — parser ∘ writer must be the identity, which
+    the SQL oracle states directly over customer."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.rdf import read_ntriples, write_ntriples
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 200)
+    s = F.concat(F.lit("urn:c:"), F.col("c_custkey").cast("string"))
+    nasty = F.concat(F.col("c_name"), F.lit('"\n\t'))
+    triples = c.select(
+        s.alias("s"), F.lit("http://example.org/name").alias("p"),
+        F.lit("literal").alias("o_kind"), nasty.alias("o_value"),
+        F.lit(XSD_STRING).alias("o_datatype"), F.lit("").alias("o_lang"),
+    ).unionByName(
+        c.select(
+            s.alias("s"), F.lit("http://example.org/nation").alias("p"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(F.lit("urn:n:"), F.col("c_nationkey").cast("string")).alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"), F.lit("").alias("o_lang"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="abecto_rt_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_ntriples(triples, tmp + "/out")
+    parsed = read_ntriples(spark, tmp + "/out")
+    return parsed.select(
+        "s", "p", "o_kind", "o_value",
+        F.coalesce("o_datatype", F.lit("")).alias("o_datatype"),
+    )
+
+
 # --------------------------------------------------------------------------
 # mapping operators
 
@@ -234,6 +271,23 @@ def q_construct_rules(spark, sf):
         F.regexp_replace("p", ex, "").alias("pred"),
         F.col("s").alias("src"),
         F.col("o_value").alias("dst"),
+    )
+
+
+def q_corr_groups(spark, sf):
+    """Correspondence-group extraction (`Processor.java:211-222` via
+    MappingGraph.groups): canonical cluster id + sorted member list."""
+    from ..operators.closure import MappingGraph
+
+    n = _t(spark, sf, "nation")
+    edges = n.select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    g = MappingGraph(spark)
+    g.add_correspondences(edges)
+    return g.groups().select(
+        "canonical_id", F.concat_ws(",", "members").alias("members")
     )
 
 
@@ -651,6 +705,7 @@ def synth_docs_cached(spark, n_docs, n_entities):
 QUERIES = {
     "aspect_scan": q_aspect_scan,
     "aspect_bgp": q_aspect_bgp,
+    "rdf_roundtrip": q_rdf_roundtrip,
     "distinct_scan": q_distinct_scan,
     "anti_join": q_anti_join,
     "topk_per_group": q_topk_per_group,
@@ -660,6 +715,7 @@ QUERIES = {
     "closure_cc": q_closure_cc,
     "rule_fixpoint": q_rule_fixpoint,
     "construct_rules": q_construct_rules,
+    "corr_groups": q_corr_groups,
     "population_measures": q_population_measures,
     "property_value_coverage": q_property_value_coverage,
     "ceq_numeric": q_ceq_numeric,
@@ -707,6 +763,18 @@ ORACLES = {
                CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR),
                'http://www.w3.org/2001/XMLSchema#integer'
         FROM cc WHERE c_custkey % 3 = 0
+    """,
+    "rdf_roundtrip": """
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
+               'http://example.org/name' AS p, 'literal' AS o_kind,
+               c_name || '"' || chr(10) || chr(9) AS o_value,
+               'http://www.w3.org/2001/XMLSchema#string' AS o_datatype
+        FROM customer WHERE c_custkey < 200
+        UNION ALL
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR),
+               'http://example.org/nation', 'iri',
+               'urn:n:' || CAST(c_nationkey AS VARCHAR), ''
+        FROM customer WHERE c_custkey < 200
     """,
     "distinct_scan": """
         SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey FROM customer
@@ -775,6 +843,19 @@ ORACLES = {
           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
         )
         SELECT DISTINCT src, dst FROM reach
+    """,
+    "corr_groups": """
+        WITH m AS (SELECT n_regionkey,
+                          'n' || lpad(CAST(MIN(n_nationkey) AS VARCHAR), 2, '0') AS c
+                   FROM nation GROUP BY n_regionkey),
+        members AS (
+          SELECT m.c, 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS r
+          FROM nation JOIN m USING (n_regionkey)
+          UNION ALL
+          SELECT m.c, 'r' || CAST(r_regionkey AS VARCHAR)
+          FROM region JOIN m ON r_regionkey = n_regionkey)
+        SELECT c AS canonical_id, string_agg(r, ',' ORDER BY r) AS members
+        FROM members GROUP BY c
     """,
     "construct_rules": """
         WITH RECURSIVE e AS (

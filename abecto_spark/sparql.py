@@ -448,6 +448,47 @@ def pattern_vars(text: str) -> list[str]:
     return [name for _, name in parse_select(text).projections]
 
 
+def var_paths(text: str, key_var: str) -> dict[str, str]:
+    """Property path from the key variable to each reachable projected
+    variable — the reports metadata of the reference's
+    `VarPathsExtractionVisitor.java:35-209` (BFS over triple patterns
+    with forward and inverse hops), rendered in SPARQL path syntax
+    (``<p>``, ``^<p>``, joined with ``/``). Variables bound only through
+    variable predicates or expressions get no entry."""
+    from collections import deque
+
+    q = parse_select(text)
+
+    def triples_of(g: Group):
+        out = list(g.triples)
+        for opt in g.optionals:
+            out.extend(triples_of(opt))
+        return out
+
+    hops: dict[str, list[tuple[str, str]]] = {}
+    for tp in triples_of(q.where):
+        if not isinstance(tp.p, Iri):
+            continue
+        if isinstance(tp.s, Var) and isinstance(tp.o, Var):
+            hops.setdefault(tp.s.name, []).append((f"<{tp.p.value}>", tp.o.name))
+            hops.setdefault(tp.o.name, []).append((f"^<{tp.p.value}>", tp.s.name))
+
+    paths: dict[str, str] = {}
+    seen = {key_var}
+    frontier = deque([(key_var, "")])
+    while frontier:
+        node, path = frontier.popleft()
+        for label, nxt in hops.get(node, []):
+            if nxt in seen:
+                continue
+            seen.add(nxt)
+            np = f"{path}/{label}" if path else label
+            paths[nxt] = np
+            frontier.append((nxt, np))
+    projected = {name for _, name in q.projections}
+    return {v: p for v, p in paths.items() if v in projected}
+
+
 # ---------------------------------------------------------------------------
 # compiler
 

@@ -103,6 +103,39 @@ def main() -> int:
     sections.append(("ann_top1", p))
     check("ann_top1: broadcast join for query side", "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
 
+    # ---- 7. SPARQL compiler: predicate pushdown into the triples scan --
+    import shutil
+    import tempfile
+
+    from abecto_spark.sparql import sparql_select
+
+    tdir = tempfile.mkdtemp(prefix="abecto_audit_triples_")
+    try:
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        triples = c.selectExpr(
+            "concat('c', c_custkey) AS s",
+            "'http://example.org/name' AS p",
+            "'literal' AS o_kind",
+            "c_name AS o_value",
+            "'http://www.w3.org/2001/XMLSchema#string' AS o_datatype",
+            "'' AS o_lang",
+        )
+        triples.write.mode("overwrite").parquet(tdir + "/t")
+        tdf = spark.read.parquet(tdir + "/t")
+        wide = sparql_select(
+            tdf,
+            "SELECT ?k ?name WHERE { ?k <http://example.org/name> ?name }",
+        )
+        p = plan_of(wide)
+        sections.append(("sparql compiler (aspect pattern over parquet triples)", p))
+        check(
+            "sparql_select: constant-predicate filter pushed to parquet scan",
+            "PushedFilters: [" in p and "EqualTo(p,http://example.org/name)" in p,
+        )
+        check("sparql_select: no cartesian product", "CartesianProduct" not in p)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

@@ -182,3 +182,31 @@ def test_plan_errors(spark):
             {"id": "a", "processor": "file_source", "inputs": ["b"]},
             {"id": "b", "processor": "file_source", "inputs": ["a"]},
         ]})
+
+
+def test_plan_forward_rules_step(spark):
+    """Transform steps derive triples without duplicating the base relation
+    (exceptAll, not a null-keyed anti-join)."""
+    EX = "http://example.org/"
+    rows = [
+        (EX + "s1", EX + "loc", "iri", EX + "n1", None, ""),
+        (EX + "n1", EX + "loc", "iri", EX + "r1", None, ""),
+        (EX + "s1", EX + "lab", "literal", "one",
+         "http://www.w3.org/2001/XMLSchema#string", ""),
+    ]
+    plan = {
+        "aspects": {},
+        "steps": [
+            {"id": "src", "processor": "file_source", "dataset": "d1",
+             "params": {"rows": rows}},
+            {"id": "tc", "processor": "forward_rules", "dataset": "d1",
+             "inputs": ["src"],
+             "params": {"rules":
+                        f"[(?a <{EX}loc> ?b) (?b <{EX}loc> ?c) -> (?a <{EX}loc> ?c)]"}},
+        ],
+    }
+    res = run_plan(spark, plan)
+    prim = res.primary["d1"]
+    assert prim.count() == 4  # 3 base + 1 derived, nothing re-added
+    locs = {(r["s"], r["o_value"]) for r in prim.where("p LIKE '%loc'").collect()}
+    assert (EX + "s1", EX + "r1") in locs

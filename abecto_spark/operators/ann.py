@@ -4,8 +4,13 @@
     dot product is a JVM-side ``aggregate(zip_with(...))`` fold (sequential
     left fold in double precision — bit-compatible with DuckDB's
     ``list_cosine_similarity`` for oracle checks).
-  * lsh_topk — the scale path: random-hyperplane bucket join with
-    multi-probe (hamming-1 neighbors), exact re-rank inside buckets.
+  * lsh_topk — random-hyperplane bucket join with multi-probe (hamming-1
+    neighbors) and multi-table amplification, exact re-rank inside
+    buckets.
+  * ivf_topk — inverted-file variant: spherical k-means centroids
+    (trained driver-side on a bounded sample), corpus partitioned by
+    nearest centroid JVM-side, queries probe the ``n_probe`` nearest
+    cells; assignment is cosine-based and therefore scale-invariant.
 """
 
 from __future__ import annotations
@@ -170,6 +175,108 @@ def lsh_topk(
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cosine", F.expr(_DOT) / (F.expr(_NORM_Q) * F.expr(_NORM_C))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded corpus sample. This is
+    the one deliberate driver-side action of the IVF path (training data
+    is capped at ``sample`` rows); assignment/probing stay distributed."""
+    rows = (
+        corpus.select(vec_col)
+        .limit(sample)
+        .toPandas()[vec_col]
+        .to_numpy()
+    )
+    x = _normalize_rows(np.array([np.asarray(r, dtype=np.float64) for r in rows]))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def _cell_col(vec_col, cents: np.ndarray, top: int = 1):
+    """Column: the ``top`` nearest centroid ids by cosine (JVM-side:
+    normalized centroids are literal arrays, similarity is a zip_with
+    fold, ranking via array sort on (score, id) structs)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.aggregate(
+                    F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in c]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda a, b: a + b,
+                ) / F.sqrt(
+                    F.aggregate(vec_col, F.lit(0.0), lambda a, b: a + b * b)
+                )).alias("neg"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, top)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via inverted-file cells: corpus rows live in
+    their nearest-centroid cell, queries probe the ``n_probe`` nearest
+    cells, exact cosine re-rank inside the cell join. Cosine assignment
+    is scale-invariant, so positively-scaled duplicates of a query are
+    guaranteed to share its primary cell (the oracle-check hook).
+
+    Scale shape: one shuffle join keyed by cell id; expected per-query
+    re-rank work ≈ n_probe · N / n_cells, so size ``n_cells ≈ N /
+    target_cell`` as the corpus grows (same sizing law as plan_lsh)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", _cell_col(F.col("cv"), cents, top=1)[0]["cell"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "cells", _cell_col(F.col("qv"), cents, top=n_probe)
+    ).select(
+        "query_id", "qv", F.explode(F.col("cells.cell")).alias("cell")
+    )
+    scored = q.join(c, "cell")
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
         "cosine", F.expr(_DOT) / (F.expr(_NORM_Q) * F.expr(_NORM_C))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -602,6 +602,33 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    # same planted-ground-truth construction as q_ann_lsh_topk: IVF cell
+    # assignment is cosine-based, hence scale-invariant — the ×2/×4 copies
+    # land in the query's own primary cell bitwise-deterministically, so
+    # the top-2 is exact regardless of the trained centroids
+    from ..operators.ann import ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 100)
+    scale = lambda c, s: F.transform(c, lambda x: (x * F.lit(s)).cast("float"))  # noqa: E731
+    p1 = q.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        scale(F.col("embedding"), 2.0).alias("embedding"), "label",
+    )
+    p2 = q.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        scale(F.col("embedding"), 4.0).alias("embedding"), "label",
+    )
+    corpus = e.unionByName(p1).unionByName(p2)
+    cents = train_ivf_centroids(corpus, n_cells=16, sample=2000)
+    top = ivf_topk(q, corpus, cents, k=2, n_probe=4)
+    return top.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     # interleaved docs derived deterministically from the documents table
     # (text span + image/audio spans for length-selected docs), so the
@@ -734,6 +761,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "kg_pipeline_triples": q_kg_pipeline_triples,
 }
@@ -1091,6 +1119,14 @@ ORACLES = {
         FROM documents WHERE doc_id < 100
     """,
     "ann_lsh_topk": """
+        SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+               CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INT) AS "rank"
+        FROM embeddings WHERE vec_id < 100
+        UNION ALL
+        SELECT vec_id, vec_id + 2000000, CAST(1.0 AS DOUBLE), CAST(2 AS INT)
+        FROM embeddings WHERE vec_id < 100
+    """,
+    "ann_ivf_topk": """
         SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INT) AS "rank"
         FROM embeddings WHERE vec_id < 100

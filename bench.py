@@ -64,6 +64,7 @@ def main() -> None:
         "doc_fingerprint",
         "ann_top1",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "embedding_neardup",
         "functional_mapping",
         "property_findings",

@@ -36,7 +36,7 @@ def main():
     spark = get_spark(
         app_name=f"stage_profile_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(2 * cores, 8),
+        shuffle_partitions=max(cores, 8),
     )
     T = time.time
     if docs_path:

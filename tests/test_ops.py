@@ -198,3 +198,41 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert ("u1", "2026-01-01 10:00:00", 2) in got
     assert ("u1", "2026-01-01 12:00:00", 2) in got
     assert ("u2", "2026-01-01 10:05:00", 1) in got
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    from abecto_spark.operators.ann import ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb_df, n_cells=8, sample=500, seed=3)
+    assert cents.shape == (8, 16)
+    q = emb_df.where(F.col("vec_id") < 20)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb_df, cents, k=1, n_probe=3).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb_df, k=1).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_scale_invariant_cells(spark, emb_df):
+    # a positively scaled copy must land in the same primary cell
+    from abecto_spark.operators.ann import _cell_col, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb_df, n_cells=8, sample=500, seed=3)
+    from abecto_spark.operators.ann import _as_double
+
+    base = emb_df.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("cell", _cell_col(F.col("v"), cents, top=1)[0]["cell"])
+    scaled = emb_df.select(
+        "vec_id",
+        _as_double(F.transform("embedding", lambda x: x * F.lit(4.0))).alias("v"),
+    ).withColumn("cell2", _cell_col(F.col("v"), cents, top=1)[0]["cell"])
+    joined = base.select("vec_id", "cell").join(
+        scaled.select("vec_id", "cell2"), "vec_id"
+    )
+    assert joined.where(F.col("cell") != F.col("cell2")).count() == 0

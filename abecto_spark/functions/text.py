@@ -33,6 +33,20 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda t: t != ""))
 
 
+# GPT-2-style pre-tokenizer regex, restricted to constructs shared by
+# Java regex and RE2 (no lookarounds, no \p classes) so the same literal
+# pattern runs in Catalyst and in the DuckDB oracle
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_regex_token_count(text: Column) -> Column:
+    """Token count under the GPT-2-style pre-tokenization regex
+    (contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs) — the standard fast estimate of BPE token counts
+    before merges; whitespace-only residue is not counted."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
     t = tokens(text)

@@ -430,6 +430,15 @@ def _with_planted_dups(d, n: int = 100, offset: int = 1_000_000):
     return d.select("doc_id", "text").unionByName(plant)
 
 
+def q_bpe_token_count(spark, sf):
+    """GPT-2-style pre-tokenizer counts (functions/text.py) — the same
+    regex literal evaluated by Catalyst and the DuckDB oracle."""
+    from ..functions.text import bpe_regex_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", bpe_regex_token_count(F.col("text")).alias("n_bpe"))
+
+
 def q_minhash_candidates(spark, sf):
     # planted exact duplicates MUST collide in all 8 bands; restricting the
     # output to the planted pairs makes every row deterministic (band_votes
@@ -750,6 +759,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
+    "bpe_token_count": q_bpe_token_count,
     "minhash_candidates": q_minhash_candidates,
     "simhash_candidates": q_simhash_candidates,
     "doc_quality": q_doc_quality,
@@ -1020,6 +1030,13 @@ ORACLES = {
                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
                len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
                  AS n_distinct_tokens
+        FROM documents
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                 AS n_bpe
         FROM documents
     """,
     "ann_top1": """

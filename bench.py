@@ -60,6 +60,7 @@ def main() -> None:
         "simhash_candidates",
         "ngram_jaccard",
         "text_stats",
+        "bpe_token_count",
         "doc_quality",
         "doc_fingerprint",
         "ann_top1",

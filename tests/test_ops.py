@@ -236,3 +236,18 @@ def test_ivf_scale_invariant_cells(spark, emb_df):
         scaled.select("vec_id", "cell2"), "vec_id"
     )
     assert joined.where(F.col("cell") != F.col("cell2")).count() == 0
+
+
+def test_bpe_regex_token_count(spark):
+    from abecto_spark.functions.text import bpe_regex_token_count
+
+    rows = [("a", "Hello world, it's 2026!"), ("b", ""), ("c", "   "),
+            ("d", "x1y2")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_regex_token_count(F.col("text")).alias("n")).collect()}
+    # Hello| world|,| it|'s| 2026|!  -> 7 pieces
+    assert got["a"] == 7
+    assert got["b"] == 0 and got["c"] == 0
+    # x|1|y|2 -> 4
+    assert got["d"] == 4

@@ -1,0 +1,145 @@
+"""Command-line entry point — the analog of the reference's
+``abecto <plan.trig>`` CLI (`Abecto.java:64-155` options,
+`Abecto.java:166-281` execute + export + exit-code logic)::
+
+    python -m abecto_spark [options] plan.trig
+
+Loads a reference-vocabulary TriG plan file (plans/trig_plan.py), runs it
+through the plan-DAG driver, optionally writes measures/findings tables
+and the reference's report exports, and returns the reference's
+fail-on-finding exit-code bits (deviation +2, value omission +4,
+resource omission +8, issue +32; `Abecto.java:215-240`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+EXPORT_TEMPLATES = (
+    "deviations", "resourceOmissions", "measurementsMarkdown",
+    "deviationsMarkdown",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="abecto-spark",
+        description="Compares and evaluates several RDF datasets"
+        " (PySpark plan-DAG engine).",
+    )
+    p.add_argument("plan_file", help="TriG file containing the plan configuration")
+    p.add_argument(
+        "-p", "--plan", metavar="IRI", default=None,
+        help="IRI of the plan to process (required if the configuration"
+        " contains multiple plans)",
+    )
+    p.add_argument(
+        "-E", "--export", action="append", default=[],
+        metavar="TEMPLATE_NAME=PATH",
+        help="export to write; templates: " + ", ".join(EXPORT_TEMPLATES)
+        + " (CSV exports write a Spark CSV directory). Repeatable.",
+    )
+    p.add_argument(
+        "--out", metavar="DIR", default=None,
+        help="directory for the raw result tables"
+        " (measures/, findings/, mappings/ as Parquet)",
+    )
+    p.add_argument(
+        "--checkpoint", metavar="DIR", default=None,
+        help="snapshot-store directory for per-step checkpoint/resume",
+    )
+    p.add_argument(
+        "--reportOn", metavar="IRI", default=None, dest="report_on",
+        help="dataset IRI to report on; exports and fail-on checks are"
+        " limited to findings affecting this dataset",
+    )
+    p.add_argument("--failOnDeviation", action="store_true")
+    p.add_argument("--failOnValueOmission", action="store_true")
+    p.add_argument("--failOnResourceOmission", action="store_true")
+    p.add_argument("--failOnIssue", action="store_true")
+    p.add_argument(
+        "--master", default=None,
+        help="Spark master (default: local[$SPARK_GRAFT_CPUS])",
+    )
+    return p
+
+
+def _parse_exports(specs: list[str]) -> list[tuple[str, str]]:
+    out = []
+    for spec in specs:
+        name, sep, path = spec.partition("=")
+        if not sep or name not in EXPORT_TEMPLATES:
+            raise SystemExit(
+                f"bad --export {spec!r}: expected TEMPLATE_NAME=PATH with"
+                f" template one of {', '.join(EXPORT_TEMPLATES)}"
+            )
+        out.append((name, path))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    exports = _parse_exports(args.export)
+
+    from pyspark.sql import functions as F
+
+    from .plans import reports
+    from .plans.driver import run_plan
+    from .plans.trig_plan import load_trig_plan
+    from .session import get_spark
+    from .sources.checkpoint import SnapshotStore
+
+    plan = load_trig_plan(args.plan_file, plan_iri=args.plan)
+    spark = get_spark(app_name="abecto-spark-cli", master=args.master)
+    store = SnapshotStore(spark, args.checkpoint) if args.checkpoint else None
+    result = run_plan(spark, plan, store=store)
+
+    findings = result.findings
+    if args.report_on:
+        findings = findings.where(F.col("affected_dataset") == args.report_on)
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        result.measures.write.mode("overwrite").parquet(
+            os.path.join(args.out, "measures")
+        )
+        findings.write.mode("overwrite").parquet(os.path.join(args.out, "findings"))
+        result.edges.write.mode("overwrite").parquet(os.path.join(args.out, "mappings"))
+
+    for name, path in exports:
+        if name == "deviations":
+            reports.export_deviations_csv(findings, path)
+        elif name == "resourceOmissions":
+            reports.export_omissions_csv(findings, path)
+        elif name == "measurementsMarkdown":
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(reports.measurements_markdown(result.measures))
+        elif name == "deviationsMarkdown":
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(reports.deviations_markdown(findings))
+
+    # fail-on exit bits (`Abecto.java:215-240`)
+    checks = [
+        (args.failOnDeviation, "deviation", 2),
+        (args.failOnValueOmission, "value_omission", 4),
+        (args.failOnResourceOmission, "resource_omission", 8),
+        (args.failOnIssue, "issue", 32),
+    ]
+    wanted = [kind for flag, kind, _bit in checks if flag]
+    exit_code = 0
+    if wanted:
+        present = {
+            r["kind"]
+            for r in findings.where(F.col("kind").isin(wanted))
+            .select("kind").distinct().collect()
+        }
+        for flag, kind, bit in checks:
+            if flag and kind in present:
+                exit_code += bit
+    return exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

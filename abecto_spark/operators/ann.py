@@ -59,17 +59,37 @@ def brute_force_topk(
     )
 
 
-def _bucket_col(vec_col, planes: np.ndarray):
-    bits = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0])
+def _with_matrix(df: DataFrame, matrix: np.ndarray, name: str) -> DataFrame:
+    """Attach a plane/centroid matrix as a broadcast 1-row column instead
+    of baking n×dim literals into the plan tree: at embedding scale
+    (dim 768-1536, 18+ planes / 256+ cells) plan-literal matrices blow up
+    plan size and codegen ("large task binary" warnings); a broadcast
+    nested-loop join against one row keeps the plan O(1) in dim×rows."""
+    mdf = df.sparkSession.createDataFrame(
+        [([[float(v) for v in row] for row in matrix],)],
+        f"{name} array<array<double>>",
+    )
+    return df.crossJoin(F.broadcast(mdf))
+
+
+def _dot(vec_col, other):
+    return F.aggregate(
+        F.zip_with(vec_col, other, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def _bucket_col(vec_col, planes_col):
+    """Sign-bit bucket id from a broadcast planes matrix column —
+    whole-stage-codegen higher-order functions, no per-plane literals."""
+    bits = F.transform(
+        planes_col,
+        lambda p, i: F.when(
+            _dot(vec_col, p) > 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def plan_lsh(corpus_size: int, target_bucket: int = 4096, n_planes_max: int = 24) -> int:
@@ -149,8 +169,11 @@ def lsh_topk(
     for t in range(n_tables):
         rng = np.random.RandomState(seed + 7919 * t)
         planes = rng.randn(n_planes, dim)
-        c = c_base.withColumn("bucket", _bucket_col(F.col("cv"), planes)).withColumn(
-            "table", F.lit(t)
+        c = (
+            _with_matrix(c_base, planes, "planes")
+            .withColumn("bucket", _bucket_col(F.col("cv"), F.col("planes")))
+            .drop("planes")
+            .withColumn("table", F.lit(t))
         )
         if bucket_cap is not None:
             wcap = Window.partitionBy("bucket").orderBy(F.xxhash64("neighbor_id"))
@@ -159,7 +182,11 @@ def lsh_topk(
                 .where(F.col("_r") <= bucket_cap)
                 .drop("_r")
             )
-        q = q_base.withColumn("bucket0", _bucket_col(F.col("qv"), planes))
+        q = (
+            _with_matrix(q_base, planes, "planes")
+            .withColumn("bucket0", _bucket_col(F.col("qv"), F.col("planes")))
+            .drop("planes")
+        )
         probes = F.array(
             F.col("bucket0"),
             *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)],
@@ -201,9 +228,16 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Spherical k-means centroids from a bounded corpus sample. This is
     the one deliberate driver-side action of the IVF path (training data
-    is capped at ``sample`` rows); assignment/probing stay distributed."""
+    is capped at ``sample`` rows); assignment/probing stay distributed.
+
+    Sampling is by seeded xxhash64 order, not ``limit``: a bare limit
+    takes the *first* partitions (biased on sorted/clustered corpora) and
+    is not deterministic across partition layouts; hash-order + limit
+    compiles to TakeOrderedAndProject (per-partition top-k, no full
+    shuffle) and is a reproducible uniform sample."""
     rows = (
         corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
         .limit(sample)
         .toPandas()[vec_col]
         .to_numpy()
@@ -222,24 +256,17 @@ def train_ivf_centroids(
     return cents
 
 
-def _cell_col(vec_col, cents: np.ndarray, top: int = 1):
-    """Column: the ``top`` nearest centroid ids by cosine (JVM-side:
-    normalized centroids are literal arrays, similarity is a zip_with
-    fold, ranking via array sort on (score, id) structs)."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-F.aggregate(
-                    F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in c]),
-                               lambda x, y: x * y),
-                    F.lit(0.0), lambda a, b: a + b,
-                ) / F.sqrt(
-                    F.aggregate(vec_col, F.lit(0.0), lambda a, b: a + b * b)
-                )).alias("neg"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
+def _cell_col(vec_col, cents_col, top: int = 1):
+    """Column: the ``top`` nearest centroid ids by cosine (JVM-side: the
+    normalized centroid matrix arrives as a broadcast column, similarity
+    is a zip_with fold, ranking via array sort on (score, id) structs)."""
+    norm_v = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, b: a + b * b))
+    scored = F.transform(
+        cents_col,
+        lambda c, i: F.struct(
+            (-_dot(vec_col, c) / norm_v).alias("neg"),
+            i.alias("cell"),
+        ),
     )
     return F.slice(F.array_sort(scored), 1, top)
 
@@ -263,15 +290,28 @@ def ivf_topk(
     Scale shape: one shuffle join keyed by cell id; expected per-query
     re-rank work ≈ n_probe · N / n_cells, so size ``n_cells ≈ N /
     target_cell`` as the corpus grows (same sizing law as plan_lsh)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", _cell_col(F.col("cv"), cents, top=1)[0]["cell"])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn(
-        "cells", _cell_col(F.col("qv"), cents, top=n_probe)
-    ).select(
-        "query_id", "qv", F.explode(F.col("cells.cell")).alias("cell")
+    c = (
+        _with_matrix(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ),
+            cents, "cents",
+        )
+        .withColumn("cell", _cell_col(F.col("cv"), F.col("cents"), top=1)[0]["cell"])
+        .drop("cents")
+    )
+    q = (
+        _with_matrix(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                _as_double(F.col(vec_col)).alias("qv"),
+            ),
+            cents, "cents",
+        )
+        .withColumn("cells", _cell_col(F.col("qv"), F.col("cents"), top=n_probe))
+        .drop("cents")
+        .select("query_id", "qv", F.explode(F.col("cells.cell")).alias("cell"))
     )
     scored = q.join(c, "cell")
     if exclude_self:

@@ -196,23 +196,20 @@ def embedding_near_dups(
     ``dim`` is required: the array length is not in the schema, and
     probing it with ``first()`` would run a driver action inside plan
     construction (the round-1 review flagged exactly that)."""
+    from .ann import _bucket_col, _with_matrix
+
     if dim is None:
         raise ValueError("pass dim explicitly (vector length)")
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    plane_lits = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e = emb.select(F.col(id_col).alias("_id"), v.alias("v"))
-    sig = e
-    sign_bits = []
-    for i, p in enumerate(plane_lits):
-        dot = F.expr(
-            f"aggregate(zip_with(v, pl{i}, (x, y) -> x * y), 0D, (a, b) -> a + b)"
-        )
-        sig = sig.withColumn(f"pl{i}", p)
-        sign_bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = sig.withColumn("bucket", sum(sign_bits[1:], sign_bits[0])).select(
-        "_id", "v", "bucket"
+    # planes ride in as a broadcast 1-row matrix column (not n×dim plan
+    # literals — plan-size blowup at embedding dim, see ann._with_matrix)
+    sig = (
+        _with_matrix(e, planes, "planes")
+        .withColumn("bucket", _bucket_col(F.col("v"), F.col("planes")))
+        .select("_id", "v", "bucket")
     )
     o = sig.select(
         F.col("_id").alias("_id2"), F.col("v").alias("v2"), F.col("bucket")

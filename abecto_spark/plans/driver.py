@@ -144,6 +144,23 @@ class PlanResult:
 # `Step.java:100-111`)
 
 
+def _norm_ingest(df: DataFrame) -> DataFrame:
+    """Normalize ingested triples to the engine's term convention
+    (literal o_datatype never NULL — xsd:string default; o_lang '' not
+    NULL; non-literal o_datatype NULL) so downstream exceptAll deltas and
+    term-equality joins are stable regardless of the input file's form."""
+    from ..model import XSD_STRING
+
+    return df.select(
+        "s", "p", "o_kind", "o_value",
+        F.when(
+            F.col("o_kind") == "literal",
+            F.coalesce("o_datatype", F.lit(XSD_STRING)),
+        ).alias("o_datatype"),
+        F.coalesce("o_lang", F.lit("")).alias("o_lang"),
+    )
+
+
 def _p_file_source(state: PlanState, step: dict) -> None:
     from ..sources.rdf import read_ntriples
     from ..sources.turtle import read_turtle_local
@@ -160,11 +177,14 @@ def _p_file_source(state: PlanState, step: dict) -> None:
             df = read_turtle_local(state.spark, path)
         else:  # N-Triples / N-Quads: the distributed parser
             df = read_ntriples(state.spark, path).drop("graph")
-        state.add_primary(dataset, df)
+        state.add_primary(dataset, _norm_ingest(df))
     if "rows" in params:  # inline triples (tests / tiny fixtures)
         ddl = ("s string, p string, o_kind string, o_value string,"
                " o_datatype string, o_lang string")
-        state.add_primary(dataset, state.spark.createDataFrame(params["rows"], ddl))
+        state.add_primary(
+            dataset,
+            _norm_ingest(state.spark.createDataFrame(params["rows"], ddl)),
+        )
 
 
 def _p_construct(state: PlanState, step: dict) -> None:
@@ -213,13 +233,20 @@ def _register_incorr(state: PlanState, step: dict) -> None:
         state.mapping_graph().add_incorrespondences(
             state.spark.createDataFrame([tuple(p) for p in pairs], EDGES_SCHEMA)
         )
+    meta = None
     meta_path = params.get("predefined_meta_path")
     if meta_path:
+        meta = _load_meta_triples(state, meta_path)
+    rows = params.get("predefined_meta_rows")
+    if rows:  # inline triples, e.g. a TriG plan file's named graph
+        ddl = ("s string, p string, o_kind string, o_value string,"
+               " o_datatype string, o_lang string")
+        inline = state.spark.createDataFrame([tuple(r) for r in rows], ddl)
+        meta = inline if meta is None else meta.unionByName(inline)
+    if meta is not None:
         from ..operators.metadata import correspondences_from_metadata
 
-        corr, incorr = correspondences_from_metadata(
-            _load_meta_triples(state, meta_path)
-        )
+        corr, incorr = correspondences_from_metadata(meta)
         state.mapping_graph().add_incorrespondences(incorr)
         state.mapping_graph().add_correspondences(corr)
 

@@ -10,7 +10,7 @@ report collects the (tiny) measures aggregate driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEVIATION_COLS = [
@@ -75,7 +75,7 @@ def measurements_markdown(measures: DataFrame) -> str:
     return "\n".join(out) + "\n"
 
 
-def deviations_markdown(findings: DataFrame) -> str:
+def deviations_markdown(findings: DataFrame, max_per_group: int = 10_000) -> str:
     """Markdown deviation report grouped by dataset → aspect with a
     ready-to-paste wrong-value annotation snippet per row — the
     `deviationsMarkdown` export (`export/deviationsMarkdown.rq:29-71`,
@@ -83,15 +83,29 @@ def deviations_markdown(findings: DataFrame) -> str:
     snippet is a Turtle `av:WrongValue` annotation; this engine's
     wrong-value channel is the ``wrong_values`` DataFrame
     (property_cmp.property_comparison), so the snippet is the matching
-    (dataset, resource, variable, o_value) row literal."""
+    (dataset, resource, variable, o_value) row literal.
+
+    A human-readable report must not pull billions of findings to the
+    driver: each (dataset, aspect) section is capped at
+    ``max_per_group`` rows (deterministic rank by resource/variable,
+    distributed row_number) with an elided-count footer; bulk consumers
+    use the distributed ``export_deviations_csv``."""
+    dev = findings.where(F.col("kind") == "deviation").select(*DEVIATION_COLS)
+    w = Window.partitionBy("affected_dataset", "aspect").orderBy(
+        "affected_resource", "variable", "compared_to_dataset",
+        "compared_to_resource", "compared_to_value", "affected_value",
+    )
+    wc = Window.partitionBy("affected_dataset", "aspect")
     rows = (
-        findings.where(F.col("kind") == "deviation")
-        .select(*DEVIATION_COLS)
-        .orderBy("affected_dataset", "aspect", "affected_resource", "variable")
+        dev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_total", F.count(F.lit(1)).over(wc))
+        .where(F.col("_rn") <= max_per_group)
+        .orderBy("affected_dataset", "aspect", "_rn")
         .collect()
     )
     out: list[str] = []
     prev_ds = prev_aspect = None
+    elided: list[tuple[str, str, int]] = []
     header = (
         "| Resource | Variable Name | Value | Compared Value | Compared Resource "
         "| Compared Dataset | Wrong Compared Value Annotate Snippet |"
@@ -103,6 +117,8 @@ def deviations_markdown(findings: DataFrame) -> str:
         if r["aspect"] != prev_aspect:
             prev_aspect = r["aspect"]
             out += ["", f"### Aspect: {prev_aspect}", "", header, "|---|---|---|---|---|---|---|"]
+            if r["_total"] > max_per_group:
+                elided.append((prev_ds, prev_aspect, r["_total"] - max_per_group))
         snippet = (
             f"(\"{r['compared_to_dataset']}\", \"{r['compared_to_resource']}\", "
             f"\"{r['variable']}\", \"{r['compared_to_value']}\")"
@@ -113,6 +129,10 @@ def deviations_markdown(findings: DataFrame) -> str:
             r["compared_to_dataset"], f"`{snippet}`",
         ]
         out.append("| " + " | ".join("" if c is None else str(c) for c in cells) + " |")
+    for ds, aspect, n in elided:
+        out += ["", f"_{n} further deviations in dataset {ds}, aspect"
+                f" {aspect} elided (cap {max_per_group}); see the"
+                " deviations CSV export for the full set._"]
     return "\n".join(out).lstrip("\n") + "\n"
 
 

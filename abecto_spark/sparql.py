@@ -22,10 +22,25 @@ normalised to ``''`` when absent so struct equality is exact term
 identity. Catalyst then prunes/pushes/reorders the joins — the per-row
 SPARQL probes of the reference (`Aspect.java:145-149`) never exist here.
 
-Restrictions (documented, loud): no property paths, UNION, MINUS,
-GROUP BY, subqueries, or named-graph patterns; FILTER comparisons are
-numeric when either side is a numeric literal/arithmetic expression and
-lexical otherwise. Unsupported syntax raises ``SparqlUnsupported``.
+Additional algebra (round 3): UNION (``unionByName`` of branch plans,
+allowMissingColumns for branch-local variables), MINUS and FILTER [NOT]
+EXISTS (left-anti / left-semi joins on the shared variables), VALUES
+inline data (literal DataFrame join), ``SELECT *``, and the solution
+modifiers ORDER BY / LIMIT / OFFSET — preserved from aspect patterns
+like the reference does (`ComparisonProcessor.java:57-75`).
+
+Comparison semantics: ``=`` / ``!=`` between two term operands compare
+numerically when BOTH sides carry numeric datatypes at runtime
+("01"^^xsd:integer = "1"^^xsd:integer) and by full term identity
+otherwise (an IRI never equals a literal with the same lexical form);
+``<``/``<=``/``>``/``>=`` are numeric when either side is statically
+numeric and lexical otherwise (documented restriction). ORDER BY sorts
+numerically for numeric-datatype terms, lexically otherwise.
+
+Restrictions (documented, loud): no property paths beyond IRI ``/``
+sequences, GROUP BY/HAVING, subqueries, named-graph patterns, UNDEF in
+VALUES, or EXISTS/MINUS blocks sharing no variable with the outer
+pattern. Unsupported syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -92,13 +107,22 @@ class Group:
     optionals: list = field(default_factory=list)  # nested Groups
     filters: list = field(default_factory=list)  # exprs
     binds: list = field(default_factory=list)  # (expr, var_name)
+    unions: list = field(default_factory=list)  # list[list[Group]] branches
+    minuses: list = field(default_factory=list)  # nested Groups (MINUS)
+    not_exists: list = field(default_factory=list)  # FILTER NOT EXISTS groups
+    exists: list = field(default_factory=list)  # FILTER EXISTS groups
+    values_blocks: list = field(default_factory=list)  # (var_names, rows)
 
 
 @dataclass
 class SelectQuery:
-    projections: list  # list[(expr_or_Var, out_name)]
+    projections: list  # list[(expr_or_Var, out_name)]; [] with star=True
     where: Group
     distinct: bool = False
+    star: bool = False
+    order: list = field(default_factory=list)  # [(expr, ascending)]
+    limit: int | None = None
+    offset: int | None = None
 
 
 @dataclass
@@ -116,11 +140,11 @@ _TOKEN = re.compile(
   | (?P<iri><[^<>\s]*>)
   | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<num>(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<dtsep>\^\^)
   | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(){};,.\[\]])
-  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -188,6 +212,7 @@ class _Parser:
         if self.at_word("REDUCED"):
             self.next()
         projections = []
+        star = False
         while True:
             k, v = self.peek()
             if k == "var":
@@ -203,30 +228,117 @@ class _Parser:
                 self.eat(")")
                 projections.append((expr, vv[1:]))
             elif v == "*":
-                raise SparqlUnsupported("SELECT * not supported; list variables")
+                self.next()
+                star = True
             else:
                 break
         if self.at_word("WHERE"):
             self.next()
         group = self.parse_group()
-        k, v = self.peek()
-        if self.at_word("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING", "VALUES"):
-            raise SparqlUnsupported(f"solution modifier {v!r} not supported")
-        if not projections:
+        q = SelectQuery(projections, group, distinct, star=star)
+        self.parse_solution_modifiers(q)
+        if self.at_word("GROUP", "HAVING"):
+            raise SparqlUnsupported(f"solution modifier {self.peek()[1]!r} not supported")
+        if not projections and not star:
             raise SparqlUnsupported("empty projection")
-        return SelectQuery(projections, group, distinct)
+        return q
+
+    def parse_solution_modifiers(self, q: SelectQuery) -> None:
+        """ORDER BY / LIMIT / OFFSET / trailing VALUES — preserved from
+        aspect patterns like the reference (`ComparisonProcessor.java:57-75`)."""
+        while True:
+            if self.at_word("ORDER"):
+                self.next()
+                self.eat("BY")
+                while True:
+                    k, v = self.peek()
+                    asc = True
+                    if self.at_word("ASC", "DESC"):
+                        asc = v.upper() == "ASC"
+                        self.next()
+                        self.eat("(")
+                        expr = self.parse_expr()
+                        self.eat(")")
+                    elif k == "var":
+                        self.next()
+                        expr = Var(v[1:])
+                    elif v == "(":
+                        self.next()
+                        expr = self.parse_expr()
+                        self.eat(")")
+                    else:
+                        break
+                    q.order.append((expr, asc))
+                if not q.order:
+                    raise SparqlUnsupported("empty ORDER BY")
+            elif self.at_word("LIMIT"):
+                self.next()
+                k, v = self.next()
+                if k != "num" or not v.isdigit():
+                    raise SparqlUnsupported("LIMIT needs an integer")
+                q.limit = int(v)
+            elif self.at_word("OFFSET"):
+                self.next()
+                k, v = self.next()
+                if k != "num" or not v.isdigit():
+                    raise SparqlUnsupported("OFFSET needs an integer")
+                q.offset = int(v)
+            elif self.at_word("VALUES"):
+                self.next()
+                q.where.values_blocks.append(self.parse_values_body())
+            else:
+                return
+
+    def parse_values_body(self) -> tuple:
+        """After the VALUES keyword: `?x { t ... }` or
+        `(?x ?y) { (t t) ... }` → (var_names, rows of term tuples)."""
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            names = [v[1:]]
+            self.eat("{")
+            rows = []
+            while self.peek()[1] != "}":
+                rows.append((self.parse_values_term(),))
+            self.eat("}")
+            return names, rows
+        self.eat("(")
+        names = []
+        while self.peek()[0] == "var":
+            names.append(self.next()[1][1:])
+        self.eat(")")
+        if not names:
+            raise SparqlUnsupported("VALUES with no variables")
+        self.eat("{")
+        rows = []
+        while self.peek()[1] != "}":
+            self.eat("(")
+            row = tuple(self.parse_values_term() for _ in names)
+            self.eat(")")
+            rows.append(row)
+        self.eat("}")
+        return names, rows
+
+    def parse_values_term(self):
+        if self.at_word("UNDEF"):
+            raise SparqlUnsupported("UNDEF in VALUES not supported")
+        return self.parse_term(position="object")
 
     def parse_construct(self) -> ConstructQuery:
         self.parse_prologue()
         self.eat("CONSTRUCT")
         template = self.parse_group()
-        if template.optionals or template.filters or template.binds:
+        if (
+            template.optionals or template.filters or template.binds
+            or template.unions or template.minuses or template.not_exists
+            or template.exists or template.values_blocks
+        ):
             raise SparqlUnsupported("CONSTRUCT template must be plain triples")
         if self.at_word("WHERE"):
             self.next()
         where = self.parse_group()
         if self.at_word("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING", "VALUES"):
-            raise SparqlUnsupported("solution modifier not supported")
+            raise SparqlUnsupported("solution modifier on CONSTRUCT not supported")
         return ConstructQuery(template.triples, where)
 
     # -- group ----------------------------------------------------------
@@ -242,15 +354,29 @@ class _Parser:
             if self.at_word("OPTIONAL"):
                 self.next()
                 g.optionals.append(self.parse_group())
+            elif self.at_word("MINUS"):
+                self.next()
+                g.minuses.append(self.parse_group())
+            elif self.at_word("VALUES"):
+                self.next()
+                g.values_blocks.append(self.parse_values_body())
             elif self.at_word("FILTER"):
                 self.next()
-                k2, v2 = self.peek()
-                if v2 == "(":
+                if self.at_word("NOT"):
                     self.next()
-                    g.filters.append(self.parse_expr())
-                    self.eat(")")
-                else:  # FILTER langMatches(...) — bare function call form
-                    g.filters.append(self.parse_expr())
+                    self.eat("EXISTS")
+                    g.not_exists.append(self.parse_group())
+                elif self.at_word("EXISTS"):
+                    self.next()
+                    g.exists.append(self.parse_group())
+                else:
+                    k2, v2 = self.peek()
+                    if v2 == "(":
+                        self.next()
+                        g.filters.append(self.parse_expr())
+                        self.eat(")")
+                    else:  # FILTER langMatches(...) — bare function call form
+                        g.filters.append(self.parse_expr())
             elif self.at_word("BIND"):
                 self.next()
                 self.eat("(")
@@ -261,10 +387,15 @@ class _Parser:
                     raise SparqlUnsupported("expected variable after AS")
                 self.eat(")")
                 g.binds.append((expr, vv[1:]))
-            elif self.at_word("UNION", "MINUS", "GRAPH", "SERVICE", "VALUES"):
+            elif self.at_word("GRAPH", "SERVICE"):
                 raise SparqlUnsupported(f"{v} not supported")
             elif v == "{":
-                raise SparqlUnsupported("nested group patterns not supported")
+                # nested group; `{ A } UNION { B } [UNION { C }]` branches
+                branches = [self.parse_group()]
+                while self.at_word("UNION"):
+                    self.next()
+                    branches.append(self.parse_group())
+                g.unions.append(branches)
             elif v == ".":
                 self.next()
             else:
@@ -306,6 +437,12 @@ class _Parser:
 
     def parse_term(self, position: str):
         k, v = self.next()
+        if position == "object" and v in ("-", "+") and self.peek()[0] == "num":
+            # signed numeric literal: the tokenizer leaves the sign to the
+            # parser so `STRLEN(?x)-1` parses as a binary minus
+            sign = "" if v == "+" else "-"
+            k, v = self.next()
+            v = sign + v
         if k == "var":
             return Var(v[1:])
         if k == "iri":
@@ -442,10 +579,46 @@ def parse_construct(text: str) -> ConstructQuery:
     return _Parser(text).parse_construct()
 
 
+def _group_var_order(g: Group) -> list[str]:
+    """Variables of a group in (approximate) first-appearance order —
+    the ``SELECT *`` projection and star covered-variables list."""
+    seen: set[str] = set()
+    out: list[str] = []
+
+    def add(name: str) -> None:
+        if name not in seen:
+            seen.add(name)
+            out.append(name)
+
+    def walk(gr: Group) -> None:
+        for tp in gr.triples:
+            for t in (tp.s, tp.p, tp.o):
+                if isinstance(t, Var):
+                    add(t.name)
+        for branches in gr.unions:
+            for b in branches:
+                walk(b)
+        for names, _rows in gr.values_blocks:
+            for n in names:
+                add(n)
+        for _e, n in gr.binds:
+            add(n)
+        for opt in gr.optionals:
+            walk(opt)
+
+    walk(g)
+    return out
+
+
 def pattern_vars(text: str) -> list[str]:
     """The pattern's result variables = the aspect's covered variables
-    (`Aspect.java:347-355`)."""
-    return [name for _, name in parse_select(text).projections]
+    (`Aspect.java:347-355`); for ``SELECT *`` the in-scope variables."""
+    q = parse_select(text)
+    if q.star:
+        return [
+            n for n in _group_var_order(q.where) if not n.startswith("__")
+        ] + [name for _, name in q.projections]
+    return [name for _, name in q.projections]
 
 
 def var_paths(text: str, key_var: str) -> dict[str, str]:
@@ -568,19 +741,49 @@ class _Compiler:
         out = df.select(*[c.alias(n) for n, c in cols.items()])
         return out, set(cols)
 
+    def _join_in(self, acc, bound, df, vs):
+        if acc is None:
+            return df, set(vs)
+        shared = sorted(bound & vs)
+        acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
+        return acc, bound | vs
+
+    def _union_df(self, branches: list[Group]) -> tuple[DataFrame, set[str]]:
+        """UNION = unionByName of branch plans; variables bound in only
+        some branches are NULL structs elsewhere (they then behave as
+        unbound in downstream joins/filters)."""
+        compiled = [self.group_df(b) for b in branches]
+        allvars = set().union(*[vs for _, vs in compiled])
+        out = None
+        for df, vs in compiled:
+            for missing in sorted(allvars - vs):
+                df = df.withColumn(missing, F.lit(None).cast(_TERM_DDL))
+            out = df if out is None else out.unionByName(df)
+        return out, allvars
+
+    def _values_df(self, names: list[str], rows: list[tuple]) -> DataFrame:
+        """VALUES inline data → a literal DataFrame of term structs,
+        joined (or cross-joined) into the group like any other operand;
+        Catalyst can then use it as a broadcast build side."""
+        data = [tuple(_term_tuple(t) for t in row) for row in rows]
+        ddl = ", ".join(f"`{n}` {_TERM_DDL}" for n in names)
+        return self.t.sparkSession.createDataFrame(data, ddl)
+
     def group_df(self, g: Group) -> tuple[DataFrame, set[str]]:
-        if not g.triples and not g.binds:
+        if not g.triples and not g.binds and not g.unions and not g.values_blocks:
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
         bound: set[str] = set()
         for tp in g.triples:
             df, vs = self.triple_df(tp)
-            if acc is None:
-                acc, bound = df, vs
-            else:
-                shared = sorted(bound & vs)
-                acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
-                bound |= vs
+            acc, bound = self._join_in(acc, bound, df, vs)
+        for branches in g.unions:
+            df, vs = self._union_df(branches)
+            acc, bound = self._join_in(acc, bound, df, vs)
+        for names, rows in g.values_blocks:
+            acc, bound = self._join_in(
+                acc, bound, self._values_df(names, rows), set(names)
+            )
         for expr, name in g.binds:
             if acc is None:
                 raise SparqlUnsupported("BIND before any triple pattern")
@@ -595,9 +798,49 @@ class _Compiler:
                 raise SparqlUnsupported("OPTIONAL sharing no variables")
             acc = acc.join(odf, on=shared, how="left")
             bound |= ovs
+        for m in g.minuses:
+            mdf, mvs = self.group_df(m)
+            shared = sorted(bound & mvs)
+            if shared:  # MINUS over disjoint domains removes nothing (SPARQL)
+                acc = acc.join(
+                    mdf.select(*shared).distinct(), on=shared, how="left_anti"
+                )
+        for ne in g.not_exists:
+            ndf, nvs = self.group_df(ne)
+            shared = sorted(bound & nvs)
+            if not shared:
+                raise SparqlUnsupported(
+                    "FILTER NOT EXISTS sharing no variables with the outer"
+                    " pattern is not supported"
+                )
+            acc = acc.join(
+                ndf.select(*shared).distinct(), on=shared, how="left_anti"
+            )
+        for ex in g.exists:
+            edf, evs = self.group_df(ex)
+            shared = sorted(bound & evs)
+            if not shared:
+                raise SparqlUnsupported(
+                    "FILTER EXISTS sharing no variables with the outer"
+                    " pattern is not supported"
+                )
+            acc = acc.join(
+                edf.select(*shared).distinct(), on=shared, how="left_semi"
+            )
         for fexpr in g.filters:
             acc = acc.where(compile_expr_bool(fexpr, bound))
         return acc, bound
+
+
+_TERM_DDL = "struct<kind:string,value:string,datatype:string,lang:string>"
+
+
+def _term_tuple(term) -> tuple:
+    if isinstance(term, Iri):
+        return ("iri", term.value, "", "")
+    if isinstance(term, Lit):
+        return ("literal", term.lex, term.datatype, term.lang)
+    raise SparqlUnsupported(f"bad VALUES term {term!r}")
 
 
 # -- expression compilation --------------------------------------------
@@ -654,6 +897,17 @@ def _compile(e, bound: set[str]) -> Column:
             return -_num(e.left, bound)
         if e.op in ("=", "!=", "<", "<=", ">", ">="):
             numeric = _is_numeric_expr(e.left) or _is_numeric_expr(e.right)
+            if (
+                e.op in ("=", "!=") and not numeric
+                and isinstance(e.left, (Var, Iri, Lit))
+                and isinstance(e.right, (Var, Iri, Lit))
+            ):
+                # term operands: numeric value equality when BOTH sides
+                # carry numeric datatypes at runtime, full term identity
+                # otherwise — an IRI never equals a same-lexical literal,
+                # and "01"^^xsd:integer = "1"^^xsd:integer numerically
+                eq = _term_eq(e.left, e.right, bound)
+                return eq if e.op == "=" else ~eq
             lv = _num(e.left, bound) if numeric else _val(e.left, bound)
             rv = _num(e.right, bound) if numeric else _val(e.right, bound)
             return {
@@ -736,10 +990,23 @@ def _compile_call(e: Call, bound: set[str]) -> Column:
     raise SparqlUnsupported(f"function {fn} not supported")
 
 
+def _term_eq(left, right, bound: set[str]) -> Column:
+    lt, rt = _term_of(left, bound), _term_of(right, bound)
+    nums = list(_NUMERIC_DTS)
+
+    def is_num(t):
+        return (t["kind"] == "literal") & t["datatype"].isin(nums)
+
+    return F.when(
+        is_num(lt) & is_num(rt),
+        lt["value"].cast("double") == rt["value"].cast("double"),
+    ).otherwise(lt == rt)
+
+
 def _term_of(e, bound: set[str]) -> Column:
     if isinstance(e, Var):
         if e.name not in bound:
-            return F.lit(None)
+            return F.lit(None).cast(_TERM_DDL)
         return F.col(e.name)
     if isinstance(e, (Iri, Lit)):
         return _const_struct(e)
@@ -773,26 +1040,70 @@ def compile_expr_term(e, bound: set[str]) -> Column:
 # public API
 
 
+def _order_keys(order: list, bound: set[str]) -> list[Column]:
+    """ORDER BY keys: numeric-datatype terms sort numerically (NULL for
+    the non-numeric rows), then lexically — one (numeric, lexical) key
+    pair per comparator, directions applied to both."""
+    keys: list[Column] = []
+    for expr, asc in order:
+        if isinstance(expr, Var):
+            if expr.name not in bound:
+                raise SparqlUnsupported(
+                    f"ORDER BY ?{expr.name} is not available here (with"
+                    " DISTINCT the variable must be projected)"
+                )
+            t = F.col(expr.name)
+            num = F.when(
+                (t["kind"] == "literal") & t["datatype"].isin(list(_NUMERIC_DTS)),
+                t["value"].cast("double"),
+            )
+            parts = [num, t["value"]]
+        else:
+            parts = [_compile(expr, bound)]
+        keys.extend(p.asc() if asc else p.desc() for p in parts)
+    return keys
+
+
 def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     """Run a restricted SPARQL SELECT over the triples DataFrame. Output:
     one struct column (kind, value, datatype, lang) per projected
-    variable; unbound optionals are NULL structs."""
+    variable; unbound optionals are NULL structs. Solution modifiers
+    (ORDER BY / LIMIT / OFFSET) are honored — the reference preserves
+    them from aspect patterns (`ComparisonProcessor.java:57-75`)."""
     q = parse_select(query_text)
     comp = _Compiler(triples)
     df, bound = comp.group_df(q.where)
+    projections = q.projections
+    if q.star:
+        projections = projections + [
+            (Var(n), n)
+            for n in _group_var_order(q.where)
+            if n in bound and not n.startswith("__")
+        ]
+    if q.order and not q.distinct:
+        # pre-projection sort may use unprojected variables
+        df = df.orderBy(*_order_keys(q.order, bound))
     cols = []
-    for expr, name in q.projections:
+    for expr, name in projections:
         if isinstance(expr, Var):
             if expr.name in bound:
                 cols.append(F.col(expr.name).alias(name))
             else:
-                cols.append(F.lit(None).cast(
-                    "struct<kind:string,value:string,datatype:string,lang:string>"
-                ).alias(name))
+                cols.append(F.lit(None).cast(_TERM_DDL).alias(name))
         else:
             cols.append(compile_expr_term(expr, bound).alias(name))
     out = df.select(*cols)
-    return out.distinct() if q.distinct else out
+    if q.distinct:
+        out = out.distinct()
+        if q.order:
+            out = out.orderBy(
+                *_order_keys(q.order, {name for _, name in projections})
+            )
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
 
 
 def aspect_pattern_values(

@@ -220,18 +220,26 @@ def test_ivf_topk_recall(spark, emb_df):
 
 def test_ivf_scale_invariant_cells(spark, emb_df):
     # a positively scaled copy must land in the same primary cell
-    from abecto_spark.operators.ann import _cell_col, train_ivf_centroids
+    from abecto_spark.operators.ann import (
+        _as_double,
+        _cell_col,
+        _with_matrix,
+        train_ivf_centroids,
+    )
 
     cents = train_ivf_centroids(emb_df, n_cells=8, sample=500, seed=3)
-    from abecto_spark.operators.ann import _as_double
 
-    base = emb_df.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("cell", _cell_col(F.col("v"), cents, top=1)[0]["cell"])
-    scaled = emb_df.select(
-        "vec_id",
-        _as_double(F.transform("embedding", lambda x: x * F.lit(4.0))).alias("v"),
-    ).withColumn("cell2", _cell_col(F.col("v"), cents, top=1)[0]["cell"])
+    base = _with_matrix(
+        emb_df.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        cents, "cents",
+    ).withColumn("cell", _cell_col(F.col("v"), F.col("cents"), top=1)[0]["cell"])
+    scaled = _with_matrix(
+        emb_df.select(
+            "vec_id",
+            _as_double(F.transform("embedding", lambda x: x * F.lit(4.0))).alias("v"),
+        ),
+        cents, "cents",
+    ).withColumn("cell2", _cell_col(F.col("v"), F.col("cents"), top=1)[0]["cell"])
     joined = base.select("vec_id", "cell").join(
         scaled.select("vec_id", "cell2"), "vec_id"
     )

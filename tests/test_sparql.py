@@ -159,10 +159,11 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 
 def test_unsupported_syntax_is_loud():
     for q in [
-        "SELECT * WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { { ?s ?p ?o } UNION { ?s ?q ?o } }",
-        "SELECT ?s WHERE { ?s ?p ?o } LIMIT 5",
-        "SELECT ?s WHERE { ?s <http://x>+ ?o }",
+        "SELECT ?s WHERE { ?s <http://x>+ ?o }",  # path quantifier
+        "SELECT ?s WHERE { GRAPH <http://g> { ?s ?p ?o } }",
+        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s",
+        "SELECT ?s WHERE { ?s ?p ?o . VALUES ?x { UNDEF } }",
+        "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
     ]:
         with pytest.raises(SparqlUnsupported):
             parse_select(q)
@@ -236,3 +237,115 @@ def test_var_paths():
     assert p["rev"] == f"^<{EX}owns>/<{EX}rev>"
     # ?nb and ?owner are not projected -> no entries
     assert set(p) == {"name", "nn", "rev"}
+
+
+# ---------------------------------------------------------------------------
+# round-3 algebra: UNION / MINUS / [NOT] EXISTS / VALUES / modifiers / =
+
+
+def test_union_branches_and_branch_local_vars(spark, triples):
+    df = sparql_select(
+        triples,
+        f"""SELECT ?s ?pnr WHERE {{
+              {{ ?s <{EX}label> "Alice" }}
+              UNION
+              {{ ?s <{EX}pnr> ?pnr . FILTER(?pnr > 90000) }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["pnr"] and r["pnr"]["value"]) for r in df.collect()}
+    assert rows == {(EX + "alice", None), (EX + "carol", "99999")}
+
+
+def test_minus_and_not_exists(spark, triples):
+    base = f"?s a <{EX}Person> ."
+    minus = sparql_select(
+        triples, f"SELECT ?s WHERE {{ {base} MINUS {{ ?s <{EX}pnr> ?x }} }}"
+    )
+    nexists = sparql_select(
+        triples,
+        f"SELECT ?s WHERE {{ {base} FILTER NOT EXISTS {{ ?s <{EX}pnr> ?x }} }}",
+    )
+    assert {r["s"]["value"] for r in minus.collect()} == {EX + "bob"}
+    assert {r["s"]["value"] for r in nexists.collect()} == {EX + "bob"}
+    exists = sparql_select(
+        triples,
+        f"SELECT ?s WHERE {{ {base} FILTER EXISTS {{ ?s <{EX}pnr> ?x }} }}",
+    )
+    assert {r["s"]["value"] for r in exists.collect()} == {EX + "alice"}
+
+
+def test_values_single_and_multi_var(spark, triples):
+    df = sparql_select(
+        triples,
+        f"""SELECT ?s ?v WHERE {{
+              ?s <{EX}label> ?v .
+              VALUES (?v) {{ ("Alice") ("Bob") }}
+            }}""",
+    )
+    assert {(r["s"]["value"], r["v"]["value"]) for r in df.collect()} == {
+        (EX + "alice", "Alice"), (EX + "bob", "Bob"),
+    }
+    trailing = sparql_select(
+        triples,
+        f"SELECT ?s WHERE {{ ?s <{EX}label> ?v }} VALUES ?v {{ \"Alice\" }}",
+    )
+    assert [r["s"]["value"] for r in trailing.collect()] == [EX + "alice"]
+
+
+def test_order_limit_offset_and_star(spark, triples):
+    df = sparql_select(
+        triples,
+        f"SELECT ?s ?pnr WHERE {{ ?s <{EX}pnr> ?pnr }} ORDER BY DESC(?pnr) LIMIT 1",
+    )
+    assert [r["s"]["value"] for r in df.collect()] == [EX + "carol"]
+    # numeric ordering, not lexical: 45678 < 99999 numerically AND lexically;
+    # add offset to take the smaller one
+    df2 = sparql_select(
+        triples,
+        f"SELECT ?pnr WHERE {{ ?s <{EX}pnr> ?pnr }} ORDER BY ?pnr OFFSET 1 LIMIT 1",
+    )
+    assert [r["pnr"]["value"] for r in df2.collect()] == ["99999"]
+    star = sparql_select(triples, f"SELECT * WHERE {{ ?s <{EX}pnr> ?pnr }}")
+    assert star.columns == ["s", "pnr"]
+    # DISTINCT + ORDER BY on a projected var
+    d = sparql_select(
+        triples,
+        f"SELECT DISTINCT ?s WHERE {{ ?s <{EX}pnr> ?pnr }} ORDER BY ?s LIMIT 2",
+    )
+    assert [r["s"]["value"] for r in d.collect()] == [EX + "alice", EX + "carol"]
+
+
+def test_term_equality_kind_and_numeric(spark, triples):
+    # IRI vs literal with identical lexical form must NOT be equal
+    kindblind = sparql_select(
+        triples,
+        f'SELECT ?s WHERE {{ ?s <{EX}boss> ?b . FILTER(?b = "{EX}bob") }}',
+    )
+    assert kindblind.count() == 0
+    # var-var numeric datatypes compare numerically ("01" = "1")
+    rows = [
+        ("a", EX + "n", "literal", "01", XSD_INTEGER, ""),
+        ("b", EX + "n", "literal", "1", XSD_INTEGER, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    df = sparql_select(
+        t,
+        f"SELECT ?x ?y WHERE {{ ?x <{EX}n> ?a . ?y <{EX}n> ?b ."
+        f" FILTER(?a = ?b && ?x != ?y) }}",
+    )
+    assert df.count() == 2  # both directions
+
+
+def test_signed_number_vs_binary_minus(spark, triples):
+    df = sparql_select(
+        triples,
+        f"SELECT ?s WHERE {{ ?s <{EX}label> ?l . FILTER(STRLEN(?l)-2 = 3) }}",
+    )
+    # Alice (5-2=3) and Bobby (5-2=3); Bob is 3-2=1
+    assert {r["s"]["value"] for r in df.collect()} == {EX + "alice", EX + "bob"}
+    neg = sparql_select(
+        spark.createDataFrame([("s", EX + "n", "literal", "-5", XSD_INTEGER, "")],
+                              TRIPLES_DDL),
+        f"SELECT ?s WHERE {{ ?s <{EX}n> -5 }}",
+    )
+    assert neg.count() == 1

@@ -1,0 +1,251 @@
+"""TriG plan-file surface: the extended Turtle/TriG parser (named graphs,
+@base, blank-node property lists, collections), the av:Plan vocabulary →
+plan-dict mapper, and the CLI — fed the reference's ACTUAL
+`tutorial-configuration.trig` (`Abecto.java:64-155`, `AbectoTest.java:32-40`)
+with the same result assertions as the dict-driven tutorial e2e."""
+
+from __future__ import annotations
+
+import os
+from decimal import Decimal
+
+import pytest
+
+from abecto_spark.plans.driver import run_plan
+from abecto_spark.plans.trig_plan import PlanFileError, load_trig_plan
+from abecto_spark.sources.turtle import (
+    RDF_NS,
+    TurtleUnsupported,
+    parse_trig,
+    parse_turtle,
+)
+
+RES = "/root/reference/abecto-core/src/test/resources"
+TRIG = f"{RES}/tutorial-configuration.trig"
+EX = "http://example.org/"
+A, B, C = EX + "a/", EX + "b/", EX + "c/"
+D1, D2, D3 = (EX + f"dataset{i}" for i in (1, 2, 3))
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(TRIG), reason="reference fixtures not available"
+)
+
+
+# ---------------------------------------------------------------------------
+# parser units
+
+
+def test_bnode_property_list_and_base():
+    rows = parse_turtle(
+        """
+        @base <http://x.org/> .
+        @prefix ex: <http://x.org/v#> .
+        <s> ex:p [ ex:k "path" ; ex:v "a", "b" ] .
+        """
+    )
+    d = {(s, p): (k, v) for s, p, k, v, *_ in rows}
+    bnode = d[("http://x.org/s", "http://x.org/v#p")][1]
+    assert d[("http://x.org/s", "http://x.org/v#p")][0] == "bnode"
+    assert d[(bnode, "http://x.org/v#k")] == ("literal", "path")
+    vals = {v for s, p, k, v, *_ in rows if s == bnode and p.endswith("#v")}
+    assert vals == {"a", "b"}
+
+
+def test_anonymous_subject_and_nested_bnodes():
+    rows = parse_turtle(
+        """
+        @prefix ex: <http://x.org/> .
+        [] a ex:Thing ; ex:p [ ex:q 1 ] .
+        """
+    )
+    types = [(s, v) for s, p, k, v, *_ in rows if p.endswith("type")]
+    assert len(types) == 1 and types[0][0].startswith("_:")
+    nested = [v for s, p, k, v, *_ in rows if p == "http://x.org/q"]
+    assert nested == ["1"]
+
+
+def test_collections():
+    rows = parse_turtle(
+        "@prefix ex: <http://x.org/> . ex:s ex:p (ex:a ex:b) . ex:t ex:q () ."
+    )
+    firsts = [v for s, p, k, v, *_ in rows if p == RDF_NS + "first"]
+    assert firsts == ["http://x.org/a", "http://x.org/b"]
+    rests = [(k, v) for s, p, k, v, *_ in rows if p == RDF_NS + "rest"]
+    assert ("iri", RDF_NS + "nil") in rests
+    empty = [(k, v) for s, p, k, v, *_ in rows if s == "http://x.org/t"]
+    assert empty == [("iri", RDF_NS + "nil")]
+
+
+def test_trig_named_graphs_and_shorthand():
+    quads = parse_trig(
+        """
+        @prefix ex: <http://x.org/> .
+        ex:s ex:p ex:o .
+        GRAPH ex:g1 { ex:a ex:p ex:b . ex:c ex:p ex:d }
+        ex:g2 { ex:e ex:p ex:f . }
+        { ex:x ex:p ex:y }
+        """
+    )
+    by_graph = {}
+    for g, s, *_ in quads:
+        by_graph.setdefault(g, []).append(s)
+    assert sorted(by_graph[""]) == ["http://x.org/s", "http://x.org/x"]
+    assert sorted(by_graph["http://x.org/g1"]) == ["http://x.org/a", "http://x.org/c"]
+    assert by_graph["http://x.org/g2"] == ["http://x.org/e"]
+
+
+def test_pname_trailing_dot_is_statement_terminator():
+    # `ex:o.` must tokenize as pname + '.', not swallow the dot (ADVICE)
+    rows = parse_turtle("@prefix ex: <http://x.org/> . ex:s ex:p ex:o.")
+    assert rows == [
+        ("http://x.org/s", "http://x.org/p", "iri", "http://x.org/o", None, "")
+    ]
+
+
+def test_triple_quoted_and_numeric_literals():
+    rows = parse_turtle(
+        '@prefix ex: <http://x.org/> .\n'
+        'ex:s ex:q """line1\nline2 "quoted" end""" ; ex:n 9e-1 ; ex:i 42 .'
+    )
+    d = {p.rsplit("/", 1)[-1]: (v, dt) for s, p, k, v, dt, _ in rows}
+    assert d["q"][0] == 'line1\nline2 "quoted" end'
+    assert d["n"] == ("9e-1", XSD + "double")
+    assert d["i"] == ("42", XSD + "integer")
+
+
+def test_unsupported_still_loud():
+    with pytest.raises(TurtleUnsupported):
+        parse_turtle("<s> <p> <o> ; ,")
+
+
+# ---------------------------------------------------------------------------
+# plan vocabulary mapping + e2e on the reference's own plan file
+
+
+def test_load_trig_plan_structure():
+    plan = load_trig_plan(TRIG)
+    aspects = plan["aspects"]
+    assert list(aspects) == [EX + "aspectPerson"]
+    assert aspects[EX + "aspectPerson"]["key_var"] == "person"
+    assert sorted(aspects[EX + "aspectPerson"]["patterns"]) == [D1, D2, D3]
+    steps = {s["id"]: s for s in plan["steps"]}
+    jw = steps[EX + "jaroWinklerMapping"]
+    assert jw["processor"] == "jw_mapping"
+    assert jw["params"]["threshold"] == 0.9
+    assert jw["params"]["case_sensitive"] is False
+    assert jw["params"]["variables"] == ["label"]
+    # named graph routed into the step as inline metadata rows
+    assert jw["params"]["predefined_meta_rows"] == [
+        [B + "william", "http://w3id.org/abecto/vocabulary#correspondsNotToResource",
+         "iri", C + "P004", None, ""]
+    ]
+    src1 = steps[EX + "source1"]
+    assert [os.path.basename(p) for p in src1["params"]["path"]] == [
+        "tutorial-source1part1.ttl", "tutorial-source1part2.ttl"
+    ]
+    assert all(os.path.isabs(p) for p in src1["params"]["path"])
+
+
+def test_load_trig_plan_errors(tmp_path):
+    f = tmp_path / "two_plans.trig"
+    f.write_text(
+        "@prefix av: <http://w3id.org/abecto/vocabulary#> .\n"
+        "<p1> a av:Plan . <p2> a av:Plan .\n"
+    )
+    with pytest.raises(PlanFileError, match="exactly one av:Plan"):
+        load_trig_plan(str(f))
+    assert load_trig_plan(str(f), plan_iri="p1")["steps"] == []
+    with pytest.raises(PlanFileError, match="not found"):
+        load_trig_plan(str(f), plan_iri="nope")
+
+
+@pytest.fixture(scope="module")
+def trig_result(spark):
+    return run_plan(spark, load_trig_plan(TRIG))
+
+
+def test_trig_plan_clusters(spark, trig_result):
+    from pyspark.sql import functions as F
+
+    groups = (
+        trig_result.canonical.groupBy("canonical_id")
+        .agg(F.sort_array(F.collect_set("resource")).alias("members"))
+        .collect()
+    )
+    clusters = {tuple(r["members"]) for r in groups if len(r["members"]) > 1}
+    assert clusters == {
+        (A + "alice", B + "alice", C + "P001"),
+        (B + "charlie", C + "P002"),
+    }
+
+
+def test_trig_plan_measures_and_findings(spark, trig_result):
+    mm = {
+        (r["measure"], r["dataset"], tuple(r["compared_to"])): Decimal(r["value"])
+        for r in trig_result.measures.where("variable IS NULL").collect()
+    }
+    assert mm[("count", D1, ())] == 2
+    assert mm[("count", D2, ())] == 3
+    assert mm[("count", D3, ())] == 4
+    assert mm[("marCompletenessThomas08", D1, (D2, D3))] == Decimal(
+        "0.3076923076923077"
+    )
+    devs = {
+        (r["variable"], r["affected_dataset"], r["affected_value"],
+         r["compared_to_dataset"], r["compared_to_value"])
+        for r in trig_result.findings.where("kind = 'deviation'").collect()
+    }
+    assert ("pnr", D1, "45678", D3, "12345") in devs
+    omissions = {
+        (r["affected_dataset"], r["compared_to_resource"])
+        for r in trig_result.findings.where("kind = 'resource_omission'").collect()
+    }
+    # the manualMappings graph's exclusion kept william/P004 apart
+    assert (D3, B + "william") in omissions
+    assert (D2, C + "P004") in omissions
+
+
+# ---------------------------------------------------------------------------
+# CLI
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from abecto_spark.cli import main
+
+    out = tmp_path / "out"
+    dev_csv = tmp_path / "deviations_csv"
+    meas_md = tmp_path / "measurements.md"
+    code = main([
+        TRIG,
+        "--out", str(out),
+        "-E", f"deviations={dev_csv}",
+        "-E", f"measurementsMarkdown={meas_md}",
+        "--failOnDeviation", "--failOnResourceOmission",
+    ])
+    assert code == 2 + 8  # deviations and resource omissions both present
+    assert (out / "measures").is_dir() and (out / "findings").is_dir()
+    md = meas_md.read_text()
+    assert "marCompletenessThomas08" in md
+    import glob
+
+    csv_text = "".join(
+        open(p).read() for p in glob.glob(str(dev_csv / "part-*"))
+    )
+    assert "45678" in csv_text and "12345" in csv_text
+
+
+def test_cli_report_on_filters_exit_bits(spark, tmp_path):
+    from abecto_spark.cli import main
+
+    # dataset1 is affected by deviations; restricting to it must drop the
+    # exit bit for a finding kind it does not carry
+    code = main([TRIG, "--reportOn", D1, "--failOnDeviation"])
+    assert code == 2
+
+
+def test_cli_bad_export_template(spark):
+    from abecto_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main([TRIG, "-E", "nope=/tmp/x"])

@@ -531,6 +531,137 @@ def q_property_findings(spark, sf):
     )
 
 
+def q_aspect_algebra(spark, sf):
+    """Round-3 SPARQL algebra over a customer-derived triples table:
+    UNION branches, FILTER NOT EXISTS, a VALUES inline table, and
+    preserved ORDER BY/LIMIT solution modifiers (the reference keeps
+    these on aspect patterns, `ComparisonProcessor.java:57-75`)."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    c = _t(spark, sf, "customer")
+    cs = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def t(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"), F.lit(dt).alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    triples = (
+        c.select(*t(cs, "name", "literal", F.col("c_name"), XSD_STRING))
+        .unionByName(
+            c.select(*t(cs, "seg", "literal", F.col("c_mktsegment"), XSD_STRING))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 5 == 0).select(
+                *t(cs, "flag", "literal", F.lit("x"), XSD_STRING)
+            )
+        )
+    )
+    wide = sparql_select(
+        triples,
+        f"""
+        SELECT ?c ?name ?seg WHERE {{
+          ?c <{ex}name> ?name ; <{ex}seg> ?seg .
+          {{ ?c <{ex}seg> "BUILDING" }} UNION {{ ?c <{ex}seg> "MACHINERY" }}
+          FILTER NOT EXISTS {{ ?c <{ex}flag> ?f }}
+          VALUES ?seg {{ "BUILDING" "MACHINERY" "AUTOMOBILE" }}
+        }}
+        ORDER BY ?c LIMIT 400
+        """,
+    )
+    return wide.select(
+        F.col("c")["value"].alias("resource"),
+        F.col("name")["value"].alias("name"),
+        F.col("seg")["value"].alias("segment"),
+    )
+
+
+def q_var_paths(spark, sf):
+    """Variable-path extraction (sparql.var_paths — the reference's
+    `VarPathsExtractionVisitor.java:35-209`): BFS over the pattern's
+    triple hops with forward and inverse steps, compared against an
+    independent DuckDB recursive-CTE shortest-path recomputation over
+    the same hop edges."""
+    from ..sparql import var_paths
+
+    ex = "http://x/"
+    pattern = f"""
+        SELECT ?person ?name ?city ?zip ?employer WHERE {{
+          ?person <{ex}name> ?name ; <{ex}addr> ?addr .
+          ?addr <{ex}city> ?city ; <{ex}zip> ?zip .
+          ?company <{ex}ceo> ?person ; <{ex}label> ?employer .
+        }}
+    """
+    paths = var_paths(pattern, "person")
+    return spark.createDataFrame(
+        sorted(paths.items()), "variable string, path string"
+    )
+
+
+def q_wrong_value_suppression(spark, sf):
+    """property_findings variant with planted av:WrongValue annotations:
+    the annotations are materialized as reference-shaped metadata triples
+    (`Metadata.java:47-112`: ?ann oa:hasTarget ?r ; oa:hasBody [ a
+    av:WrongValue ; ... ]), ingested back through
+    wrong_values_from_metadata's SPARQL pass, and must suppress every
+    finding whose compared value is a known wrong value."""
+    from ..operators.metadata import AV, OA, RDF_TYPE, wrong_values_from_metadata
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    values = _values_from(
+        li,
+        F.col("l_returnflag"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")),
+        "qty",
+        F.col("l_quantity").cast("int").cast("string"),
+        datatype=XSD_INTEGER,
+    )
+    members = values.select("dataset", "resource").distinct()
+    canonical = _identity_canonical(members)
+
+    # plant: every qty divisible by 7 in dataset 'R' is annotated wrong
+    wrong = values.where(
+        (F.col("dataset") == "R") & (F.col("o_value").cast("int") % 7 == 0)
+    ).select("resource", "o_value").distinct()
+    ann = wrong.select(
+        F.concat(F.lit("urn:ann:"), "resource", F.lit(":"), "o_value").alias("ann"),
+        F.concat(F.lit("_:b:"), "resource", F.lit(":"), "o_value").alias("body"),
+        "resource", "o_value",
+    )
+
+    def triple(s, p, kind, value, dt):
+        return ann.select(
+            s.alias("s"), F.lit(p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"), F.lit(dt).alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        )
+
+    meta = (
+        triple(F.col("ann"), OA + "hasTarget", "iri", F.col("resource"), None)
+        .unionByName(triple(F.col("ann"), OA + "hasBody", "bnode", F.col("body"), None))
+        .unionByName(triple(F.col("body"), RDF_TYPE, "iri",
+                            F.lit(AV + "WrongValue"), None))
+        .unionByName(triple(F.col("body"), AV + "affectedAspect", "iri",
+                            F.lit("urn:aspect:order_qty"), None))
+        .unionByName(triple(F.col("body"), AV + "affectedValue", "literal",
+                            F.col("o_value"), XSD_INTEGER))
+        .unionByName(triple(F.col("body"), AV + "affectedVariableName", "literal",
+                            F.lit("qty"), XSD_STRING))
+    )
+    wv = wrong_values_from_metadata(meta, "R")
+    _, findings = property_comparison(
+        spark, values, members, canonical, "order_qty", ["qty"], wrong_values=wv
+    )
+    return findings.select(
+        "kind", "variable", "affected_dataset", "affected_resource",
+        "affected_value", "compared_to_dataset", "compared_to_resource",
+        "compared_to_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # events: sessionization + windowed agg (batch forms; streaming variants in
 # abecto_spark.streaming)
@@ -741,6 +872,9 @@ def synth_docs_cached(spark, n_docs, n_entities):
 QUERIES = {
     "aspect_scan": q_aspect_scan,
     "aspect_bgp": q_aspect_bgp,
+    "aspect_algebra": q_aspect_algebra,
+    "var_paths": q_var_paths,
+    "wrong_value_suppression": q_wrong_value_suppression,
     "rdf_roundtrip": q_rdf_roundtrip,
     "distinct_scan": q_distinct_scan,
     "anti_join": q_anti_join,
@@ -801,6 +935,98 @@ ORACLES = {
                CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR),
                'http://www.w3.org/2001/XMLSchema#integer'
         FROM cc WHERE c_custkey % 3 = 0
+    """,
+    "aspect_algebra": """
+        SELECT resource, name, segment FROM (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS resource,
+                 c_name AS name, c_mktsegment AS segment
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            AND c_custkey % 5 != 0
+          ORDER BY resource LIMIT 400
+        )
+    """,
+    "var_paths": """
+        WITH RECURSIVE edges(src, lbl, dst) AS (
+          SELECT * FROM (VALUES
+            ('person', '<http://x/name>',   'name'),
+            ('name',   '^<http://x/name>',  'person'),
+            ('person', '<http://x/addr>',   'addr'),
+            ('addr',   '^<http://x/addr>',  'person'),
+            ('addr',   '<http://x/city>',   'city'),
+            ('city',   '^<http://x/city>',  'addr'),
+            ('addr',   '<http://x/zip>',    'zip'),
+            ('zip',    '^<http://x/zip>',   'addr'),
+            ('company', '<http://x/ceo>',   'person'),
+            ('person', '^<http://x/ceo>',   'company'),
+            ('company', '<http://x/label>', 'employer'),
+            ('employer', '^<http://x/label>', 'company')
+          ) v(src, lbl, dst)),
+        paths(node, path, len) AS (
+          SELECT 'person', '', 0
+          UNION ALL
+          SELECT e.dst,
+                 CASE WHEN p.path = '' THEN e.lbl
+                      ELSE p.path || '/' || e.lbl END,
+                 p.len + 1
+          FROM paths p JOIN edges e ON e.src = p.node
+          WHERE p.len < 4),
+        best AS (
+          SELECT node, MIN(len) AS ml FROM paths
+          WHERE node <> 'person' GROUP BY node)
+        SELECT node AS variable, MIN(path) AS path
+        FROM paths JOIN best USING (node)
+        WHERE len = ml AND node IN ('name', 'city', 'zip', 'employer')
+        GROUP BY node
+    """,
+    "wrong_value_suppression": """
+        WITH vals AS (
+          SELECT DISTINCT l_returnflag AS d, 'o' || CAST(l_orderkey AS VARCHAR) AS r,
+                 CAST(l_quantity AS INT) AS q
+          FROM lineitem WHERE l_orderkey % 10 = 0),
+        members AS (SELECT DISTINCT d, r FROM vals),
+        grouped AS (SELECT r FROM members GROUP BY r HAVING COUNT(DISTINCT d) >= 2),
+        gm AS (SELECT m.d, m.r FROM members m JOIN grouped g USING (r)),
+        pairs AS (SELECT a.r, a.d AS da, b.d AS db
+                  FROM gm a JOIN gm b ON a.r = b.r AND a.d < b.d),
+        va AS (SELECT p.r, p.da, p.db, v.q FROM pairs p
+               JOIN vals v ON v.r = p.r AND v.d = p.da),
+        vb AS (SELECT p.r, p.da, p.db, v.q FROM pairs p
+               JOIN vals v ON v.r = p.r AND v.d = p.db),
+        unc_a AS (SELECT * FROM va WHERE NOT EXISTS (
+            SELECT 1 FROM vb WHERE vb.r = va.r AND vb.da = va.da
+                   AND vb.db = va.db AND vb.q = va.q)),
+        unc_b AS (SELECT * FROM vb WHERE NOT EXISTS (
+            SELECT 1 FROM va WHERE va.r = vb.r AND va.da = vb.da
+                   AND va.db = vb.db AND va.q = vb.q)),
+        has_a AS (SELECT DISTINCT r, da, db FROM unc_a),
+        has_b AS (SELECT DISTINCT r, da, db FROM unc_b),
+        dev AS (SELECT a.r, a.da, a.db, a.q AS qa, b.q AS qb
+                FROM unc_a a JOIN unc_b b
+                  ON a.r = b.r AND a.da = b.da AND a.db = b.db),
+        raw AS (
+          SELECT 'value_omission' AS kind, 'qty' AS variable,
+                 da AS affected_dataset, r AS affected_resource,
+                 CAST(NULL AS VARCHAR) AS affected_value,
+                 db AS compared_to_dataset, r AS compared_to_resource,
+                 CAST(q AS VARCHAR) AS compared_to_value
+          FROM unc_b WHERE NOT EXISTS (
+              SELECT 1 FROM has_a h WHERE h.r = unc_b.r AND h.da = unc_b.da
+                     AND h.db = unc_b.db)
+          UNION ALL
+          SELECT 'value_omission', 'qty', db, r, NULL, da, r, CAST(q AS VARCHAR)
+          FROM unc_a WHERE NOT EXISTS (
+              SELECT 1 FROM has_b h WHERE h.r = unc_a.r AND h.da = unc_a.da
+                     AND h.db = unc_a.db)
+          UNION ALL
+          SELECT 'deviation', 'qty', da, r, CAST(qa AS VARCHAR), db, r,
+                 CAST(qb AS VARCHAR) FROM dev
+          UNION ALL
+          SELECT 'deviation', 'qty', db, r, CAST(qb AS VARCHAR), da, r,
+                 CAST(qa AS VARCHAR) FROM dev)
+        SELECT * FROM raw
+        WHERE NOT (compared_to_dataset = 'R'
+                   AND CAST(compared_to_value AS INT) % 7 = 0)
     """,
     "rdf_roundtrip": """
         SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,

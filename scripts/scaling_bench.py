@@ -128,7 +128,8 @@ JVMs — the sandbox proxy for the N vs 4N executor criterion
 bus + disk, so this is a lower bound for true multi-executor scaling).
 
 Environment: single host, {os.cpu_count()} logical CPUs, Spark local mode,
-AQE on, shuffle partitions = cores. Reported numbers are the best of
+AQE on, shuffle partitions = max(cores, 8) (a floor so the 2-core level
+is not starved of AQE coalescing room). Reported numbers are the best of
 {os.environ.get("ABECTO_SCALE_REPEATS", "2")} interleaved runs per level —
 the host is shared and exogenous load drifts single-run timings by up to
 ~30%, so best-of-N measures the engine, not the neighbors.

@@ -162,8 +162,7 @@ def _norm_ingest(df: DataFrame) -> DataFrame:
 
 
 def _p_file_source(state: PlanState, step: dict) -> None:
-    from ..sources.rdf import read_ntriples
-    from ..sources.turtle import read_turtle_local
+    from ..sources.formats import read_rdf_local
 
     params, dataset = step.get("params", {}), step.get("dataset")
     if dataset is None:
@@ -173,11 +172,10 @@ def _p_file_source(state: PlanState, step: dict) -> None:
     if not paths and "rows" not in params:
         raise PlanError(f"step {step['id']}: file_source needs path or rows")
     for path in paths:
-        if path.endswith((".ttl", ".turtle")):
-            df = read_turtle_local(state.spark, path)
-        else:  # N-Triples / N-Quads: the distributed parser
-            df = read_ntriples(state.spark, path).drop("graph")
-        state.add_primary(dataset, _norm_ingest(df))
+        # format sniffing (`util/Models.java:66-95`): Turtle/TriG/RDF/XML/
+        # JSON-LD parse driver-side; N-Triples/N-Quads via the distributed
+        # parser
+        state.add_primary(dataset, _norm_ingest(read_rdf_local(state.spark, path)))
     if "rows" in params:  # inline triples (tests / tiny fixtures)
         ddl = ("s string, p string, o_kind string, o_value string,"
                " o_datatype string, o_lang string")
@@ -214,12 +212,9 @@ def _p_forward_rules(state: PlanState, step: dict) -> None:
 
 
 def _load_meta_triples(state: PlanState, path: str) -> DataFrame:
-    from ..sources.rdf import read_ntriples
-    from ..sources.turtle import read_turtle_local
+    from ..sources.formats import read_rdf_local
 
-    if path.endswith((".ttl", ".turtle")):
-        return read_turtle_local(state.spark, path)
-    return read_ntriples(state.spark, path).drop("graph")
+    return read_rdf_local(state.spark, path)
 
 
 def _register_incorr(state: PlanState, step: dict) -> None:

@@ -69,6 +69,8 @@ def main() -> None:
         "embedding_neardup",
         "functional_mapping",
         "property_findings",
+        "wrong_value_suppression",
+        "aspect_algebra",
         "sessionize",
         "windowed_agg",
     ]

@@ -1,0 +1,237 @@
+"""Multi-format RDF ingestion (`util/Models.java:66-95` analog): RDF/XML
+(verified against the reference's bundled 42k-line OM-2 ontology,
+`Abecto.java:246-249`), JSON-LD subset, format sniffing, and blank-node
+property-list Turtle feeding the WrongValue metadata channel verbatim
+(`Metadata.java:47-112`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from abecto_spark.sources.formats import read_rdf_local, sniff_format
+from abecto_spark.sources.jsonld import JsonLdUnsupported, parse_jsonld
+from abecto_spark.sources.rdfxml import RdfXmlUnsupported, parse_rdfxml
+
+OM = ("/root/reference/abecto-core/src/main/resources/de/uni_jena/cs/fusion/"
+      "abecto/vocabulary/om-2.0.rdf")
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML
+
+
+@pytest.mark.skipif(not os.path.isfile(OM), reason="reference OM-2 not available")
+def test_rdfxml_parses_reference_om2_ontology():
+    rows = parse_rdfxml(open(OM, encoding="utf-8-sig").read())
+    assert len(rows) == 30340  # full-file regression pin
+    om = "http://www.ontology-of-units-of-measure.org/resource/om-2"
+    labels = {(v, lg) for s, p, k, v, dt, lg in rows
+              if s == om and p.endswith("rdf-schema#label")}
+    assert (u"Ontology of units of Measure (OM)", "en") in labels
+    assert any(lg == "ja" for _v, lg in labels)
+    # DOCTYPE-entity datatypes expanded; parseType=Collection materialized
+    assert any(dt == XSD + "float" and v == "1e-24" for *_x, v, dt, _l in
+               [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows])
+    assert sum(1 for r in rows if r[1] == RDF_NS + "first") == 934
+    assert any(r[1] == RDF_NS + "_1" for r in rows)  # rdf:li containers
+
+
+def test_rdfxml_core_constructs():
+    rows = parse_rdfxml(
+        """<?xml version="1.0"?>
+        <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                 xmlns:ex="http://x/" xml:base="http://base/">
+          <ex:Thing rdf:about="a" ex:attr="av">
+            <ex:ref rdf:resource="b"/>
+            <ex:lit xml:lang="EN">hello</ex:lit>
+            <ex:num rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">7</ex:num>
+            <ex:nested><ex:Other/></ex:nested>
+            <ex:props rdf:parseType="Resource"><ex:k>v</ex:k></ex:props>
+            <ex:xml rdf:parseType="Literal"><b>bold</b></ex:xml>
+          </ex:Thing>
+          <ex:Other rdf:ID="frag"/>
+        </rdf:RDF>"""
+    )
+    d = {(s, p): (k, v, dt, lg) for s, p, k, v, dt, lg in rows}
+    A = "http://base/a"
+    assert d[(A, RDF_NS + "type")][1] == "http://x/Thing"
+    assert d[(A, "http://x/attr")][:2] == ("literal", "av")
+    assert d[(A, "http://x/ref")] == ("iri", "http://base/b", None, "")
+    assert d[(A, "http://x/lit")][1:] == ("hello", RDF_NS + "langString", "en")
+    assert d[(A, "http://x/num")][1:3] == ("7", XSD + "integer")
+    nested = d[(A, "http://x/nested")]
+    assert nested[0] == "bnode"
+    assert d[(nested[1], RDF_NS + "type")][1] == "http://x/Other"
+    assert d[("http://base/#frag", RDF_NS + "type")][1] == "http://x/Other"
+    props = d[(A, "http://x/props")]
+    assert props[0] == "bnode" and d[(props[1], "http://x/k")][1] == "v"
+    assert d[(A, "http://x/xml")][1:3] == ("<b>bold</b>", RDF_NS + "XMLLiteral")
+
+
+def test_rdfxml_unsupported_is_loud():
+    with pytest.raises(RdfXmlUnsupported):
+        parse_rdfxml(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            '<rdf:Description rdf:about="http://x/a">'
+            '<x xmlns="http://x/" rdf:parseType="Weird"/>'
+            "</rdf:Description></rdf:RDF>"
+        )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD
+
+
+def test_jsonld_core_constructs():
+    rows = parse_jsonld(
+        """
+        {
+          "@context": {
+            "ex": "http://x/",
+            "name": "http://x/name",
+            "knows": {"@id": "http://x/knows", "@type": "@id"},
+            "age": {"@id": "http://x/age",
+                    "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+          },
+          "@graph": [
+            {"@id": "ex:alice", "@type": "ex:Person", "name": "Alice",
+             "knows": "ex:bob", "age": "30",
+             "ex:note": {"@value": "hi", "@language": "en"},
+             "ex:tags": {"@list": ["a", "b"]},
+             "ex:friend": {"@type": "ex:Person", "name": "Anon"}},
+            {"@id": "ex:bob", "name": ["Bob", "Bobby"], "ex:score": 1.5,
+             "ex:active": true, "ex:n": 3}
+          ]
+        }
+        """
+    )
+    trips = {(s, p, k, v, dt, lg) for s, p, k, v, dt, lg in rows}
+    A, B = "http://x/alice", "http://x/bob"
+    assert (A, RDF_NS + "type", "iri", "http://x/Person", None, "") in trips
+    assert (A, "http://x/name", "literal", "Alice", XSD + "string", "") in trips
+    assert (A, "http://x/knows", "iri", B, None, "") in trips
+    assert (A, "http://x/age", "literal", "30", XSD + "integer", "") in trips
+    assert (A, "http://x/note", "literal", "hi", RDF_NS + "langString", "en") in trips
+    firsts = [v for s, p, k, v, dt, lg in rows if p == RDF_NS + "first"]
+    assert firsts == ["a", "b"]
+    # anonymous nested node typed + named
+    anon = [v for s, p, k, v, *_ in rows if s == A and p == "http://x/friend"]
+    assert anon and anon[0].startswith("_:")
+    assert (B, "http://x/score", "literal", "1.5", XSD + "double", "") in trips
+    assert (B, "http://x/active", "literal", "true", XSD + "boolean", "") in trips
+    assert (B, "http://x/n", "literal", "3", XSD + "integer", "") in trips
+    assert {"Bob", "Bobby"} == {
+        v for s, p, k, v, *_ in rows if s == B and p == "http://x/name"
+    }
+
+
+def test_jsonld_unsupported_is_loud():
+    with pytest.raises(JsonLdUnsupported):
+        parse_jsonld('{"@context": "http://remote/ctx", "@id": "http://x/a"}')
+    with pytest.raises(JsonLdUnsupported):
+        parse_jsonld('{"@id": "http://x/a", "@reverse": {}}')
+
+
+# ---------------------------------------------------------------------------
+# sniffing + dispatch
+
+
+def test_sniff_format(tmp_path):
+    cases = {
+        "a.nt": ("<http://x/s> <http://x/p> <http://x/o> .\n", "ntriples"),
+        "b.ttl": ("@prefix ex: <http://x/> . ex:s ex:p ex:o .", "turtle"),
+        "c.trig": ("GRAPH <http://g> { <http://x/s> <http://x/p> 1 }", "trig"),
+        "d.rdf": ('<?xml version="1.0"?><rdf:RDF '
+                  'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>',
+                  "rdfxml"),
+        "e.jsonld": ('{"@id": "http://x/a"}', "jsonld"),
+    }
+    for fname, (content, fmt) in cases.items():
+        f = tmp_path / fname
+        f.write_text(content)
+        assert sniff_format(str(f)) == fmt
+        # content sniffing without the extension hint
+        g = tmp_path / (fname.split(".")[0] + ".data")
+        g.write_text(content)
+        assert sniff_format(str(g)) == fmt, fname
+
+
+def test_read_rdf_local_dispatch(spark, tmp_path):
+    nt = tmp_path / "x.nt"
+    nt.write_text('<http://x/s> <http://x/p> "v" .\n')
+    xml = tmp_path / "x.rdf"
+    xml.write_text(
+        '<?xml version="1.0"?><rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://x/">'
+        '<rdf:Description rdf:about="http://x/s"><ex:p>v</ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    jld = tmp_path / "x.jsonld"
+    jld.write_text('{"@id": "http://x/s", "http://x/p": "v"}')
+    rows = [
+        tuple(r) for p in (nt, xml, jld)
+        for r in read_rdf_local(spark, str(p)).collect()
+    ]
+    assert all(r[0] == "http://x/s" and r[3] == "v" for r in rows)
+    assert len(rows) == 3
+
+
+# ---------------------------------------------------------------------------
+# reference-style WrongValue annotation Turtle (blank-node bodies) feeding
+# suppression directly — round-2 missing #3
+
+
+def test_wrong_value_turtle_blank_nodes_suppress_finding(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from abecto_spark.operators.metadata import wrong_values_from_metadata
+    from abecto_spark.operators.property_cmp import property_comparison
+    from abecto_spark.sources.turtle import read_turtle_local
+
+    ttl = tmp_path / "ann.ttl"
+    ttl.write_text(
+        """
+        @prefix av: <http://w3id.org/abecto/vocabulary#> .
+        @prefix oa: <http://www.w3.org/ns/oa#> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        [] a oa:Annotation ;
+           oa:hasTarget <http://x/r1> ;
+           oa:hasBody [ a av:WrongValue ;
+                        av:affectedAspect <http://x/aspect> ;
+                        av:affectedValue "99"^^xsd:integer ;
+                        av:affectedVariableName "qty" ] .
+        """
+    )
+    wv = wrong_values_from_metadata(read_turtle_local(spark, str(ttl)), "d2")
+    assert [tuple(r) for r in wv.collect()] == [("d2", "http://x/r1", "qty", "99")]
+
+    ddl = ("dataset string, resource string, variable string, o_kind string,"
+           " o_value string, o_datatype string, o_lang string")
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    values = spark.createDataFrame(
+        [("d1", "http://x/r1", "qty", "literal", "1", xsd_int, ""),
+         ("d2", "http://x/r1", "qty", "literal", "99", xsd_int, "")], ddl
+    )
+    members = values.select("dataset", "resource").distinct()
+    canonical = members.select(
+        "resource", F.lit("http://x/r1").alias("canonical_id")
+    ).distinct()
+
+    _, without = property_comparison(
+        spark, values, members, canonical, "a", ["qty"]
+    )
+    _, with_wv = property_comparison(
+        spark, values, members, canonical, "a", ["qty"], wrong_values=wv
+    )
+    devs_before = without.where(
+        "kind = 'deviation' AND compared_to_value = '99'"
+    ).count()
+    devs_after = with_wv.where(
+        "kind = 'deviation' AND compared_to_value = '99'"
+    ).count()
+    assert devs_before > 0 and devs_after == 0

@@ -37,10 +37,27 @@ otherwise (an IRI never equals a literal with the same lexical form);
 numeric and lexical otherwise (documented restriction). ORDER BY sorts
 numerically for numeric-datatype terms, lexically otherwise.
 
-Restrictions (documented, loud): no property paths beyond IRI ``/``
-sequences, GROUP BY/HAVING, subqueries, named-graph patterns, UNDEF in
-VALUES, or EXISTS/MINUS blocks sharing no variable with the outer
-pattern. Unsupported syntax raises ``SparqlUnsupported``.
+Property paths (SPARQL 1.1 §9, round 3): ``/`` sequences, ``^`` inverse,
+``|`` alternatives, grouping parens, and the arbitrary-length modifiers
+``*`` / ``+`` / ``?``. Fixed-length algebra desugars at parse time
+(sequence → fresh-var chain, inverse → swapped endpoints, alternative →
+UNION branches); ``*``/``+`` compile to a semi-naive distributed
+transitive closure over the one-step edge relation (delta-join per
+round, bounded by ``PATH_CLOSURE_MAX_ITER``), with the zero-length case
+matching every graph term to itself per the spec.
+
+Aggregation (SPARQL 1.1 §11, round 3): GROUP BY (variables and
+``(expr AS ?v)`` keys), HAVING, and COUNT / SUM / AVG / MIN / MAX /
+SAMPLE / GROUP_CONCAT (with DISTINCT where Spark has a native
+distinct-aggregate) — compiled to one ``groupBy`` over the key term
+structs, so Catalyst plans map-side partial aggregation. Determinism
+choices where the spec leaves order open: SAMPLE is the lexical
+minimum, GROUP_CONCAT sorts its inputs.
+
+Restrictions (documented, loud): no negated property sets ``!(...)``,
+subqueries, named-graph patterns, UNDEF in VALUES, AVG(DISTINCT), or
+EXISTS/MINUS blocks sharing no variable with the outer pattern.
+Unsupported syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -88,6 +105,31 @@ class Triple:
     o: object
 
 
+# property-path AST (SPARQL 1.1 §9) — desugared at parse time where the
+# algebra allows (sequence → fresh-var chain, inverse → swapped triple,
+# alternative → UNION branches); only arbitrary-length modifiers survive
+# to the compiler as closure entries
+@dataclass(frozen=True)
+class PSeq:
+    elts: tuple
+
+
+@dataclass(frozen=True)
+class PAlt:
+    branches: tuple
+
+
+@dataclass(frozen=True)
+class PInv:
+    inner: object
+
+
+@dataclass(frozen=True)
+class PMod:
+    inner: object
+    mod: str  # '*' | '+' | '?'
+
+
 @dataclass(frozen=True)
 class Call:
     fn: str
@@ -101,6 +143,16 @@ class Op:
     right: object = None  # None => unary
 
 
+@dataclass(frozen=True)
+class Agg:
+    """Aggregate function application (SPARQL 1.1 §11)."""
+
+    fn: str  # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
+    arg: object  # expression; None for COUNT(*)
+    distinct: bool = False
+    sep: str = " "  # GROUP_CONCAT separator
+
+
 @dataclass
 class Group:
     triples: list = field(default_factory=list)
@@ -112,6 +164,9 @@ class Group:
     not_exists: list = field(default_factory=list)  # FILTER NOT EXISTS groups
     exists: list = field(default_factory=list)  # FILTER EXISTS groups
     values_blocks: list = field(default_factory=list)  # (var_names, rows)
+    # arbitrary-length path entries: (s_term, a_var, inner Group, b_var,
+    # mod, o_term) — inner Group binds a_var/b_var to the one-step edge
+    path_closures: list = field(default_factory=list)
 
 
 @dataclass
@@ -123,6 +178,8 @@ class SelectQuery:
     order: list = field(default_factory=list)  # [(expr, ascending)]
     limit: int | None = None
     offset: int | None = None
+    group_by: list = field(default_factory=list)  # Var | (expr, name)
+    having: list = field(default_factory=list)  # exprs (may contain Agg)
 
 
 @dataclass
@@ -143,7 +200,7 @@ _TOKEN = re.compile(
   | (?P<num>(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<dtsep>\^\^)
-  | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(){};,.\[\]])
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(){};,.\[\]^|?])
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     """,
@@ -163,6 +220,9 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             out.append((kind, m.group()))
     out.append(("eof", ""))
     return out
+
+
+_AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
 
 class _Parser:
@@ -236,9 +296,34 @@ class _Parser:
             self.next()
         group = self.parse_group()
         q = SelectQuery(projections, group, distinct, star=star)
+        if self.at_word("GROUP"):
+            self.next()
+            self.eat("BY")
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    self.next()
+                    q.group_by.append(Var(v[1:]))
+                elif v == "(":
+                    self.next()
+                    e = self.parse_expr()
+                    self.eat("AS")
+                    kv, vv = self.next()
+                    if kv != "var":
+                        raise SparqlUnsupported("expected variable after AS")
+                    self.eat(")")
+                    q.group_by.append((e, vv[1:]))
+                else:
+                    break
+            if not q.group_by:
+                raise SparqlUnsupported("empty GROUP BY")
+        if self.at_word("HAVING"):
+            self.next()
+            while self.peek()[1] == "(":
+                q.having.append(self.parse_expr())
+            if not q.having:
+                raise SparqlUnsupported("empty HAVING")
         self.parse_solution_modifiers(q)
-        if self.at_word("GROUP", "HAVING"):
-            raise SparqlUnsupported(f"solution modifier {self.peek()[1]!r} not supported")
         if not projections and not star:
             raise SparqlUnsupported("empty projection")
         return q
@@ -332,6 +417,7 @@ class _Parser:
             template.optionals or template.filters or template.binds
             or template.unions or template.minuses or template.not_exists
             or template.exists or template.values_blocks
+            or template.path_closures
         ):
             raise SparqlUnsupported("CONSTRUCT template must be plain triples")
         if self.at_word("WHERE"):
@@ -405,23 +491,10 @@ class _Parser:
     def parse_triples_block(self, g: Group) -> None:
         s = self.parse_term(position="subject")
         while True:
-            # predicate, optionally an IRI sequence path p1/p2/... (the only
-            # property-path form the reference's own queries use, e.g.
-            # `SparqlConstructProcessorTest.java:49`); desugared to a chain
-            # of fresh internal variables
-            path = [self.parse_term(position="predicate")]
-            while self.peek()[1] == "/":
-                self.next()
-                path.append(self.parse_term(position="predicate"))
+            path = self.parse_path()
             while True:
                 o = self.parse_term(position="object")
-                node = s
-                for hop in path[:-1]:
-                    self._fresh += 1
-                    mid = Var(f"__p{self._fresh}")
-                    g.triples.append(Triple(node, hop, mid))
-                    node = mid
-                g.triples.append(Triple(node, path[-1], o))
+                self.desugar_path(g, s, path, o)
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -434,6 +507,77 @@ class _Parser:
             break
         if self.peek()[1] == ".":
             self.next()
+
+    # -- property paths (SPARQL 1.1 §9) ---------------------------------
+
+    def parse_path(self):
+        """PathAlternative ::= PathSequence ('|' PathSequence)*"""
+        branches = [self.parse_path_seq()]
+        while self.peek()[1] == "|":
+            self.next()
+            branches.append(self.parse_path_seq())
+        return branches[0] if len(branches) == 1 else PAlt(tuple(branches))
+
+    def parse_path_seq(self):
+        elts = [self.parse_path_elt()]
+        while self.peek()[1] == "/":
+            self.next()
+            elts.append(self.parse_path_elt())
+        return elts[0] if len(elts) == 1 else PSeq(tuple(elts))
+
+    def parse_path_elt(self):
+        inv = False
+        if self.peek()[1] == "^":
+            self.next()
+            inv = True
+        if self.peek()[1] == "(":
+            self.next()
+            p = self.parse_path()
+            self.eat(")")
+        else:
+            p = self.parse_term(position="predicate")
+        if self.peek()[1] in ("*", "+", "?"):
+            mod = self.next()[1]
+            if isinstance(p, Var):
+                raise SparqlUnsupported("path modifier on a variable predicate")
+            p = PMod(p, mod)
+        return PInv(p) if inv else p
+
+    def fresh_var(self, stem: str = "p") -> Var:
+        self._fresh += 1
+        return Var(f"__{stem}{self._fresh}")
+
+    def desugar_path(self, g: Group, s, path, o) -> None:
+        """Rewrite ``s path o`` into the Group algebra: sequences chain
+        through fresh variables, inverses swap endpoints, alternatives
+        become UNION branches; arbitrary-length modifiers are kept as
+        closure entries whose one-step edge is itself a desugared Group
+        (so nested paths like ``(p/^q)+`` compose)."""
+        if isinstance(path, (Iri, Var)):
+            g.triples.append(Triple(s, path, o))
+        elif isinstance(path, PInv):
+            self.desugar_path(g, o, path.inner, s)
+        elif isinstance(path, PSeq):
+            node = s
+            for elt in path.elts[:-1]:
+                mid = self.fresh_var()
+                self.desugar_path(g, node, elt, mid)
+                node = mid
+            self.desugar_path(g, node, path.elts[-1], o)
+        elif isinstance(path, PAlt):
+            branches = []
+            for b in path.branches:
+                bg = Group()
+                self.desugar_path(bg, s, b, o)
+                branches.append(bg)
+            g.unions.append(branches)
+        elif isinstance(path, PMod):
+            a, b = self.fresh_var("pa"), self.fresh_var("pb")
+            inner = Group()
+            self.desugar_path(inner, a, path.inner, b)
+            g.path_closures.append((s, a.name, inner, b.name, path.mod, o))
+        else:  # pragma: no cover
+            raise SparqlUnsupported(f"bad path {path!r}")
 
     def parse_term(self, position: str):
         k, v = self.next()
@@ -544,6 +688,8 @@ class _Parser:
         if k == "iri" or k == "pname":
             # could be a constant IRI or (not supported) a function by IRI
             return self.parse_term(position="subject")
+        if k == "word" and v.upper() in _AGG_FNS:
+            return self.parse_aggregate(v.upper())
         if k == "word":
             self.next()
             self.eat("(")
@@ -556,6 +702,30 @@ class _Parser:
             self.eat(")")
             return Call(v.upper(), tuple(args))
         raise SparqlUnsupported(f"bad expression at {v!r}")
+
+    def parse_aggregate(self, fn: str) -> Agg:
+        self.next()
+        self.eat("(")
+        distinct = False
+        if self.at_word("DISTINCT"):
+            self.next()
+            distinct = True
+        if fn == "COUNT" and self.peek()[1] == "*":
+            self.next()
+            arg = None
+        else:
+            arg = self.parse_expr()
+        sep = " "
+        if fn == "GROUP_CONCAT" and self.peek()[1] == ";":
+            self.next()
+            self.eat("SEPARATOR")
+            self.eat("=")
+            k, v = self.next()
+            if k != "str":
+                raise SparqlUnsupported("GROUP_CONCAT separator must be a string")
+            sep = _unquote(v)
+        self.eat(")")
+        return Agg(fn, arg, distinct, sep)
 
 
 def _unquote(v: str) -> str:
@@ -603,6 +773,10 @@ def _group_var_order(g: Group) -> list[str]:
                 add(n)
         for _e, n in gr.binds:
             add(n)
+        for s_term, _a, _inner, _b, _mod, o_term in gr.path_closures:
+            for t in (s_term, o_term):
+                if isinstance(t, Var):
+                    add(t.name)
         for opt in gr.optionals:
             walk(opt)
 
@@ -666,6 +840,10 @@ def var_paths(text: str, key_var: str) -> dict[str, str]:
 # compiler
 
 _TERM_FIELDS = ("kind", "value", "datatype", "lang")
+
+# fixpoint-round bound for arbitrary-length property paths (p* / p+):
+# with path doubling each round, 30 rounds cover closure diameter 2^30
+PATH_CLOSURE_MAX_ITER = 30
 
 
 def _term_struct(kind, value, datatype, lang) -> Column:
@@ -761,6 +939,83 @@ class _Compiler:
             out = df if out is None else out.unionByName(df)
         return out, allvars
 
+    def _node_terms(self) -> DataFrame:
+        """All RDF terms occurring in the graph (subjects ∪ objects) — the
+        zero-length-path domain of SPARQL 1.1 §9.3 (``p*`` / ``p?`` match
+        every graph term to itself)."""
+        subs = self.t.select(_subject_struct(F.col("s")).alias("n"))
+        objs = self.t.select(
+            _term_struct(
+                F.col("o_kind"), F.col("o_value"),
+                F.col("o_datatype"), F.col("o_lang"),
+            ).alias("n")
+        )
+        return subs.unionByName(objs).distinct()
+
+    def _closure_df(self, entry) -> tuple[DataFrame, set[str]]:
+        """Arbitrary-length path ``s (inner)mod o`` → a reachability
+        relation computed by semi-naive iteration (each round joins only
+        the delta against the one-step edges — the distributed
+        transitive-closure shape; every round is one shuffle on the join
+        key, lineage cut by eager localCheckpoint)."""
+        from .operators.rules import fixpoint
+
+        s_term, a_name, inner, b_name, mod, o_term = entry
+        edges, _ = self.group_df(inner)
+        edges = edges.select(
+            F.col(a_name).alias("a"), F.col(b_name).alias("b")
+        ).distinct()
+        if mod in ("*", "+"):
+            # path doubling: the delta joins the FULL relation so covered
+            # path length doubles per round — diameter 2^30 within the
+            # iteration bound, vs. linear growth for edge extension
+            def rule(delta: DataFrame, all_rows: DataFrame) -> DataFrame:
+                return (
+                    delta.alias("d")
+                    .join(all_rows.alias("r"), F.col("d.b") == F.col("r.a"))
+                    .select(F.col("d.a").alias("a"), F.col("r.b").alias("b"))
+                )
+
+            # Catalyst's Union constraint rewrite trips over repeatedly
+            # localCheckpoint-ed plans derived from filtered scans
+            # ("key not found: <attr>"); constraint propagation is an
+            # optional optimizer inference, so switch it off for the
+            # eager fixpoint rounds
+            spark = edges.sparkSession
+            conf_key = "spark.sql.constraintPropagation.enabled"
+            prev = spark.conf.get(conf_key, "true")
+            spark.conf.set(conf_key, "false")
+            try:
+                reach = fixpoint(
+                    edges, rule, max_iterations=PATH_CLOSURE_MAX_ITER
+                )
+            finally:
+                spark.conf.set(conf_key, prev)
+        else:  # '?'
+            reach = edges
+        if mod in ("*", "?"):
+            nodes = self._node_terms()
+            reach = reach.unionByName(
+                nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
+            ).distinct()
+        # bind the endpoints like a triple pattern: vars project, constants
+        # filter (a constant subject can arise from an inverse desugar)
+        cols: dict[str, Column] = {}
+        df = reach
+        for end, term in (("a", s_term), ("b", o_term)):
+            if isinstance(term, Var):
+                if term.name in cols:  # ?x p+ ?x — cyclic reachability
+                    df = df.where(F.col("a") == F.col("b"))
+                else:
+                    cols[term.name] = F.col(end)
+            else:
+                df = df.where(F.col(end) == _const_struct(term))
+        if not cols:
+            raise SparqlUnsupported(
+                "path closure with two constant endpoints is not supported"
+            )
+        return df.select(*[c.alias(n) for n, c in cols.items()]), set(cols)
+
     def _values_df(self, names: list[str], rows: list[tuple]) -> DataFrame:
         """VALUES inline data → a literal DataFrame of term structs,
         joined (or cross-joined) into the group like any other operand;
@@ -770,7 +1025,10 @@ class _Compiler:
         return self.t.sparkSession.createDataFrame(data, ddl)
 
     def group_df(self, g: Group) -> tuple[DataFrame, set[str]]:
-        if not g.triples and not g.binds and not g.unions and not g.values_blocks:
+        if (
+            not g.triples and not g.binds and not g.unions
+            and not g.values_blocks and not g.path_closures
+        ):
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
         bound: set[str] = set()
@@ -784,6 +1042,9 @@ class _Compiler:
             acc, bound = self._join_in(
                 acc, bound, self._values_df(names, rows), set(names)
             )
+        for entry in g.path_closures:
+            df, vs = self._closure_df(entry)
+            acc, bound = self._join_in(acc, bound, df, vs)
         for expr, name in g.binds:
             if acc is None:
                 raise SparqlUnsupported("BIND before any triple pattern")
@@ -1017,6 +1278,155 @@ def compile_expr_bool(e, bound: set[str]) -> Column:
     return _compile(e, bound)
 
 
+# -- aggregate compilation ---------------------------------------------
+
+
+def _has_agg(e) -> bool:
+    if isinstance(e, Agg):
+        return True
+    if isinstance(e, Op):
+        return _has_agg(e.left) or (e.right is not None and _has_agg(e.right))
+    if isinstance(e, Call):
+        return any(_has_agg(x) for x in e.args)
+    return False
+
+
+def _sub_aggs(e, reg: dict):
+    """Replace each Agg node with a Var bound to an internal aggregate
+    column; ``reg`` maps Agg → internal name (deduplicating identical
+    aggregates across projections and HAVING)."""
+    if isinstance(e, Agg):
+        if e not in reg:
+            reg[e] = f"__agg{len(reg)}"
+        return Var(reg[e])
+    if isinstance(e, Op):
+        right = _sub_aggs(e.right, reg) if e.right is not None else None
+        return Op(e.op, _sub_aggs(e.left, reg), right)
+    if isinstance(e, Call):
+        return Call(e.fn, tuple(_sub_aggs(x, reg) for x in e.args))
+    return e
+
+
+def _expr_vars(e) -> set[str]:
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, Op):
+        out = _expr_vars(e.left)
+        if e.right is not None:
+            out |= _expr_vars(e.right)
+        return out
+    if isinstance(e, Call):
+        return set().union(set(), *[_expr_vars(x) for x in e.args])
+    return set()
+
+
+def _num_lit_term(c: Column, datatype: str) -> Column:
+    """Numeric aggregate result → literal term with a canonical lexical
+    form (integral values carry no decimal point)."""
+    d = c.cast("double")
+    lex = F.when(
+        d == d.cast("long").cast("double"), d.cast("long").cast("string")
+    ).otherwise(d.cast("string"))
+    return F.when(
+        c.isNotNull(), _term_struct(F.lit("literal"), lex, F.lit(datatype), F.lit(""))
+    )
+
+
+def _agg_col(a: Agg, bound: set[str]) -> Column:
+    """One Agg → a Spark aggregate expression yielding a term struct.
+    MIN/MAX order numeric-datatype terms numerically, others lexically
+    (`min_by`/`max_by` over a (non-numeric-flag, number, lexical) key);
+    SAMPLE is the deterministic lexical minimum; GROUP_CONCAT sorts its
+    inputs (SPARQL leaves the order undefined — sorted is reproducible
+    across partitionings)."""
+    if a.fn == "COUNT":
+        if a.arg is None:
+            c = F.count(F.lit(1))
+        else:
+            t = compile_expr_term(a.arg, bound)
+            c = F.count_distinct(t) if a.distinct else F.count(t)
+        return _num_lit_term(c, XSD + "integer")
+    if a.fn == "SUM":
+        v = _num(a.arg, bound)
+        return _num_lit_term(
+            F.sum_distinct(v) if a.distinct else F.sum(v), XSD + "decimal"
+        )
+    if a.fn == "AVG":
+        if a.distinct:
+            raise SparqlUnsupported("AVG(DISTINCT) not supported")
+        return _num_lit_term(F.avg(_num(a.arg, bound)), XSD + "decimal")
+    if a.fn in ("MIN", "MAX"):
+        t = compile_expr_term(a.arg, bound)
+        num = F.when(
+            (t["kind"] == "literal") & t["datatype"].isin(list(_NUMERIC_DTS)),
+            t["value"].cast("double"),
+        )
+        key = F.struct(num.isNull().cast("int"), num, t["value"])
+        return F.min_by(t, key) if a.fn == "MIN" else F.max_by(t, key)
+    if a.fn == "SAMPLE":
+        t = compile_expr_term(a.arg, bound)
+        return F.min_by(t, t["value"])
+    if a.fn == "GROUP_CONCAT":
+        v = _val(a.arg, bound)
+        lst = F.collect_set(v) if a.distinct else F.collect_list(v)
+        return F.when(
+            F.size(lst) > 0,
+            _term_struct(
+                F.lit("literal"),
+                F.concat_ws(a.sep, F.array_sort(lst)),
+                F.lit(XSD_STRING),
+                F.lit(""),
+            ),
+        )
+    raise SparqlUnsupported(f"aggregate {a.fn} not supported")  # pragma: no cover
+
+
+def _aggregate(df: DataFrame, bound: set[str], q: SelectQuery):
+    """GROUP BY / aggregate epilogue: materialize expression group keys,
+    groupBy on the key term structs (one shuffle, map-side partial
+    aggregation for free), compute the deduplicated aggregate columns,
+    then HAVING as a post-aggregation filter. Returns (df, bound,
+    substituted projections)."""
+    if q.star:
+        raise SparqlUnsupported("SELECT * with aggregates")
+    key_names: list[str] = []
+    for gb in q.group_by:
+        if isinstance(gb, Var):
+            if gb.name not in bound:
+                raise SparqlUnsupported(f"GROUP BY of unbound ?{gb.name}")
+            key_names.append(gb.name)
+        else:
+            expr, name = gb
+            df = df.withColumn(name, compile_expr_term(expr, bound))
+            bound.add(name)
+            key_names.append(name)
+    reg: dict = {}
+    proj = [(_sub_aggs(e, reg), n) for e, n in q.projections]
+    having = [_sub_aggs(h, reg) for h in q.having]
+    allowed = set(key_names) | set(reg.values())
+    for e, _name in proj:
+        for vn in _expr_vars(e):
+            if vn not in allowed:
+                raise SparqlUnsupported(
+                    f"?{vn} is neither grouped nor aggregated"
+                )
+    for h in having:
+        for vn in _expr_vars(h):
+            if vn not in allowed:
+                raise SparqlUnsupported(
+                    f"HAVING over non-grouped ?{vn}"
+                )
+    agg_cols = [_agg_col(a, bound).alias(nm) for a, nm in reg.items()]
+    if agg_cols:
+        df = df.groupBy(*[F.col(k) for k in key_names]).agg(*agg_cols)
+    else:  # GROUP BY with no aggregates = distinct over the keys
+        df = df.select(*key_names).distinct()
+    bound = set(allowed)
+    for h in having:
+        df = df.where(compile_expr_bool(h, bound))
+    return df, bound, proj
+
+
 def compile_expr_term(e, bound: set[str]) -> Column:
     """BIND/projection expression → term struct. String-valued functions
     yield xsd:string literals, numeric ones xsd:double (documented
@@ -1073,14 +1483,20 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     q = parse_select(query_text)
     comp = _Compiler(triples)
     df, bound = comp.group_df(q.where)
-    projections = q.projections
-    if q.star:
-        projections = projections + [
-            (Var(n), n)
-            for n in _group_var_order(q.where)
-            if n in bound and not n.startswith("__")
-        ]
-    if q.order and not q.distinct:
+    agg_mode = bool(q.group_by or q.having) or any(
+        _has_agg(e) for e, _ in q.projections
+    )
+    if agg_mode:
+        df, bound, projections = _aggregate(df, bound, q)
+    else:
+        projections = q.projections
+        if q.star:
+            projections = projections + [
+                (Var(n), n)
+                for n in _group_var_order(q.where)
+                if n in bound and not n.startswith("__")
+            ]
+    if q.order and not q.distinct and not agg_mode:
         # pre-projection sort may use unprojected variables
         df = df.orderBy(*_order_keys(q.order, bound))
     cols = []
@@ -1095,10 +1511,12 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     out = df.select(*cols)
     if q.distinct:
         out = out.distinct()
-        if q.order:
-            out = out.orderBy(
-                *_order_keys(q.order, {name for _, name in projections})
-            )
+    if q.order and (q.distinct or agg_mode):
+        # post-projection sort: the key space is the projected columns
+        # (aggregate aliases live only there)
+        out = out.orderBy(
+            *_order_keys(q.order, {name for _, name in projections})
+        )
     if q.offset:
         out = out.offset(q.offset)
     if q.limit is not None:

@@ -159,9 +159,9 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 
 def test_unsupported_syntax_is_loud():
     for q in [
-        "SELECT ?s WHERE { ?s <http://x>+ ?o }",  # path quantifier
+        "SELECT ?s WHERE { ?s !<http://x> ?o }",  # negated property set
         "SELECT ?s WHERE { GRAPH <http://g> { ?s ?p ?o } }",
-        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s",
+        "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
         "SELECT ?s WHERE { ?s ?p ?o . VALUES ?x { UNDEF } }",
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
     ]:
@@ -349,3 +349,169 @@ def test_signed_number_vs_binary_minus(spark, triples):
         f"SELECT ?s WHERE {{ ?s <{EX}n> -5 }}",
     )
     assert neg.count() == 1
+
+
+# -- property paths (SPARQL 1.1 §9) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    rows = [
+        (EX + "a", EX + "knows", "iri", EX + "b", None, None),
+        (EX + "b", EX + "knows", "iri", EX + "c", None, None),
+        (EX + "c", EX + "knows", "iri", EX + "d", None, None),
+        (EX + "a", EX + "likes", "iri", EX + "e", None, None),
+        (EX + "e", EX + "label", "literal", "Eve", XSD_STRING, ""),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+def _pairs(df):
+    return sorted(
+        tuple((c["value"] if c else None) for c in r) for r in df.collect()
+    )
+
+
+def test_path_transitive_plus(spark, chain):
+    got = _pairs(
+        sparql_select(chain, f"SELECT ?x ?y WHERE {{ ?x <{EX}knows>+ ?y }}")
+    )
+    assert got == sorted(
+        (EX + a, EX + b)
+        for a, b in [("a", "b"), ("a", "c"), ("a", "d"),
+                     ("b", "c"), ("b", "d"), ("c", "d")]
+    )
+
+
+def test_path_star_includes_zero_length(spark, chain):
+    got = _pairs(
+        sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}a> <{EX}knows>* ?y }}")
+    )
+    assert got == [(EX + n,) for n in ("a", "b", "c", "d")]
+
+
+def test_path_alternative_and_inverse(spark, chain):
+    alt = _pairs(
+        sparql_select(
+            chain,
+            f"SELECT ?x ?y WHERE {{ ?x (<{EX}knows>|<{EX}likes>) ?y }}",
+        )
+    )
+    assert (EX + "a", EX + "e") in alt and len(alt) == 4
+    inv = _pairs(
+        sparql_select(chain, f"SELECT ?x WHERE {{ ?x ^<{EX}likes> <{EX}a> }}")
+    )
+    assert inv == [(EX + "e",)]
+
+
+def test_path_optional_mod_and_nested_closure(spark, chain):
+    q = _pairs(
+        sparql_select(
+            chain,
+            f"SELECT ?x ?y WHERE {{ ?x <{EX}knows>? ?y ."
+            f" ?x <{EX}likes> <{EX}e> }}",
+        )
+    )
+    assert q == [(EX + "a", EX + "a"), (EX + "a", EX + "b")]
+    nested = _pairs(
+        sparql_select(
+            chain,
+            f"SELECT ?x ?y WHERE {{ ?x (<{EX}knows>/<{EX}knows>)+ ?y }}",
+        )
+    )
+    assert nested == [(EX + "a", EX + "c"), (EX + "b", EX + "d")]
+
+
+def test_path_seq_with_closure_and_label(spark, chain):
+    got = _pairs(
+        sparql_select(
+            chain,
+            f"SELECT ?n WHERE {{ <{EX}b> (^<{EX}knows>)+/<{EX}likes>/<{EX}label> ?n }}",
+        )
+    )
+    assert got == [("Eve",)]
+
+
+# -- aggregates (SPARQL 1.1 §11) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def salaries(spark):
+    rows = [
+        (EX + "a", EX + "dept", "literal", "eng", XSD_STRING, ""),
+        (EX + "b", EX + "dept", "literal", "eng", XSD_STRING, ""),
+        (EX + "c", EX + "dept", "literal", "ops", XSD_STRING, ""),
+        (EX + "a", EX + "sal", "literal", "10", XSD_INTEGER, ""),
+        (EX + "b", EX + "sal", "literal", "14", XSD_INTEGER, ""),
+        (EX + "c", EX + "sal", "literal", "7", XSD_INTEGER, ""),
+        (EX + "a", EX + "label", "literal", "Ann", XSD_STRING, ""),
+        (EX + "b", EX + "label", "literal", "Bob", XSD_STRING, ""),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+def test_agg_count_sum_avg(spark, salaries):
+    got = _pairs(
+        sparql_select(
+            salaries,
+            f"SELECT ?d (COUNT(?p) AS ?n) (SUM(?v) AS ?tot) (AVG(?v) AS ?m)"
+            f" WHERE {{ ?p <{EX}dept> ?d ; <{EX}sal> ?v }} GROUP BY ?d",
+        )
+    )
+    assert got == [("eng", "2", "24", "12"), ("ops", "1", "7", "7")]
+    # datatypes: COUNT integer, SUM/AVG decimal with canonical lexicals
+    row = sparql_select(
+        salaries,
+        f"SELECT (COUNT(*) AS ?n) (AVG(?v) AS ?m)"
+        f" WHERE {{ ?p <{EX}sal> ?v }}",
+    ).collect()[0]
+    assert row["n"]["datatype"].endswith("integer")
+    assert row["m"]["value"] == "10.333333333333334"
+
+
+def test_agg_min_max_terms_and_having(spark, salaries):
+    row = sparql_select(
+        salaries,
+        f"SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)"
+        f" WHERE {{ ?p <{EX}sal> ?v }}",
+    ).collect()[0]
+    # MIN/MAX return the original terms (datatype preserved), compared
+    # numerically for numeric datatypes (7 < 10 despite "10" < "7")
+    assert (row["lo"]["value"], row["hi"]["value"]) == ("7", "14")
+    assert row["lo"]["datatype"] == XSD_INTEGER
+    got = _pairs(
+        sparql_select(
+            salaries,
+            f"SELECT ?d (COUNT(*) AS ?n) WHERE {{ ?p <{EX}dept> ?d }}"
+            f" GROUP BY ?d HAVING (COUNT(*) > 1)",
+        )
+    )
+    assert got == [("eng", "2")]
+
+
+def test_agg_group_concat_distinct_and_expr_key(spark, salaries):
+    got = _pairs(
+        sparql_select(
+            salaries,
+            f'SELECT ?d (GROUP_CONCAT(?n; SEPARATOR=", ") AS ?names)'
+            f" WHERE {{ ?p <{EX}dept> ?d ; <{EX}label> ?n }} GROUP BY ?d",
+        )
+    )
+    assert got == [("eng", "Ann, Bob")]
+    got = _pairs(
+        sparql_select(
+            salaries,
+            f"SELECT ?u (COUNT(DISTINCT ?p) AS ?n)"
+            f" WHERE {{ ?p <{EX}dept> ?d }} GROUP BY (UCASE(?d) AS ?u)",
+        )
+    )
+    assert got == [("ENG", "2"), ("OPS", "1")]
+
+
+def test_agg_nongrouped_projection_is_loud(spark, salaries):
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(
+            salaries,
+            f"SELECT ?p (COUNT(*) AS ?n) WHERE {{ ?p <{EX}dept> ?d }}"
+            f" GROUP BY ?d",
+        )

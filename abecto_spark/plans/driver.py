@@ -185,6 +185,64 @@ def _p_file_source(state: PlanState, step: dict) -> None:
         )
 
 
+def _p_url_source(state: PlanState, step: dict) -> None:
+    """`UrlSourceProcessor.java:29-43` — driver-side URL fetch into the
+    primary model (file:// and plain paths via the multi-format reader)."""
+    from ..sources.sparql_source import url_source
+
+    params, dataset = step.get("params", {}), step.get("dataset")
+    if dataset is None:
+        raise PlanError(f"step {step['id']}: url_source needs a dataset")
+    urls = params.get("url")
+    urls = [urls] if isinstance(urls, str) else list(urls or [])
+    if not urls:
+        raise PlanError(f"step {step['id']}: url_source needs url")
+    state.add_primary(dataset, _norm_ingest(url_source(state.spark, urls)))
+
+
+def _p_sparql_source(state: PlanState, step: dict) -> None:
+    """`SparqlSourceProcessor.java:63-387` — frontier crawl of a SPARQL
+    endpoint. The ``service`` parameter is a file:// URL or path whose
+    graph backs a LocalGraphEndpoint (the drop-in point for a real HTTP
+    endpoint outside this container)."""
+    from ..sources.formats import read_rdf_local
+    from ..sources.sparql_source import (
+        DEFAULT_FOLLOW_UNLIMITED,
+        LocalGraphEndpoint,
+        sparql_source,
+    )
+
+    params, dataset = step.get("params", {}), step.get("dataset")
+    if dataset is None:
+        raise PlanError(f"step {step['id']}: sparql_source needs a dataset")
+    service = params.get("service")
+    if not service:
+        raise PlanError(f"step {step['id']}: sparql_source needs service")
+    path = service[len("file://"):] if service.startswith("file://") else service
+    if service.startswith(("http://", "https://")):
+        raise PlanError(
+            f"step {step['id']}: remote SPARQL endpoints need a network-"
+            "enabled LocalGraphEndpoint substitute"
+        )
+    endpoint = LocalGraphEndpoint(_norm_ingest(read_rdf_local(state.spark, path)))
+    out = sparql_source(
+        state.spark,
+        endpoint,
+        query=params.get("query"),
+        list_=params.get("list"),
+        max_distance=int(params.get("maxDistance", 0)),
+        follow_inverse=tuple(params.get("followInverse", ())),
+        follow_unlimited=tuple(
+            params.get("followUnlimited", DEFAULT_FOLLOW_UNLIMITED)
+        ),
+        follow_inverse_unlimited=tuple(
+            params.get("followInverseUnlimited", ())
+        ),
+        ignore_inverse=tuple(params.get("ignoreInverse", ())),
+    )
+    state.add_primary(dataset, out)
+
+
 def _p_construct(state: PlanState, step: dict) -> None:
     from ..operators.rule_text import apply_construct
 
@@ -364,6 +422,8 @@ def _p_property(state: PlanState, step: dict) -> None:
 
 PROCESSORS = {
     "file_source": _p_file_source,
+    "url_source": _p_url_source,
+    "sparql_source": _p_sparql_source,
     "construct": _p_construct,
     "forward_rules": _p_forward_rules,
     "jw_mapping": _p_jw_mapping,
@@ -431,7 +491,8 @@ def run_plan(
         tok = _step_token(step, [tokens[i] for i in step.get("inputs", [])])
         tokens[step["id"]] = tok
         checkpointable = step["processor"] in (
-            "file_source", "construct", "forward_rules"
+            "file_source", "url_source", "sparql_source",
+            "construct", "forward_rules",
         )
         if (
             store is not None and resume and checkpointable

@@ -34,6 +34,15 @@ class PlanFileError(ValueError):
 _LIST_PARAMS = {"path", "variables", "aspects", "language_filter_patterns"}
 _PROCESSORS = {
     "FileSourceProcessor": ("file_source", {"path": "path"}),
+    "UrlSourceProcessor": ("url_source", {"url": "url"}),
+    "SparqlSourceProcessor": (
+        "sparql_source",
+        {"service": "service", "query": "query", "list": "list",
+         "maxDistance": "maxDistance", "followInverse": "followInverse",
+         "followUnlimited": "followUnlimited",
+         "followInverseUnlimited": "followInverseUnlimited",
+         "ignoreInverse": "ignoreInverse"},
+    ),
     "JaroWinklerMappingProcessor": (
         "jw_mapping",
         {"aspect": "aspect", "variables": "variables",

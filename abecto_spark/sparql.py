@@ -1047,7 +1047,9 @@ class _Compiler:
             acc, bound = self._join_in(acc, bound, df, vs)
         for expr, name in g.binds:
             if acc is None:
-                raise SparqlUnsupported("BIND before any triple pattern")
+                # pure-BIND group (e.g. the SparqlSourceProcessor seed
+                # `SELECT ?item WHERE {BIND(<x> AS ?item)}`): one empty row
+                acc = self.t.sparkSession.range(1).select()
             if name in bound:
                 raise SparqlUnsupported(f"BIND re-binds ?{name}")
             acc = acc.withColumn(name, compile_expr_term(expr, bound))

@@ -1,0 +1,194 @@
+"""SparqlSourceProcessor / UrlSourceProcessor parity tests — the crawl
+scenario transcribed from the reference's
+`SparqlSourceProcessorTest.java:48-249` (Fuseki endpoint replaced by a
+LocalGraphEndpoint over the same graph; the assertions are the same
+contains/absent checks, XOR-gated on maxDistance)."""
+
+from __future__ import annotations
+
+import pytest
+
+from abecto_spark.sources.sparql_source import (
+    LocalGraphEndpoint,
+    sparql_source,
+    url_source,
+)
+
+NS = "http://example.org/"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+TRIPLES_DDL = (
+    "s string, p string, o_kind string, o_value string,"
+    " o_datatype string, o_lang string"
+)
+
+MAX_FOLLOW = 3
+MAX_MAX_DISTANCE = 3
+
+
+def _lit(s, p, v, lang=""):
+    dt = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+          if lang else XSD_STRING)
+    return (s, p, "literal", v, dt, lang)
+
+
+def _iri(s, p, o):
+    return (s, p, "iri", o, None, None)
+
+
+@pytest.fixture(scope="module")
+def crawl_graph(spark):
+    """The test graph of `SparqlSourceProcessorTest.java:54-146`."""
+    label, sub = RDFS + "label", RDFS + "subClassOf"
+    assoc, inv = NS + "association", NS + "inverseAssociation"
+    rows = [
+        _lit(assoc, label, "label"),
+        # individual
+        _lit(NS + "individual", label, "label"),
+        _iri(NS + "individual", assoc, NS + "association1"),
+        _iri(NS + "inverseAssociation1", inv, NS + "individual"),
+        _iri(NS + "individual", sub, NS + "followUnlimited1"),
+        _lit(NS + "individual", label, "label", "en"),
+        _lit(NS + "individual", label, "label", "de"),
+    ]
+    for i in range(1, MAX_FOLLOW + 1):
+        fu = NS + f"followUnlimited{i}"
+        rows += [
+            _iri(fu, sub, NS + f"followUnlimited{i + 1}"),
+            _lit(fu, label, "label"),
+            _iri(fu, assoc, fu + "Association"),
+            _iri(fu + "Sibling", sub, fu),
+            _lit(fu + "Sibling", label, "label"),
+            _iri(fu + "Sibling", assoc, fu + "SiblingAssociation"),
+        ]
+    for d in range(1, MAX_MAX_DISTANCE + 1):
+        rows += [
+            _iri(NS + f"association{d}", assoc, NS + f"association{d + 1}"),
+            _lit(NS + f"association{d}", label, "label"),
+            _iri(NS + f"inverseAssociation{d + 1}", inv,
+                 NS + f"inverseAssociation{d}"),
+            _lit(NS + f"inverseAssociation{d}", label, "label"),
+        ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+@pytest.mark.parametrize("max_distance", [0, 1, 2])
+def test_crawl_matches_reference_scenario(spark, crawl_graph, max_distance):
+    endpoint = LocalGraphEndpoint(crawl_graph)
+    out = sparql_source(
+        spark,
+        endpoint,
+        query=f"SELECT ?item WHERE {{BIND(<{NS}individual> AS ?item)}}",
+        follow_inverse=(NS + "inverseAssociation",),
+        max_distance=max_distance,
+    )
+    got = {
+        (r["s"], r["p"], r["o_kind"], r["o_value"], r["o_lang"] or "")
+        for r in out.collect()
+    }
+
+    def has_iri(s, p, o):
+        return (s, p, "iri", o, "") in got
+
+    def has_lit(s, p, v, lang=""):
+        return (s, p, "literal", v, lang) in got
+
+    label, sub = RDFS + "label", RDFS + "subClassOf"
+    assoc, inv = NS + "association", NS + "inverseAssociation"
+
+    # individual (`:170-186`)
+    assert has_lit(NS + "individual", label, "label")
+    assert has_iri(NS + "individual", sub, NS + "followUnlimited1")
+    assert has_iri(NS + "individual", assoc, NS + "association1")
+    assert has_iri(NS + "inverseAssociation1", inv, NS + "individual")
+
+    # hierarchy (`:188-221`): followUnlimited chain fully loaded at every
+    # maxDistance; Siblings' subClassOf arrives via the inverse load but
+    # the Siblings themselves are never crawled
+    for i in range(1, MAX_FOLLOW + 1):
+        fu = NS + f"followUnlimited{i}"
+        assert has_iri(fu, sub, NS + f"followUnlimited{i + 1}")
+        assert has_lit(NS + "followUnlimited1", label, "label")
+        assert has_iri(fu, assoc, fu + "Association")
+        assert has_iri(fu + "Sibling", sub, fu)
+        assert not has_lit(fu + "Sibling", label, "label")
+        assert not has_iri(fu + "Sibling", assoc, fu + "SiblingAssociation")
+
+    # associations cut at maxDistance (`:223-242`)
+    for d in range(1, MAX_MAX_DISTANCE + 1):
+        assert (d > max_distance) ^ has_iri(
+            NS + f"association{d}", assoc, NS + f"association{d + 1}"
+        )
+        assert (d > max_distance) ^ has_lit(
+            NS + f"association{d}", label, "label"
+        )
+        assert (d > max_distance) ^ has_iri(
+            NS + f"inverseAssociation{d + 1}", inv, NS + f"inverseAssociation{d}"
+        )
+        assert (d > max_distance) ^ has_lit(
+            NS + f"inverseAssociation{d}", label, "label"
+        )
+
+
+def test_crawl_ignore_inverse_and_list_seed(spark, crawl_graph):
+    endpoint = LocalGraphEndpoint(crawl_graph)
+    out = sparql_source(
+        spark,
+        endpoint,
+        list_=[NS + "individual"],
+        ignore_inverse=(NS + "inverseAssociation",),
+        follow_unlimited=(),
+    )
+    got = {(r["s"], r["p"], r["o_value"]) for r in out.collect()}
+    # the inverse statement is suppressed by ignoreInverse
+    assert (NS + "inverseAssociation1", NS + "inverseAssociation",
+            NS + "individual") not in got
+    assert (NS + "individual", RDFS + "label", "label") in got
+
+
+def test_crawl_newline_iri_hotfix(spark):
+    rows = [
+        _iri(NS + "ok", NS + "p", NS + "bad\niri"),
+        _lit(NS + "ok", RDFS + "label", "keep"),
+    ]
+    endpoint = LocalGraphEndpoint(spark.createDataFrame(rows, TRIPLES_DDL))
+    out = sparql_source(spark, endpoint, list_=[NS + "ok"],
+                        follow_unlimited=())
+    vals = {(r["o_kind"], r["o_value"]) for r in out.collect()}
+    assert ("literal", "keep") in vals
+    assert ("iri", NS + "bad\niri") not in vals
+
+
+def test_url_source_file_urls(spark, tmp_path):
+    (tmp_path / "a.nt").write_text(
+        f'<{NS}a> <{NS}p> "x" .\n'
+    )
+    (tmp_path / "b.ttl").write_text(
+        f'@prefix ex: <{NS}> .\nex:b ex:p "y" .\n'
+    )
+    out = url_source(
+        spark, [f"file://{tmp_path}/a.nt", str(tmp_path / "b.ttl")]
+    )
+    got = {(r["s"], r["o_value"]) for r in out.collect()}
+    assert got == {(NS + "a", "x"), (NS + "b", "y")}
+
+
+def test_plan_driver_sparql_source_step(spark, tmp_path):
+    from abecto_spark.plans.driver import run_plan
+
+    (tmp_path / "svc.nt").write_text(
+        f'<{NS}x> <{NS}p> <{NS}y> .\n'
+        f'<{NS}y> <{RDFS}label> "why" .\n'
+        f'<{NS}z> <{NS}p> <{NS}z2> .\n'
+    )
+    res = run_plan(spark, {"steps": [
+        {"id": "s1", "processor": "sparql_source", "dataset": "d1",
+         "params": {"service": f"file://{tmp_path}/svc.nt",
+                    "list": [NS + "x"], "maxDistance": 1,
+                    "followUnlimited": []}},
+    ]})
+    got = {(r["s"], r["o_value"]) for r in res.primary["d1"].collect()}
+    # x and (distance 1) y are described; z is unreachable
+    assert (NS + "x", NS + "y") in got
+    assert (NS + "y", "why") in got
+    assert (NS + "z", NS + "z2") not in got

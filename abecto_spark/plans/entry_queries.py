@@ -579,6 +579,163 @@ def q_aspect_algebra(spark, sf):
     )
 
 
+def q_sparql_paths(spark, sf):
+    """Round-3 arbitrary-length property paths: customers reach regions
+    through ``locatedIn / next* / partOf`` over a nation-chain graph —
+    the engine runs the semi-naive path-doubling closure, the oracle a
+    DuckDB recursive CTE over the same chain."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    nation = _t(spark, sf, "nation")
+    customer = _t(spark, sf, "customer").where(F.col("c_custkey") % 5 == 0)
+
+    def t(s, p, o):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit("iri").alias("o_kind"),
+            o.alias("o_value"), F.lit(None).cast("string").alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    n = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    triples = (
+        customer.select(*t(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")),
+            "locatedIn",
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")),
+        ))
+        .unionByName(nation.select(*t(
+            n, "partOf",
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")),
+        )))
+        .unionByName(
+            # chain n_k -> n_{k+1} in nationkey order
+            nation.alias("a").join(
+                nation.alias("b"),
+                F.col("a.n_nationkey") + 1 == F.col("b.n_nationkey"),
+            ).select(*t(
+                F.concat(F.lit("n"), F.col("a.n_nationkey").cast("string")),
+                "next",
+                F.concat(F.lit("n"), F.col("b.n_nationkey").cast("string")),
+            ))
+        )
+    )
+    wide = sparql_select(
+        triples,
+        f"""
+        SELECT DISTINCT ?c ?r WHERE {{
+          ?c <{ex}locatedIn> ?n .
+          ?n <{ex}next>* ?m .
+          ?m <{ex}partOf> ?r .
+        }}
+        """,
+    )
+    return wide.select(
+        F.col("c")["value"].alias("customer"),
+        F.col("r")["value"].alias("region"),
+    )
+
+
+def q_sparql_agg(spark, sf):
+    """Round-3 SPARQL aggregation: GROUP BY / HAVING / COUNT / MIN /
+    MAX / GROUP_CONCAT(DISTINCT) over an orders-derived triples table,
+    vs. a plain DuckDB GROUP BY (GROUP_CONCAT sorts its inputs, so
+    string_agg ... ORDER BY matches exactly)."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    orders = _t(spark, sf, "orders").where(F.col("o_orderkey") % 3 == 0)
+    o = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+
+    def t(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"), F.lit(dt).alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    triples = (
+        orders.select(*t(
+            o, "by", "iri",
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")), None,
+        ))
+        .unionByName(orders.select(*t(
+            o, "okey", "literal", F.col("o_orderkey").cast("string"),
+            XSD_INTEGER,
+        )))
+        .unionByName(orders.select(*t(
+            o, "prio", "literal", F.col("o_orderpriority"), XSD_STRING,
+        )))
+    )
+    wide = sparql_select(
+        triples,
+        f"""
+        SELECT ?c (COUNT(?ok) AS ?n) (MIN(?ok) AS ?lo) (MAX(?ok) AS ?hi)
+               (GROUP_CONCAT(DISTINCT ?pr; SEPARATOR="|") AS ?prios)
+        WHERE {{
+          ?o <{ex}by> ?c ; <{ex}okey> ?ok ; <{ex}prio> ?pr .
+        }}
+        GROUP BY ?c
+        HAVING (COUNT(?ok) >= 4)
+        """,
+    )
+    return wide.select(
+        F.col("c")["value"].alias("customer"),
+        F.col("n")["value"].alias("n_orders"),
+        F.col("lo")["value"].alias("lo"),
+        F.col("hi")["value"].alias("hi"),
+        F.col("prios")["value"].alias("prios"),
+    )
+
+
+def q_sparql_crawl(spark, sf):
+    """Round-3 SPARQL-endpoint crawl (`SparqlSourceProcessor.java:63-387`
+    re-expressed as frontier joins): seed nation n3, maxDistance 1 — the
+    crawl must pick up n3's description, the suppliers pointing at it
+    (inverse), its region's description (distance 1), and the region's
+    other nations (inverse at distance 1); the oracle recomputes the
+    same four statement sets with set algebra in DuckDB."""
+    from ..sources.sparql_source import LocalGraphEndpoint, sparql_source
+
+    ex = "http://example.org/"
+    nation = _t(spark, sf, "nation")
+    supplier = _t(spark, sf, "supplier")
+
+    def t(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"), F.lit(dt).alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    graph = (
+        nation.select(*t(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+            "partOf", "iri",
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")), None,
+        ))
+        .unionByName(supplier.select(*t(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")),
+            "in", "iri",
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")), None,
+        )))
+        .unionByName(
+            _t(spark, sf, "region").select(*t(
+                F.concat(F.lit("r"), F.col("r_regionkey").cast("string")),
+                "label", "literal", F.col("r_name"), XSD_STRING,
+            ))
+        )
+    )
+    out = sparql_source(
+        spark,
+        LocalGraphEndpoint(graph),
+        list_=["n3"],
+        max_distance=1,
+        follow_unlimited=(),
+    )
+    return out.select("s", "p", "o_kind", "o_value")
+
+
 def q_var_paths(spark, sf):
     """Variable-path extraction (sparql.var_paths — the reference's
     `VarPathsExtractionVisitor.java:35-209`): BFS over the pattern's
@@ -873,6 +1030,9 @@ QUERIES = {
     "aspect_scan": q_aspect_scan,
     "aspect_bgp": q_aspect_bgp,
     "aspect_algebra": q_aspect_algebra,
+    "sparql_paths": q_sparql_paths,
+    "sparql_agg": q_sparql_agg,
+    "sparql_crawl": q_sparql_crawl,
     "var_paths": q_var_paths,
     "wrong_value_suppression": q_wrong_value_suppression,
     "rdf_roundtrip": q_rdf_roundtrip,
@@ -945,6 +1105,54 @@ ORACLES = {
             AND c_custkey % 5 != 0
           ORDER BY resource LIMIT 400
         )
+    """,
+    "sparql_paths": """
+        WITH RECURSIVE nxt(a, b) AS (
+          SELECT n.n_nationkey, n.n_nationkey + 1 FROM nation n
+          WHERE EXISTS (SELECT 1 FROM nation m
+                        WHERE m.n_nationkey = n.n_nationkey + 1)
+        ),
+        reach(a, b) AS (
+          SELECT n_nationkey, n_nationkey FROM nation
+          UNION
+          SELECT reach.a, nxt.b FROM reach JOIN nxt ON nxt.a = reach.b
+        )
+        SELECT DISTINCT 'c' || CAST(c.c_custkey AS VARCHAR) AS customer,
+               'r' || CAST(m.n_regionkey AS VARCHAR) AS region
+        FROM customer c
+        JOIN reach ON reach.a = c.c_nationkey
+        JOIN nation m ON m.n_nationkey = reach.b
+        WHERE c.c_custkey % 5 = 0
+    """,
+    "sparql_agg": """
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS customer,
+               CAST(COUNT(*) AS VARCHAR) AS n_orders,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS lo,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS hi,
+               string_agg(DISTINCT o_orderpriority, '|'
+                          ORDER BY o_orderpriority) AS prios
+        FROM orders
+        WHERE o_orderkey % 3 = 0
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 4
+    """,
+    "sparql_crawl": """
+        WITH rk AS (SELECT n_regionkey AS k FROM nation WHERE n_nationkey = 3)
+        SELECT 'n3' AS s, 'http://example.org/partOf' AS p,
+               'iri' AS o_kind, 'r' || CAST(k AS VARCHAR) AS o_value
+        FROM rk
+        UNION
+        SELECT 's' || CAST(s_suppkey AS VARCHAR), 'http://example.org/in',
+               'iri', 'n3'
+        FROM supplier WHERE s_nationkey = 3
+        UNION
+        SELECT 'r' || CAST(r_regionkey AS VARCHAR), 'http://example.org/label',
+               'literal', r_name
+        FROM region JOIN rk ON r_regionkey = k
+        UNION
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'http://example.org/partOf',
+               'iri', 'r' || CAST(n_regionkey AS VARCHAR)
+        FROM nation JOIN rk ON n_regionkey = k
     """,
     "var_paths": """
         WITH RECURSIVE edges(src, lbl, dst) AS (

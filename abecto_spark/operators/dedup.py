@@ -9,6 +9,10 @@ packing uses a vectorized numpy UDF.
   * ngram_jaccard_pairs  — token-set Jaccard within blocking groups
   * simhash              — 64-bit SimHash + banded hamming candidates
   * embedding_near_dups  — cosine near-dup pairs via random-hyperplane LSH
+  * jaccard_verify_pairs — exact shingle-set Jaccard for candidate pairs
+  * neardup_dedup        — end-to-end corpus dedup: LSH candidates →
+                           Jaccard verify → connected components →
+                           canonical keep election per cluster
 """
 
 from __future__ import annotations
@@ -30,6 +34,15 @@ def _tokens(text_col):
     return F.filter(F.split(text_col, " "), lambda t: t != "")
 
 
+def _shingle_arr(toks_col: str, shingle: int):
+    """Array of word ``shingle``-grams over an already-tokenized array
+    column (``shingle=1`` degenerates to the token array itself)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks_col}) - {shingle - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {shingle})))"
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle: int = 3
 ) -> DataFrame:
@@ -39,12 +52,7 @@ def minhash_signature(
     toks = df.select(F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks"))
     sh = toks.select(
         "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {shingle - 1}, 1)),"
-                f" i -> concat_ws(' ', slice(toks, i, {shingle})))"
-            )
-        ).alias("shingle"),
+        F.explode(_shingle_arr("toks", shingle)).alias("shingle"),
     )
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
@@ -223,4 +231,105 @@ def embedding_near_dups(
         .withColumn("cosine", dot / (na * nb))
         .where(F.col("cosine") >= threshold)
         .select(F.col("_id").alias("id_a"), F.col("_id2").alias("id_b"), "cosine")
+    )
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs — the verify stage
+    after LSH blocking. Joins each side's distinct shingle set onto
+    ``pairs`` (id_a, id_b) and keeps pairs with ``jaccard >= threshold``.
+
+    Scale shape: two equi-joins keyed by doc id; the candidate set after
+    banding is ≪ |corpus|², so the join input is bounded by LSH recall,
+    not by the corpus size. The shingle sets are built per side from the
+    corpus scan (column-pruned to id + text)."""
+    toks = docs.select(
+        F.col(id_col).alias("_vid"), _tokens(F.col(text_col)).alias("toks")
+    )
+    toks = toks.select(
+        "_vid", F.array_distinct(_shingle_arr("toks", shingle)).alias("_tset")
+    )
+    a = toks.select(F.col("_vid").alias("id_a"), F.col("_tset").alias("_ta"))
+    b = toks.select(F.col("_vid").alias("id_b"), F.col("_tset").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = F.size(F.array_union("_ta", "_tb")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate corpus deduplication — the standard
+    training-data pipeline flow: MinHash-LSH candidate generation →
+    exact shingle-set Jaccard verify → connected components over the
+    verified near-dup graph → canonical keep election per cluster.
+
+    Returns one row per input doc: ``(id, cluster_id, cluster_size,
+    keep)`` where ``cluster_id`` is the numeric-min member of the doc's
+    near-dup component, singletons are their own cluster of size 1, and
+    ``keep`` marks the elected representative (the filtered corpus is
+    ``out.where("keep")`` joined back to the docs).
+
+    Scale shape: the corpus is touched by (1) the signature aggregate
+    (one shuffle, map-side combine), (2) the verify joins (bounded by
+    the LSH candidate count, not |corpus|²), and (3) the final keep-list
+    left join on the id key. The CC runs on the *verified near-dup
+    graph* only — orders of magnitude smaller than the corpus — and
+    short-circuits to the driver scatter-min under the measured
+    threshold (closure.connected_components)."""
+    from .closure import connected_components
+
+    cand = minhash_lsh_candidates(docs, id_col, text_col, n_hashes, bands, shingle)
+    edges = jaccard_verify_pairs(
+        docs, cand, id_col, text_col, jaccard_threshold, shingle
+    )
+    cc = connected_components(
+        edges.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    id_type = docs.schema[id_col].dataType
+    memb = cc.select(
+        F.col("resource").cast(id_type).alias(id_col), "canonical_id"
+    )
+    # canonical_id from CC is the lexicographic string min; re-elect the
+    # numeric min per component so "100" < "99" string order never leaks
+    clus = memb.groupBy("canonical_id").agg(
+        F.min(id_col).alias("cluster_id"), F.count("*").alias("cluster_size")
+    )
+    memb = memb.join(clus, "canonical_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )
+    cid = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(memb, id_col, "left")
+        .select(
+            id_col,
+            cid.alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            (F.col(id_col) == cid).alias("keep"),
+        )
     )

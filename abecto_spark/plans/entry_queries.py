@@ -21,6 +21,7 @@ from ..operators.closure import connected_components
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    neardup_dedup,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidates,
@@ -450,6 +451,27 @@ def q_minhash_candidates(spark, sf):
     return cand.where(
         (F.col("id_a") < 100) & (F.col("id_b") == F.col("id_a") + 1_000_000)
     ).select("id_a", "id_b", "band_votes")
+
+
+def q_neardup_dedup(spark, sf):
+    """End-to-end near-dup corpus dedup (LSH → Jaccard verify → CC →
+    canonical keep election, operators/dedup.neardup_dedup) made
+    oracle-exact: with ``shingle=1`` the LSH/verify shingle sets are the
+    token sets, and with ``jaccard_threshold=1.0`` a verified edge means
+    *token-set equality* — transitive, so the CC clusters are exactly the
+    token-set equality classes, which the DuckDB oracle recomputes by
+    grouping on the sorted distinct token list. Planted exact copies
+    guarantee non-trivial clusters; equal token sets share identical
+    minhash signatures, so every in-class pair collides in all bands and
+    each class is a complete candidate subgraph (no recall loss)."""
+    d = _t(spark, sf, "documents")
+    return neardup_dedup(
+        _with_planted_dups(d),
+        n_hashes=32,
+        bands=8,
+        shingle=1,
+        jaccard_threshold=1.0,
+    )
 
 
 def q_simhash_candidates(spark, sf):
@@ -1056,6 +1078,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "minhash_candidates": q_minhash_candidates,
     "simhash_candidates": q_simhash_candidates,
+    "neardup_dedup": q_neardup_dedup,
     "doc_quality": q_doc_quality,
     "ann_top1": q_ann_top1,
     "sessionize": q_sessionize,
@@ -1568,6 +1591,34 @@ ORACLES = {
     "simhash_candidates": """
         SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
         FROM documents WHERE doc_id < 100
+    """,
+    "neardup_dedup": """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM corpus
+        ),
+        k AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN NULL
+                      ELSE array_to_string(list_sort(list_distinct(toks)),
+                                           chr(1)) END AS key
+          FROM g
+        ),
+        cl AS (
+          SELECT key, MIN(doc_id) AS cid, COUNT(*) AS n
+          FROM k WHERE key IS NOT NULL GROUP BY key
+        )
+        SELECT k.doc_id,
+               COALESCE(cl.cid, k.doc_id) AS cluster_id,
+               CAST(COALESCE(cl.n, 1) AS BIGINT) AS cluster_size,
+               k.doc_id = COALESCE(cl.cid, k.doc_id) AS keep
+        FROM k LEFT JOIN cl ON k.key = cl.key
     """,
     "ann_lsh_topk": """
         SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,

@@ -58,6 +58,7 @@ def main() -> None:
         "exact_dedup",
         "minhash_candidates",
         "simhash_candidates",
+        "neardup_dedup",
         "ngram_jaccard",
         "text_stats",
         "bpe_token_count",

@@ -56,6 +56,38 @@ def test_ngram_jaccard(spark, docs_df):
     assert pairs[("doc00", "dup2")] == 1.0  # same token set
 
 
+def test_neardup_dedup_clusters_and_keep(spark):
+    from abecto_spark.operators.dedup import neardup_dedup
+
+    base = (
+        "large scale web corpora contain many near duplicate documents that"
+        " inflate training compute and skew evaluation so pipelines remove them"
+    )
+    rows = [
+        (10, base),
+        (7, base + " early"),  # near-dup of 10; smaller id → representative
+        (30, base.replace("documents", "pages")),  # near-dup, one word off
+        (40, "a totally unrelated short note about spark physical plans"),
+        (100, base),  # "100" < "99" lexicographically — numeric-min guard
+        (99, base + " pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = neardup_dedup(
+        docs, n_hashes=32, bands=16, shingle=3, jaccard_threshold=0.6
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {10, 7, 30, 40, 100, 99}
+    cluster = {by_id[i]["cluster_id"] for i in (10, 7, 30, 100, 99)}
+    assert cluster == {7}  # numeric min, not lexicographic ("100" < "7")
+    assert by_id[7]["keep"] and by_id[7]["cluster_size"] == 5
+    assert not by_id[10]["keep"] and not by_id[100]["keep"]
+    assert by_id[40]["keep"] and by_id[40]["cluster_size"] == 1
+    assert by_id[40]["cluster_id"] == 40
+    # exactly one representative per cluster
+    keeps = [r for r in out if r["keep"]]
+    assert len(keeps) == len({r["cluster_id"] for r in out})
+
+
 def test_simhash_candidates(spark, docs_df):
     sig = simhash(docs_df, "doc_id", "text")
     assert sig.count() == docs_df.count()

@@ -51,6 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="snapshot-store directory for per-step checkpoint/resume",
     )
     p.add_argument(
+        "--trig", metavar="FILE", default=None,
+        help="write the result datasets as a single TriG file, one named"
+        " graph per dataset (`Abecto.java:166-173`); for cluster-scale"
+        " dumps use --nquads instead",
+    )
+    p.add_argument(
+        "--nquads", metavar="DIR", default=None,
+        help="write the result datasets as a distributed N-Quads text"
+        " directory, one named graph per dataset",
+    )
+    p.add_argument(
         "--reportOn", metavar="IRI", default=None, dest="report_on",
         help="dataset IRI to report on; exports and fail-on checks are"
         " limited to findings affecting this dataset",
@@ -107,6 +118,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         findings.write.mode("overwrite").parquet(os.path.join(args.out, "findings"))
         result.edges.write.mode("overwrite").parquet(os.path.join(args.out, "mappings"))
+
+    if args.trig or args.nquads:
+        from functools import reduce
+
+        from .sources.rdf import write_nquads, write_trig_local
+
+        parts = [
+            df.select(
+                "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
+            ).withColumn("graph", F.lit(dataset))
+            for dataset, df in result.primary.items()
+        ]
+        if parts:
+            quads = reduce(lambda a, b: a.unionByName(b), parts)
+            if args.trig:
+                write_trig_local(quads, args.trig)
+            if args.nquads:
+                write_nquads(quads, args.nquads)
 
     for name, path in exports:
         if name == "deviations":

@@ -72,6 +72,8 @@ def main() -> None:
         "property_findings",
         "wrong_value_suppression",
         "aspect_algebra",
+        "sparql_paths",
+        "sparql_agg",
         "sessionize",
         "windowed_agg",
     ]

@@ -184,3 +184,54 @@ def test_wd_mismatch_finder(spark):
         ("Q42", "P123", "Q7", "42", "http://x/douglas", "statement"),
         ("Q1", "P123", "", "one", "http://x/one", "statement"),
     }
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    from abecto_spark.sources.rdf import write_nquads
+
+    rows = [
+        ("http://ex.org/a", "http://ex.org/p", "iri", "http://ex.org/b",
+         None, "", "http://ex.org/g1"),
+        ("_:b0", "http://ex.org/p", "literal", 'he said "hi"\n\tbye',
+         "http://www.w3.org/2001/XMLSchema#string", "", "http://ex.org/g2"),
+        ("http://ex.org/a", "http://ex.org/l", "literal", "chat",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "fr",
+         "http://ex.org/g1"),
+        ("http://ex.org/d", "http://ex.org/p", "bnode", "_:x", None, "", None),
+    ]
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string, graph string")
+    quads = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "out_nq")
+    write_nquads(quads, out)
+    back = read_ntriples(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_trig_local_roundtrip(spark, tmp_path):
+    from abecto_spark.sources.rdf import write_trig_local
+    from abecto_spark.sources.turtle import read_trig_local
+
+    rows = [
+        ("http://ex.org/a", "http://ex.org/p", "iri", "http://ex.org/b",
+         None, "", "http://ex.org/g1"),
+        ("http://ex.org/a", "http://ex.org/n", "literal", "42",
+         "http://www.w3.org/2001/XMLSchema#integer", "", "http://ex.org/g2"),
+        ("http://ex.org/c", "http://ex.org/l", "literal", "x y",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en",
+         "http://ex.org/g2"),
+        ("http://ex.org/d", "http://ex.org/p", "iri", "http://ex.org/e",
+         None, "", None),  # default graph
+    ]
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string, graph string")
+    quads = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / "dump.trig")
+    write_trig_local(quads, path)
+    back = read_trig_local(spark, path)  # (graph, s, p, kind, value, dt, lang)
+    got = sorted(
+        (r["s"], r["p"], r["o_kind"], r["o_value"], r["o_datatype"],
+         r["o_lang"], r["graph"] if r["graph"] != "" else None)
+        for r in back.collect()
+    )
+    assert got == sorted(rows)

@@ -249,3 +249,31 @@ def test_cli_bad_export_template(spark):
 
     with pytest.raises(SystemExit):
         main([TRIG, "-E", "nope=/tmp/x"])
+
+
+def test_cli_trig_and_nquads_dump(spark, tmp_path):
+    """--trig / --nquads dataset dumps (`Abecto.java:166-173`): the TriG
+    file groups statements into one named graph per dataset and reads
+    back through the TriG parser; the N-Quads directory reads back
+    through the distributed parser with the same quads."""
+    from abecto_spark.cli import main
+    from abecto_spark.sources.rdf import read_ntriples
+    from abecto_spark.sources.turtle import read_trig_local
+
+    trig_out = tmp_path / "dump.trig"
+    nq_out = tmp_path / "dump_nq"
+    code = main([TRIG, "--trig", str(trig_out), "--nquads", str(nq_out)])
+    assert code == 0
+    trig_back = read_trig_local(spark, str(trig_out))
+    nq_back = read_ntriples(spark, str(nq_out))
+    graphs = {r["graph"] for r in trig_back.select("graph").distinct().collect()}
+    assert len(graphs) == 3  # one named graph per tutorial dataset
+    a = sorted(
+        (r["graph"], r["s"], r["p"], r["o_kind"], r["o_value"])
+        for r in trig_back.collect()
+    )
+    b = sorted(
+        (r["graph"], r["s"], r["p"], r["o_kind"], r["o_value"])
+        for r in nq_back.collect()
+    )
+    assert a == b and len(a) > 20

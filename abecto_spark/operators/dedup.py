@@ -67,9 +67,18 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, band votes): docs
-    sharing ≥1 LSH band bucket. bands × rows_per_band = n_hashes."""
+    sharing ≥1 LSH band bucket. bands × rows_per_band = n_hashes.
+
+    ``bucket_cap`` bounds the per-band bucket membership (row_number over
+    the bucket, id order): a degenerate bucket — template-heavy corpora
+    where one band signature covers a large doc fraction — otherwise
+    costs |bucket|² in the self-join. Capping trades recall for a hard
+    quadratic bound; docs dropped from a bucket in one band can still
+    pair through their other ``bands − 1`` buckets. Off by default
+    (exact-oracle semantics need complete candidate subgraphs)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, id_col, text_col, n_hashes, shingle)
     band_cols = [
@@ -84,6 +93,15 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("_id")
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     other = buckets.withColumnRenamed("_id", "_id2")
     pairs = (
         buckets.join(other, ["band", "bucket"])
@@ -277,6 +295,7 @@ def neardup_dedup(
     bands: int = 16,
     shingle: int = 3,
     jaccard_threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate corpus deduplication — the standard
     training-data pipeline flow: MinHash-LSH candidate generation →
@@ -298,7 +317,9 @@ def neardup_dedup(
     threshold (closure.connected_components)."""
     from .closure import connected_components
 
-    cand = minhash_lsh_candidates(docs, id_col, text_col, n_hashes, bands, shingle)
+    cand = minhash_lsh_candidates(
+        docs, id_col, text_col, n_hashes, bands, shingle, bucket_cap
+    )
     edges = jaccard_verify_pairs(
         docs, cand, id_col, text_col, jaccard_threshold, shingle
     )

@@ -456,20 +456,23 @@ def q_minhash_candidates(spark, sf):
 def q_neardup_dedup(spark, sf):
     """End-to-end near-dup corpus dedup (LSH → Jaccard verify → CC →
     canonical keep election, operators/dedup.neardup_dedup) made
-    oracle-exact: with ``shingle=1`` the LSH/verify shingle sets are the
-    token sets, and with ``jaccard_threshold=1.0`` a verified edge means
-    *token-set equality* — transitive, so the CC clusters are exactly the
-    token-set equality classes, which the DuckDB oracle recomputes by
-    grouping on the sorted distinct token list. Planted exact copies
-    guarantee non-trivial clusters; equal token sets share identical
+    oracle-exact: with ``jaccard_threshold=1.0`` a verified edge means
+    *3-shingle-set equality* — transitive, so the CC clusters are exactly
+    the shingle-set equality classes, which the DuckDB oracle recomputes
+    by grouping on the sorted distinct shingle list. Planted exact copies
+    guarantee non-trivial clusters; equal shingle sets share identical
     minhash signatures, so every in-class pair collides in all bands and
-    each class is a complete candidate subgraph (no recall loss)."""
+    each class is a complete candidate subgraph (no recall loss).
+    ``shingle=3`` (the production default) keeps band buckets selective —
+    unigram shingling over template-generated corpora collapses the
+    min-hash to the same hot tokens and explodes the bucket join
+    (measured 8.08M candidate pairs vs 366 at sf0.1)."""
     d = _t(spark, sf, "documents")
     return neardup_dedup(
         _with_planted_dups(d),
         n_hashes=32,
         bands=8,
-        shingle=1,
+        shingle=3,
         jaccard_threshold=1.0,
     )
 
@@ -1605,14 +1608,16 @@ ORACLES = {
         ),
         k AS (
           SELECT doc_id,
-                 CASE WHEN len(toks) = 0 THEN NULL
-                      ELSE array_to_string(list_sort(list_distinct(toks)),
-                                           chr(1)) END AS key
+                 array_to_string(list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> coalesce(array_to_string(list_slice(toks, i, i + 2),
+                                                 ' '), '')))),
+                   chr(1)) AS key
           FROM g
         ),
         cl AS (
           SELECT key, MIN(doc_id) AS cid, COUNT(*) AS n
-          FROM k WHERE key IS NOT NULL GROUP BY key
+          FROM k GROUP BY key
         )
         SELECT k.doc_id,
                COALESCE(cl.cid, k.doc_id) AS cluster_id,

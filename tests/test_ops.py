@@ -88,6 +88,20 @@ def test_neardup_dedup_clusters_and_keep(spark):
     assert len(keeps) == len({r["cluster_id"] for r in out})
 
 
+def test_minhash_bucket_cap_bounds_pairs(spark, docs_df):
+    # cap=2 bounds any band bucket to 1 pair; exact dups still collide
+    # (they share ALL bands, and caps are per-band independent)
+    capped = minhash_lsh_candidates(
+        docs_df, "doc_id", "text", n_hashes=32, bands=16, bucket_cap=2
+    )
+    uncapped = minhash_lsh_candidates(
+        docs_df, "doc_id", "text", n_hashes=32, bands=16
+    )
+    assert capped.count() <= uncapped.count()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a < b for a, b in pairs)
+
+
 def test_simhash_candidates(spark, docs_df):
     sig = simhash(docs_df, "doc_id", "text")
     assert sig.count() == docs_df.count()

@@ -142,37 +142,47 @@ def property_comparison(
     ).localCheckpoint(eager=True)
 
     # ---------------- measures ----------------
-    # nonDistinct: #(resource, term) rows per (variable, dataset)
-    nd_rows = {
-        (r["variable"], r["dataset"]): r["count"]
-        for r in rv.groupBy("variable", "dataset").count().collect()
-    }
-    # distinct: #eq classes per (group, variable, dataset), summed
-    dk = rv.select("group_id", "variable", "dataset", "eq_key").distinct().localCheckpoint(eager=True)
-    dd_rows = {
-        (r["variable"], r["dataset"]): r["count"]
-        for r in dk.groupBy("variable", "dataset").count().collect()
-    }
-    # coverage: classes shared across a dataset pair within a group
-    dk2 = dk.select(
-        "group_id", "variable", F.col("dataset").alias("d2"), "eq_key"
+    # one pre-aggregate feeds every count measure: nonDistinct = Σn and
+    # distinct = #classes fall out of `g` in a single shuffle over rv
+    # (instead of a separate count pass + a distinct pass), and
+    # coverage/coveredness both come from the per-class dataset sets
+    # (instead of a dk⋈dk self-join — the per-class dataset fan-out is
+    # bounded by |datasets|, so exploding sorted pairs is strictly
+    # cheaper than shuffling the class table twice)
+    g = (
+        rv.groupBy("group_id", "variable", "dataset", "eq_key")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ndd = (
+        g.groupBy("variable", "dataset")
+        .agg(F.sum("n").alias("nd"), F.count("*").alias("dd"))
+        .collect()
+    )
+    nd_rows = {(r["variable"], r["dataset"]): r["nd"] for r in ndd}
+    dd_rows = {(r["variable"], r["dataset"]): r["dd"] for r in ndd}
+    # per-class dataset sets: classes shared by a pair (coverage) and
+    # classes of d shared with >=1 other dataset (coveredness)
+    kd = (
+        g.groupBy("group_id", "variable", "eq_key")
+        .agg(F.array_sort(F.collect_set("dataset")).alias("ds"))
+        .localCheckpoint(eager=True)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
     )
     pair_cov = (
-        dk.join(dk2, ["group_id", "variable", "eq_key"])
-        .where(F.col("dataset") < F.col("d2"))
-        .groupBy("variable", "dataset", "d2")
+        kd.select("variable", F.explode(pair_structs).alias("p"))
+        .groupBy("variable", F.col("p.d1").alias("dataset"), F.col("p.d2").alias("d2"))
         .count()
         .collect()
     )
     cov_rows = {(r["variable"], r["dataset"], r["d2"]): r["count"] for r in pair_cov}
-    # coveredness: classes of d shared with >=1 other dataset in the group
-    kd = dk.groupBy("group_id", "variable", "eq_key").agg(
-        F.collect_set("dataset").alias("ds")
-    )
     covness_rows = {
         (r["variable"], r["dataset"]): r["count"]
         for r in kd.where(F.size("ds") >= 2)
-        .select("group_id", "variable", F.explode("ds").alias("dataset"))
+        .select("variable", F.explode("ds").alias("dataset"))
         .groupBy("variable", "dataset")
         .count()
         .collect()

@@ -63,9 +63,16 @@ def population_comparison(
     are "never corresponding" (`unprocessedResourcesByDataset`).
     """
     members = members.select("dataset", "resource").distinct()
+    # one pass over members yields both the dataset list and the per-
+    # dataset counts (was two separate collects)
+    counts = {
+        r["dataset"]: r["count"]
+        for r in members.groupBy("dataset").count().collect()
+    }
     if datasets is None:
-        datasets = [r[0] for r in members.select("dataset").distinct().collect()]
+        datasets = list(counts)
     datasets = sorted(datasets)
+    counts = {d: counts.get(d, 0) for d in datasets}
     pairs = list(combinations(datasets, 2))
 
     # m feeds grouped/loners/gcnt and the findings branch — materialize it
@@ -81,10 +88,6 @@ def population_comparison(
         .agg(F.count("resource"))
         .na.fill(0)
     ).localCheckpoint(eager=True)
-
-    counts = {d: 0 for d in datasets}
-    for r in members.groupBy("dataset").count().collect():
-        counts[r["dataset"]] = r["count"]
 
     present = [F.col(f"`{d}`") > 0 for d in datasets]
     n_present = sum(F.when(p, 1).otherwise(0) for p in present)

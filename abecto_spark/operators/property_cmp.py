@@ -325,14 +325,30 @@ def _deviations_and_omissions(
     pair_cap: int = 2000,
 ):
     gmem = mem.where(F.col("grouped"))
-    # one representative term per (resource, eq class) — the reference's
-    # distinct-value map keeps a single representative RDFNode per class
-    # (`:267-278`); min() for determinism where the reference is HashMap-
-    # order dependent
+    # ONE row per (group, variable, dataset, resource) holding the sorted
+    # (eq_key, value) entries, deduped to one representative term per eq
+    # class (the reference keeps a single representative RDFNode per
+    # class, `:267-278`; sorted array → the min-value representative, for
+    # determinism where the reference is HashMap-order dependent). The
+    # whole uncovered-value computation then runs as array expressions on
+    # the pair join — the previous formulation paid 5 extra shuffles
+    # (value-level anti-joins both ways, two pair distincts, omission
+    # anti-joins). Per-resource value sets are bounded (values of one
+    # aspect variable), so the O(|a|·|b|) membership scans are task-local.
     grv = (
         rv.where(F.col("grouped"))
-        .groupBy("group_id", "variable", "dataset", "resource", "eq_key")
-        .agg(F.min("o_value").alias("o_value"))
+        .groupBy("group_id", "variable", "dataset", "resource")
+        .agg(F.array_sort(F.collect_list(F.struct("eq_key", "o_value"))).alias("_kv"))
+        .withColumn(
+            "kv",
+            # null-safe run dedup: <=> keeps the first entry of each key
+            # run even across null keys (groupBy-on-eq_key equivalence)
+            F.expr(
+                "filter(_kv, (x, i) -> i = 0"
+                " OR NOT (_kv[i - 1].eq_key <=> x.eq_key))"
+            ),
+        )
+        .drop("_kv")
     )
 
     # resource pairs within a group: cross-dataset (d1<d2) or same-dataset
@@ -352,47 +368,95 @@ def _deviations_and_omissions(
         .join(cov_df.withColumnRenamed("dataset", "db"), ["variable", "db"], "left_semi")
     )
 
-    rva = grv.select(
-        "group_id",
-        "variable",
-        F.col("dataset").alias("da"),
-        F.col("resource").alias("ra"),
-        F.col("eq_key").alias("key_a"),
-        F.col("o_value").alias("val_a"),
+    sets_a = grv.select(
+        "group_id", "variable",
+        F.col("dataset").alias("da"), F.col("resource").alias("ra"),
+        F.col("kv").alias("_kv_a"),
     )
-    rvb = grv.select(
-        "group_id",
-        "variable",
-        F.col("dataset").alias("db"),
-        F.col("resource").alias("rb"),
-        F.col("eq_key").alias("key_b"),
-        F.col("o_value").alias("val_b"),
+    sets_b = grv.select(
+        "group_id", "variable",
+        F.col("dataset").alias("db"), F.col("resource").alias("rb"),
+        F.col("kv").alias("_kv_b"),
     )
-
-    # uncovered values of ra vs rb (and vice versa)
-    base_a = pairs_v.join(rva, ["group_id", "variable", "da", "ra"])
-    unc_a = base_a.join(
-        rvb.select("group_id", "variable", "db", "rb", F.col("key_b").alias("key_a")),
-        ["group_id", "variable", "db", "rb", "key_a"],
-        "left_anti",
+    empty_kv = F.expr("array()").cast("array<struct<eq_key:string,o_value:string>>")
+    paired = (
+        pairs_v.join(sets_a, ["group_id", "variable", "da", "ra"], "left")
+        .join(sets_b, ["group_id", "variable", "db", "rb"], "left")
+        .withColumn("_kv_a", F.coalesce("_kv_a", empty_kv))
+        .withColumn("_kv_b", F.coalesce("_kv_b", empty_kv))
+        # non-null key lists: a null eq_key never matches anything (the
+        # anti-join semantics this replaces), so null-keyed values are
+        # always uncovered and nulls never make array_contains tri-valued
+        .withColumn(
+            "_keys_a",
+            F.expr("filter(transform(_kv_a, x -> x.eq_key), k -> k IS NOT NULL)"),
+        )
+        .withColumn(
+            "_keys_b",
+            F.expr("filter(transform(_kv_b, x -> x.eq_key), k -> k IS NOT NULL)"),
+        )
+        # uncovered values of ra vs rb (and vice versa)
+        .withColumn(
+            "unc_a",
+            F.expr(
+                "filter(_kv_a, x -> x.eq_key IS NULL"
+                " OR NOT array_contains(_keys_b, x.eq_key))"
+            ),
+        )
+        .withColumn(
+            "unc_b",
+            F.expr(
+                "filter(_kv_b, x -> x.eq_key IS NULL"
+                " OR NOT array_contains(_keys_a, x.eq_key))"
+            ),
+        )
+        .where((F.size("unc_a") > 0) | (F.size("unc_b") > 0))
+        .select("group_id", "variable", "da", "ra", "db", "rb", "unc_a", "unc_b")
+        # findings pairs are the output magnitude; materialize once so the
+        # omission/deviation branches below scan instead of re-joining
+        .localCheckpoint(eager=True)
     )
-    base_b = pairs_v.join(rvb, ["group_id", "variable", "db", "rb"])
-    unc_b = base_b.join(
-        rva.select("group_id", "variable", "da", "ra", F.col("key_a").alias("key_b")),
-        ["group_id", "variable", "da", "ra", "key_b"],
-        "left_anti",
-    )
-
-    pk = ["group_id", "variable", "da", "ra", "db", "rb"]
-    has_a = unc_a.select(*pk).distinct()
-    has_b = unc_b.select(*pk).distinct()
 
     # omissions: exactly one side uncovered
-    om_b = unc_b.join(has_a, pk, "left_anti")  # a misses b's values
-    om_a = unc_a.join(has_b, pk, "left_anti")  # b misses a's values
+    om_b = (
+        paired.where(F.size("unc_a") == 0)
+        .select(
+            "variable", "da", "ra", "db", "rb",
+            F.explode("unc_b").alias("_x"),
+        )
+        .select(
+            "variable", "da", "ra", "db", "rb",
+            F.col("_x.o_value").alias("val_b"),
+        )
+    )  # a misses b's values
+    om_a = (
+        paired.where(F.size("unc_b") == 0)
+        .select(
+            "variable", "da", "ra", "db", "rb",
+            F.explode("unc_a").alias("_x"),
+        )
+        .select(
+            "variable", "da", "ra", "db", "rb",
+            F.col("_x.o_value").alias("val_a"),
+        )
+    )  # b misses a's values
     # deviations: both sides uncovered -> cross product
-    dev = unc_a.select(*pk, "key_a", "val_a").join(
-        unc_b.select(*pk, "key_b", "val_b"), pk
+    dev = (
+        paired.where((F.size("unc_a") > 0) & (F.size("unc_b") > 0))
+        .select(
+            "variable", "da", "ra", "db", "rb",
+            F.explode(
+                F.expr(
+                    "flatten(transform(unc_a, a ->"
+                    " transform(unc_b, b ->"
+                    " struct(a.o_value AS val_a, b.o_value AS val_b))))"
+                )
+            ).alias("_d"),
+        )
+        .select(
+            "variable", "da", "ra", "db", "rb",
+            F.col("_d.val_a").alias("val_a"), F.col("_d.val_b").alias("val_b"),
+        )
     )
 
     def om_out(df, aff_d, aff_r, cmp_d, cmp_r, cmp_v):

@@ -29,6 +29,13 @@ inline data (literal DataFrame join), ``SELECT *``, and the solution
 modifiers ORDER BY / LIMIT / OFFSET — preserved from aspect patterns
 like the reference does (`ComparisonProcessor.java:57-75`).
 
+Query forms: SELECT (``sparql_select``), CONSTRUCT (executed by
+`operators/rule_text.py` on the fixpoint kernel), ASK (``sparql_ask`` —
+one-row existence action on the compiled group plan), and DESCRIBE
+(``sparql_describe`` — subject statements of each target IRI/binding
+plus the blank-node-object closure, the concise-bounded-description
+shape Jena serves the reference's crawler).
+
 Comparison semantics: ``=`` / ``!=`` between two term operands compare
 numerically when BOTH sides carry numeric datatypes at runtime
 ("01"^^xsd:integer = "1"^^xsd:integer) and by full term identity
@@ -186,6 +193,17 @@ class SelectQuery:
 class ConstructQuery:
     template: list  # list[Triple]
     where: Group
+
+
+@dataclass
+class AskQuery:
+    where: Group
+
+
+@dataclass
+class DescribeQuery:
+    targets: list  # list[Var | Iri]
+    where: Group | None
 
 
 # ---------------------------------------------------------------------------
@@ -426,6 +444,34 @@ class _Parser:
         if self.at_word("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING", "VALUES"):
             raise SparqlUnsupported("solution modifier on CONSTRUCT not supported")
         return ConstructQuery(template.triples, where)
+
+    def parse_ask(self) -> AskQuery:
+        self.parse_prologue()
+        self.eat("ASK")
+        if self.at_word("WHERE"):
+            self.next()
+        return AskQuery(self.parse_group())
+
+    def parse_describe(self) -> DescribeQuery:
+        self.parse_prologue()
+        self.eat("DESCRIBE")
+        targets: list = []
+        while True:
+            k, _v = self.peek()
+            if k in ("var", "iri", "pname"):
+                targets.append(self.parse_term(position="subject"))
+            else:
+                break
+        if not targets:
+            raise SparqlUnsupported(
+                "DESCRIBE needs >=1 variable or IRI (DESCRIBE * not supported)"
+            )
+        where = None
+        if self.at_word("WHERE") or self.peek()[1] == "{":
+            if self.at_word("WHERE"):
+                self.next()
+            where = self.parse_group()
+        return DescribeQuery(targets, where)
 
     # -- group ----------------------------------------------------------
 
@@ -1524,6 +1570,68 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def sparql_ask(triples: DataFrame, query_text: str) -> bool:
+    """Run a restricted SPARQL ASK: true iff the WHERE group has at least
+    one solution. The reference issues ASK probes through Jena
+    (`Processor.java:124-161` membership checks); here the probe is a
+    one-row existence action on the compiled group plan."""
+    q = _Parser(query_text).parse_ask()
+    df, _bound = _Compiler(triples).group_df(q.where)
+    return not df.isEmpty()
+
+
+_DESCRIBE_MAX_ROUNDS = 50
+
+
+def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
+    """Run a restricted SPARQL DESCRIBE: for each target (explicit IRI or
+    WHERE-bound variable) return its subject statements plus the closure
+    of blank-node objects (the concise-bounded-description shape Jena
+    produces, `SparqlSourceProcessor.java:222-244` uses the same
+    two-pattern describe). Output: triples-DataFrame shape."""
+    q = _Parser(query_text).parse_describe()
+    spark = triples.sparkSession
+    iri_targets = [t.value for t in q.targets if isinstance(t, Iri)]
+    var_targets = [t.name for t in q.targets if isinstance(t, Var)]
+    res: DataFrame | None = (
+        spark.createDataFrame([(v,) for v in iri_targets], "r string")
+        if iri_targets
+        else None
+    )
+    if var_targets:
+        if q.where is None:
+            raise SparqlUnsupported("DESCRIBE with variables needs a WHERE group")
+        df, bound = _Compiler(triples).group_df(q.where)
+        for n in var_targets:
+            if n not in bound:
+                raise SparqlUnsupported(f"?{n} not bound in DESCRIBE WHERE")
+            sel = df.where(
+                F.col(n)["kind"].isin("iri", "bnode")
+            ).select(F.col(n)["value"].alias("r"))
+            res = sel if res is None else res.unionByName(sel)
+    assert res is not None  # parse_describe guarantees >=1 target
+    seen = res.distinct().localCheckpoint(eager=True)
+    frontier = seen
+    out: DataFrame | None = None
+    for _ in range(_DESCRIBE_MAX_ROUNDS):
+        stmts = triples.join(frontier, F.col("s") == F.col("r"), "left_semi")
+        out = stmts if out is None else out.unionByName(stmts)
+        nxt = (
+            stmts.where(F.col("o_kind") == "bnode")
+            .select(F.col("o_value").alias("r"))
+            .distinct()
+            .join(seen, "r", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise SparqlUnsupported("DESCRIBE blank-node closure did not converge")
+    return out.distinct()
 
 
 def aspect_pattern_values(

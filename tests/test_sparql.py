@@ -515,3 +515,58 @@ def test_agg_nongrouped_projection_is_loud(spark, salaries):
             f"SELECT ?p (COUNT(*) AS ?n) WHERE {{ ?p <{EX}dept> ?d }}"
             f" GROUP BY ?d",
         )
+
+
+# ---------------------------------------------------------------------------
+# ASK / DESCRIBE query forms
+
+
+def test_ask_true_and_false(spark, triples):
+    from abecto_spark.sparql import sparql_ask
+
+    assert sparql_ask(
+        triples, f"ASK {{ ?s <{EX}label> ?o . FILTER(?o = 'Alice') }}"
+    )
+    assert not sparql_ask(
+        triples, f"ASK WHERE {{ ?s <{EX}label> ?o . FILTER(?o = 'Zed') }}"
+    )
+
+
+def test_describe_iri_and_var(spark, triples):
+    from abecto_spark.sparql import sparql_describe
+
+    out = sparql_describe(triples, f"DESCRIBE <{EX}alice>").collect()
+    assert {r["p"] for r in out} == {
+        EX + "label", EX + "pnr", EX + "boss",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    }
+    assert all(r["s"] == EX + "alice" for r in out)
+
+    out2 = sparql_describe(
+        triples,
+        f"DESCRIBE ?x WHERE {{ ?x <{EX}pnr> ?n . FILTER(?n > 50000) }}",
+    ).collect()
+    assert {r["s"] for r in out2} == {EX + "carol"}
+
+
+def test_describe_bnode_closure(spark):
+    from abecto_spark.sparql import sparql_describe
+
+    rows = [
+        (EX + "r", EX + "note", "bnode", "_:b1", None, None),
+        ("_:b1", EX + "val", "literal", "v1", XSD_STRING, ""),
+        ("_:b1", EX + "next", "bnode", "_:b2", None, None),
+        ("_:b2", EX + "val", "literal", "v2", XSD_STRING, ""),
+        (EX + "other", EX + "val", "literal", "x", XSD_STRING, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_describe(t, f"DESCRIBE <{EX}r>").collect()
+    assert {r["s"] for r in out} == {EX + "r", "_:b1", "_:b2"}
+    assert len(out) == 4
+
+
+def test_describe_without_targets_is_loud(spark, triples):
+    from abecto_spark.sparql import sparql_describe
+
+    with pytest.raises(SparqlUnsupported):
+        sparql_describe(triples, "DESCRIBE * WHERE { ?s ?p ?o }")

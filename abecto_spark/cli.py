@@ -19,7 +19,7 @@ import sys
 
 EXPORT_TEMPLATES = (
     "deviations", "resourceOmissions", "measurementsMarkdown",
-    "deviationsMarkdown",
+    "deviationsMarkdown", "mappingReview", "wdMismatchFinder",
 )
 
 
@@ -70,6 +70,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--failOnValueOmission", action="store_true")
     p.add_argument("--failOnResourceOmission", action="store_true")
     p.add_argument("--failOnIssue", action="store_true")
+    p.add_argument(
+        "--reviewLabel", metavar="IRI", default=None, dest="review_label",
+        help="predicate IRI whose values label each side of the"
+        " mappingReview export",
+    )
+    p.add_argument(
+        "--wdDataset", metavar="IRI", default=None, dest="wd_dataset",
+        help="dataset IRI treated as Wikidata for the wdMismatchFinder"
+        " export",
+    )
+    p.add_argument(
+        "--wdProperty", action="append", default=[], dest="wd_property",
+        metavar="VAR=PID",
+        help="variable -> Wikidata property id mapping for"
+        " wdMismatchFinder. Repeatable.",
+    )
     p.add_argument(
         "--master", default=None,
         help="Spark master (default: local[$SPARK_GRAFT_CPUS])",
@@ -148,6 +164,37 @@ def main(argv: list[str] | None = None) -> int:
         elif name == "deviationsMarkdown":
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(reports.deviations_markdown(findings))
+        elif name == "mappingReview":
+            if not args.review_label:
+                raise SystemExit("mappingReview export needs --reviewLabel IRI")
+            from functools import reduce
+
+            parts = [
+                df.where(F.col("p") == args.review_label).select(
+                    F.col("s").alias("resource"),
+                    F.lit("label").alias("variable"),
+                    "o_value",
+                )
+                for df in result.primary.values()
+            ]
+            vals = reduce(lambda a, b: a.unionByName(b), parts)
+            (
+                reports.mapping_review(result.edges, vals, "label")
+                .orderBy("src", "dst")
+                .write.mode("overwrite").option("header", True).csv(path)
+            )
+        elif name == "wdMismatchFinder":
+            if not args.wd_dataset:
+                raise SystemExit("wdMismatchFinder export needs --wdDataset IRI")
+            pids = {}
+            for spec in args.wd_property:
+                var, sep, pid = spec.partition("=")
+                if not sep:
+                    raise SystemExit(f"bad --wdProperty {spec!r}: expected VAR=PID")
+                pids[var] = pid
+            reports.export_wd_mismatch_finder_csv(
+                findings, path, args.wd_dataset, pids
+            )
 
     # fail-on exit bits (`Abecto.java:215-240`)
     checks = [

@@ -277,3 +277,42 @@ def test_cli_trig_and_nquads_dump(spark, tmp_path):
         for r in nq_back.collect()
     )
     assert a == b and len(a) > 20
+
+
+def test_cli_mapping_review_and_wd_mismatch_exports(spark, tmp_path):
+    from abecto_spark.cli import main
+
+    review = tmp_path / "review_csv"
+    wd = tmp_path / "wd_csv"
+    code = main([
+        TRIG,
+        "-E", f"mappingReview={review}",
+        "--reviewLabel", "http://www.w3.org/2000/01/rdf-schema#label",
+        "-E", f"wdMismatchFinder={wd}",
+        "--wdDataset", D1,
+        "--wdProperty", "pnr=P1234",
+    ])
+    assert code == 0
+    import glob
+
+    review_text = "".join(
+        open(p).read() for p in glob.glob(str(review / "part-*"))
+    )
+    # corresponding tutorial people appear side-by-side with labels;
+    # the vetoed william<->P004 pair (predefined incorrespondence) must
+    # not appear
+    assert f"{A}alice,Alice,{B}alice,Alice" in review_text
+    assert "Charlie" in review_text
+    assert "william" not in review_text and "P004" not in review_text
+    wd_text = "".join(open(p).read() for p in glob.glob(str(wd / "part-*")))
+    # dataset1's pnr deviation surfaces as a mismatch row for P1234
+    assert "P1234" in wd_text and "45678" in wd_text
+
+
+def test_cli_export_missing_config_is_loud(spark, tmp_path):
+    from abecto_spark.cli import main
+
+    with pytest.raises(SystemExit, match="reviewLabel"):
+        main([TRIG, "-E", f"mappingReview={tmp_path / 'r'}"])
+    with pytest.raises(SystemExit, match="wdDataset"):
+        main([TRIG, "-E", f"wdMismatchFinder={tmp_path / 'w'}"])

@@ -412,9 +412,10 @@ def _deviations_and_omissions(
         )
         .where((F.size("unc_a") > 0) | (F.size("unc_b") > 0))
         .select("group_id", "variable", "da", "ra", "db", "rb", "unc_a", "unc_b")
-        # findings pairs are the output magnitude; materialize once so the
-        # omission/deviation branches below scan instead of re-joining
-        .localCheckpoint(eager=True)
+        # findings pairs are the output magnitude; checkpoint LAZILY so
+        # the omission/deviation branches share one materialization but a
+        # caller that only consumes measures never pays for findings
+        .localCheckpoint(eager=False)
     )
 
     # omissions: exactly one side uncovered

@@ -713,6 +713,46 @@ def q_sparql_agg(spark, sf):
     )
 
 
+def q_sparql_describe(spark, sf):
+    """Round-3 DESCRIBE query form: describe every BUILDING customer
+    (WHERE-bound targets) over a triples table whose customer
+    descriptions hang two blank-node hops deep — the engine must return
+    the subject statements plus the full blank-node-object closure; the
+    oracle reconstructs the same statement set with plain SQL unions."""
+    from ..sparql import sparql_describe
+
+    ex = "http://example.org/"
+    customer = _t(spark, sf, "customer").where(F.col("c_custkey") % 3 == 0)
+    c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    a = F.concat(F.lit("_:a"), F.col("c_custkey").cast("string"))
+    b = F.concat(F.lit("_:b"), F.col("c_custkey").cast("string"))
+
+    def t(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"), F.lit(dt).alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    triples = (
+        customer.select(*t(c, "segment", "literal", F.col("c_mktsegment"), XSD_STRING))
+        .unionByName(customer.select(*t(c, "addr", "bnode", a, None)))
+        .unionByName(customer.select(*t(
+            a, "inNation", "iri",
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")), None,
+        )))
+        .unionByName(customer.select(*t(a, "detail", "bnode", b, None)))
+        .unionByName(customer.select(*t(
+            b, "nkey", "literal", F.col("c_nationkey").cast("string"),
+            XSD_INTEGER,
+        )))
+    )
+    return sparql_describe(
+        triples,
+        f"DESCRIBE ?c WHERE {{ ?c <{ex}segment> \"BUILDING\" }}",
+    )
+
+
 def q_sparql_crawl(spark, sf):
     """Round-3 SPARQL-endpoint crawl (`SparqlSourceProcessor.java:63-387`
     re-expressed as frontier joins): seed nation n3, maxDistance 1 — the
@@ -1056,6 +1096,7 @@ QUERIES = {
     "aspect_bgp": q_aspect_bgp,
     "aspect_algebra": q_aspect_algebra,
     "sparql_paths": q_sparql_paths,
+    "sparql_describe": q_sparql_describe,
     "sparql_agg": q_sparql_agg,
     "sparql_crawl": q_sparql_crawl,
     "var_paths": q_var_paths,
@@ -1131,6 +1172,32 @@ ORACLES = {
             AND c_custkey % 5 != 0
           ORDER BY resource LIMIT 400
         )
+    """,
+    "sparql_describe": """
+        WITH c AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg, c_nationkey AS nk
+          FROM customer
+          WHERE c_custkey % 3 = 0 AND c_mktsegment = 'BUILDING'
+        )
+        SELECT 'c' || CAST(k AS VARCHAR) AS s,
+               'http://example.org/segment' AS p,
+               'literal' AS o_kind, seg AS o_value,
+               'http://www.w3.org/2001/XMLSchema#string' AS o_datatype,
+               '' AS o_lang
+        FROM c
+        UNION ALL
+        SELECT 'c' || CAST(k AS VARCHAR), 'http://example.org/addr',
+               'bnode', '_:a' || CAST(k AS VARCHAR), NULL, '' FROM c
+        UNION ALL
+        SELECT '_:a' || CAST(k AS VARCHAR), 'http://example.org/inNation',
+               'iri', 'n' || CAST(nk AS VARCHAR), NULL, '' FROM c
+        UNION ALL
+        SELECT '_:a' || CAST(k AS VARCHAR), 'http://example.org/detail',
+               'bnode', '_:b' || CAST(k AS VARCHAR), NULL, '' FROM c
+        UNION ALL
+        SELECT '_:b' || CAST(k AS VARCHAR), 'http://example.org/nkey',
+               'literal', CAST(nk AS VARCHAR),
+               'http://www.w3.org/2001/XMLSchema#integer', '' FROM c
     """,
     "sparql_paths": """
         WITH RECURSIVE nxt(a, b) AS (

@@ -74,6 +74,7 @@ def main() -> None:
         "aspect_algebra",
         "sparql_paths",
         "sparql_agg",
+        "sparql_describe",
         "sessionize",
         "windowed_agg",
     ]

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--failOnDeviation", action="store_true")
     p.add_argument("--failOnValueOmission", action="store_true")
     p.add_argument("--failOnResourceOmission", action="store_true")
+    p.add_argument(
+        "--failOnWrongValue", action="store_true",
+        help="exit bit 16 if the results contain an av:WrongValue"
+        " annotation (`Abecto.java:225-227`); honors --reportOn",
+    )
     p.add_argument("--failOnIssue", action="store_true")
     p.add_argument(
         "--reviewLabel", metavar="IRI", default=None, dest="review_label",
@@ -214,6 +219,12 @@ def main(argv: list[str] | None = None) -> int:
         for flag, kind, bit in checks:
             if flag and kind in present:
                 exit_code += bit
+    if args.failOnWrongValue and result.wrong_values is not None:
+        wv = result.wrong_values
+        if args.report_on:
+            wv = wv.where(F.col("dataset") == args.report_on)
+        if wv.limit(1).count() > 0:
+            exit_code += 16
     return exit_code
 
 

@@ -74,6 +74,7 @@ class PlanState:
     graph: MappingGraph | None = None
     measures: DataFrame | None = None
     findings: DataFrame | None = None
+    wrong_values: DataFrame | None = None  # ingested av:WrongValue rows
     manifests: dict = field(default_factory=dict)
     _values_cache: dict = field(default_factory=dict)
     _version: int = 0  # bumped when primary data changes → values cache drop
@@ -128,6 +129,12 @@ class PlanState:
     def add_findings(self, f: DataFrame) -> None:
         self.findings = f if self.findings is None else self.findings.unionByName(f)
 
+    def add_wrong_values(self, wv: DataFrame) -> None:
+        self.wrong_values = (
+            wv if self.wrong_values is None
+            else self.wrong_values.unionByName(wv)
+        )
+
 
 @dataclass
 class PlanResult:
@@ -137,6 +144,9 @@ class PlanResult:
     measures: DataFrame
     findings: DataFrame
     manifests: dict
+    # av:WrongValue annotations ingested from metadata graphs, kept for
+    # the CLI's --failOnWrongValue exit bit (`Abecto.java:225-227`)
+    wrong_values: DataFrame | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -398,17 +408,39 @@ def _p_property(state: PlanState, step: dict) -> None:
                 tuple(params[k]) if k == "language_filter_patterns" else params[k]
             )
     # wrong-value suppression from metadata graphs (Metadata.java:199-228):
-    # {"wrong_values_meta": {"<dataset>": "<path to .ttl/.nt>"}}
+    # {"wrong_values_meta": {"<dataset>": "<path to .ttl/.nt>"}} and/or a
+    # TriG plan file's av:predefinedMetaDataGraph on the comparison step
+    wv = None
     if params.get("wrong_values_meta"):
         from ..operators.metadata import wrong_values_from_metadata
 
-        wv = None
         for ds, path in sorted(params["wrong_values_meta"].items()):
             part = wrong_values_from_metadata(
                 _load_meta_triples(state, path), ds
             )
             wv = part if wv is None else wv.unionByName(part)
+    if params.get("predefined_meta_rows"):
+        from ..operators.metadata import wrong_values_from_metadata
+
+        ddl = ("s string, p string, o_kind string, o_value string,"
+               " o_datatype string, o_lang string")
+        inline = state.spark.createDataFrame(
+            [tuple(r) for r in params["predefined_meta_rows"]], ddl
+        )
+        # the metadata graph doesn't name the owning dataset — attribute
+        # each annotation to the dataset(s) whose aspect members contain
+        # the annotated resource, as the reference does by looking in
+        # each dataset's own meta model (Metadata.java:199-228)
+        part = (
+            wrong_values_from_metadata(inline, "")
+            .drop("dataset")
+            .join(members.select("dataset", "resource"), "resource")
+            .select("dataset", "resource", "variable", "o_value")
+        )
+        wv = part if wv is None else wv.unionByName(part)
+    if wv is not None:
         kwargs["wrong_values"] = wv
+        state.add_wrong_values(wv)
     measures, findings = property_comparison(
         state.spark, values, members, state.canonical(), params["aspect"],
         list(params["variables"]),
@@ -525,4 +557,5 @@ def run_plan(
         measures=state.measures if state.measures is not None else empty_measures,
         findings=state.findings if state.findings is not None else empty_findings,
         manifests=state.manifests,
+        wrong_values=state.wrong_values,
     )

@@ -39,8 +39,18 @@ def sniff_format(path: str, head: str | None = None) -> str:
     stripped = head.lstrip("﻿ \t\r\n")
     if stripped.startswith("<?xml") or "<rdf:RDF" in head:
         return "rdfxml"
-    if stripped.startswith(("{", "[")):
+    if stripped.startswith("{"):
         return "jsonld"
+    if stripped.startswith("["):
+        # Turtle statements may legally start with a blank node
+        # ('[] a ex:Thing .' / '[ ex:p 1 ] ex:q 2 .'); only treat the
+        # file as JSON-LD when the bracket opens a JSON-looking array
+        # (next token is an object/array/string) or is an empty array
+        if re.match(r"\[\s*[\[{\"]", stripped) or re.fullmatch(
+            r"\[\s*\]\s*", stripped
+        ):
+            return "jsonld"
+        # otherwise fall through to the Turtle-family heuristics
     body = re.sub(r"#[^\n]*", "", head)
     if re.search(r"(?im)^\s*GRAPH\b", body) or re.search(r"}\s*$", body.strip()):
         return "trig"

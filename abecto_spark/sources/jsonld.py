@@ -58,11 +58,20 @@ class _Context:
             else:
                 raise JsonLdUnsupported(f"@context entry {term!r}: {spec!r}")
 
-    def expand_iri(self, value: str, for_type: bool = False) -> str:
+    def expand_iri(
+        self, value: str, for_type: bool = False,
+        _seen: frozenset[str] = frozenset(),
+    ) -> str:
         if value.startswith("@"):
             raise JsonLdUnsupported(f"unexpected keyword {value!r}")
         if value in self.terms:
-            return self.expand_iri(self.terms[value]["@id"], for_type)
+            if value in _seen:  # {"a": "a"} or {"a": "b", "b": "a"}
+                raise JsonLdUnsupported(
+                    f"cyclic @context term definition via {value!r}"
+                )
+            return self.expand_iri(
+                self.terms[value]["@id"], for_type, _seen | {value}
+            )
         if ":" in value:
             pfx, local = value.split(":", 1)
             if pfx in self.terms and not local.startswith("//"):

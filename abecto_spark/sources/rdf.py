@@ -155,8 +155,11 @@ def write_nquads(
     rows (NULL graph) serialize as plain triples; blank-node graph
     labels are kept verbatim."""
     g = F.col(graph_col)
+    # the TriG/quad readers use graph == '' for default-graph rows while
+    # plan frames use NULL — both must serialize as plain triples, never
+    # as an invalid empty label '<>'
     gterm = (
-        F.when(g.isNull(), F.lit(""))
+        F.when(g.isNull() | (g == ""), F.lit(""))
         .when(g.startswith("_:"), F.concat(F.lit(" "), g))
         .otherwise(F.concat(F.lit(" <"), g, F.lit(">")))
     )
@@ -173,7 +176,11 @@ def write_trig_local(quads: DataFrame, path: str, graph_col: str = "graph") -> N
     bulk consumers use :func:`write_nquads` instead."""
     rows = (
         quads.select(
-            F.col(graph_col).alias("_g"), _statement_col().alias("_stmt")
+            # readers mark default-graph rows with graph == '', plan
+            # frames with NULL — normalize both to the default graph
+            F.when(F.col(graph_col) == "", F.lit(None))
+            .otherwise(F.col(graph_col)).alias("_g"),
+            _statement_col().alias("_stmt"),
         )
         .orderBy(F.col("_g").asc_nulls_first(), F.col("_stmt"))
         .toLocalIterator()

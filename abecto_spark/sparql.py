@@ -965,25 +965,87 @@ class _Compiler:
         out = df.select(*[c.alias(n) for n, c in cols.items()])
         return out, set(cols)
 
-    def _join_in(self, acc, bound, df, vs):
-        if acc is None:
-            return df, set(vs)
-        shared = sorted(bound & vs)
-        acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
-        return acc, bound | vs
+    def _join_in(self, acc, bound, maybe, df, vs, df_maybe, how="inner"):
+        """SPARQL Join/LeftJoin of the accumulator with an operand.
 
-    def _union_df(self, branches: list[Group]) -> tuple[DataFrame, set[str]]:
+        ``maybe``/``df_maybe`` track variables that may be NULL structs
+        (unbound): UNION branch fills and OPTIONAL-introduced variables.
+        A shared variable with no unbound risk stays a plain equi-join
+        key (hash/sort-merge joinable); a risky one compiles to the
+        SPARQL *compatible* condition (unbound matches anything) with a
+        COALESCE of the two sides in the output — SPARQL 1.1 §18.5
+        ``Join``/``LeftJoin`` over possibly-partial solution mappings.
+        """
+        if acc is None:
+            nm = set(df_maybe)
+            if how == "left":  # leftjoin with empty lhs cannot arise
+                raise SparqlUnsupported("OPTIONAL as the first operand")
+            return df, set(vs), nm
+        shared = sorted(bound & vs)
+        risky = [v for v in shared if v in maybe or v in df_maybe]
+        new_bound = bound | set(vs)
+        if not risky:
+            if shared:
+                acc = acc.join(df, on=shared, how=how)
+            elif how == "left":
+                raise SparqlUnsupported("OPTIONAL sharing no variables")
+            else:
+                acc = acc.crossJoin(df)
+            new_maybe = set(maybe)
+            if how == "left":
+                new_maybe |= set(df_maybe) | (set(vs) - bound)
+            else:
+                new_maybe |= set(df_maybe) - bound
+            return acc, new_bound, new_maybe
+        l, r = acc.alias("__l"), df.alias("__r")
+        cond = None
+        for v in shared:
+            lv, rv = F.col(f"__l.{v}"), F.col(f"__r.{v}")
+            c = (lv.isNull() | rv.isNull() | (lv == rv)) if v in risky \
+                else (lv == rv)
+            cond = c if cond is None else cond & c
+        proj = []
+        for v in sorted(new_bound):
+            if v in shared:
+                proj.append(
+                    F.coalesce(F.col(f"__l.{v}"), F.col(f"__r.{v}")).alias(v)
+                )
+            elif v in bound:
+                proj.append(F.col(f"__l.{v}").alias(v))
+            else:
+                proj.append(F.col(f"__r.{v}").alias(v))
+        acc = l.join(r, on=cond, how=how).select(*proj)
+        new_maybe = set()
+        for v in new_bound:
+            if v in shared:
+                if how == "left":
+                    if v in maybe:
+                        new_maybe.add(v)
+                elif v in maybe and v in df_maybe:
+                    new_maybe.add(v)
+            elif v in bound:
+                if v in maybe:
+                    new_maybe.add(v)
+            else:
+                if v in df_maybe or how == "left":
+                    new_maybe.add(v)
+        return acc, new_bound, new_maybe
+
+    def _union_df(self, branches: list[Group]) -> tuple[DataFrame, set[str], set[str]]:
         """UNION = unionByName of branch plans; variables bound in only
-        some branches are NULL structs elsewhere (they then behave as
-        unbound in downstream joins/filters)."""
-        compiled = [self.group_df(b) for b in branches]
-        allvars = set().union(*[vs for _, vs in compiled])
+        some branches are NULL structs elsewhere (marked ``maybe`` so
+        downstream joins use the compatible-join condition instead of a
+        row-dropping equi-join)."""
+        compiled = [self._group_df3(b) for b in branches]
+        allvars = set().union(*[vs for _, vs, _ in compiled])
+        maybe = set().union(*[m for _, _, m in compiled])
         out = None
-        for df, vs in compiled:
+        for df, vs, _ in compiled:
             for missing in sorted(allvars - vs):
                 df = df.withColumn(missing, F.lit(None).cast(_TERM_DDL))
+                maybe.add(missing)
             out = df if out is None else out.unionByName(df)
-        return out, allvars
+        return out, allvars, maybe
 
     def _node_terms(self) -> DataFrame:
         """All RDF terms occurring in the graph (subjects ∪ objects) — the
@@ -1071,6 +1133,10 @@ class _Compiler:
         return self.t.sparkSession.createDataFrame(data, ddl)
 
     def group_df(self, g: Group) -> tuple[DataFrame, set[str]]:
+        df, bound, _maybe = self._group_df3(g)
+        return df, bound
+
+    def _group_df3(self, g: Group) -> tuple[DataFrame, set[str], set[str]]:
         if (
             not g.triples and not g.binds and not g.unions
             and not g.values_blocks and not g.path_closures
@@ -1078,19 +1144,20 @@ class _Compiler:
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
         bound: set[str] = set()
+        maybe: set[str] = set()
         for tp in g.triples:
             df, vs = self.triple_df(tp)
-            acc, bound = self._join_in(acc, bound, df, vs)
+            acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, set())
         for branches in g.unions:
-            df, vs = self._union_df(branches)
-            acc, bound = self._join_in(acc, bound, df, vs)
+            df, vs, umaybe = self._union_df(branches)
+            acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, umaybe)
         for names, rows in g.values_blocks:
-            acc, bound = self._join_in(
-                acc, bound, self._values_df(names, rows), set(names)
+            acc, bound, maybe = self._join_in(
+                acc, bound, maybe, self._values_df(names, rows), set(names), set()
             )
         for entry in g.path_closures:
             df, vs = self._closure_df(entry)
-            acc, bound = self._join_in(acc, bound, df, vs)
+            acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, set())
         for expr, name in g.binds:
             if acc is None:
                 # pure-BIND group (e.g. the SparqlSourceProcessor seed
@@ -1101,44 +1168,60 @@ class _Compiler:
             acc = acc.withColumn(name, compile_expr_term(expr, bound))
             bound.add(name)
         for opt in g.optionals:
-            odf, ovs = self.group_df(opt)
-            shared = sorted(bound & ovs)
-            if not shared:
-                raise SparqlUnsupported("OPTIONAL sharing no variables")
-            acc = acc.join(odf, on=shared, how="left")
-            bound |= ovs
+            odf, ovs, omaybe = self._group_df3(opt)
+            acc, bound, maybe = self._join_in(
+                acc, bound, maybe, odf, ovs, omaybe, how="left"
+            )
         for m in g.minuses:
-            mdf, mvs = self.group_df(m)
+            mdf, mvs, mmaybe = self._group_df3(m)
             shared = sorted(bound & mvs)
+            if any(v in maybe or v in mmaybe for v in shared):
+                # SPARQL Minus over possibly-unbound shared variables has
+                # per-row domain-intersection semantics an anti-join can't
+                # express — refuse loudly rather than silently mis-answer
+                raise SparqlUnsupported(
+                    "MINUS sharing a possibly-unbound (UNION/OPTIONAL)"
+                    " variable with the outer pattern"
+                )
             if shared:  # MINUS over disjoint domains removes nothing (SPARQL)
                 acc = acc.join(
                     mdf.select(*shared).distinct(), on=shared, how="left_anti"
                 )
         for ne in g.not_exists:
-            ndf, nvs = self.group_df(ne)
+            ndf, nvs, nmaybe = self._group_df3(ne)
             shared = sorted(bound & nvs)
             if not shared:
                 raise SparqlUnsupported(
                     "FILTER NOT EXISTS sharing no variables with the outer"
                     " pattern is not supported"
                 )
+            if any(v in maybe or v in nmaybe for v in shared):
+                raise SparqlUnsupported(
+                    "FILTER NOT EXISTS sharing a possibly-unbound"
+                    " (UNION/OPTIONAL) variable with the outer pattern"
+                )
             acc = acc.join(
                 ndf.select(*shared).distinct(), on=shared, how="left_anti"
             )
         for ex in g.exists:
-            edf, evs = self.group_df(ex)
+            edf, evs, emaybe = self._group_df3(ex)
             shared = sorted(bound & evs)
             if not shared:
                 raise SparqlUnsupported(
                     "FILTER EXISTS sharing no variables with the outer"
                     " pattern is not supported"
                 )
+            if any(v in maybe or v in emaybe for v in shared):
+                raise SparqlUnsupported(
+                    "FILTER EXISTS sharing a possibly-unbound"
+                    " (UNION/OPTIONAL) variable with the outer pattern"
+                )
             acc = acc.join(
                 edf.select(*shared).distinct(), on=shared, how="left_semi"
             )
         for fexpr in g.filters:
             acc = acc.where(compile_expr_bool(fexpr, bound))
-        return acc, bound
+        return acc, bound, maybe
 
 
 _TERM_DDL = "struct<kind:string,value:string,datatype:string,lang:string>"

@@ -160,6 +160,32 @@ def test_sniff_format(tmp_path):
         assert sniff_format(str(g)) == fmt, fname
 
 
+def test_sniff_turtle_blank_node_subject_not_jsonld(tmp_path):
+    """Turtle statements may start with an anonymous blank node ('[] a
+    ex:T' / '[ ex:p 1 ] ex:q 2'); only JSON-looking arrays sniff as
+    JSON-LD."""
+    cases = {
+        "t1.data": ("[] a <http://x/Thing> .\n", "turtle"),
+        "t2.data": ("[ <http://x/p> 1 ] <http://x/q> 2 .\n", "turtle"),
+        "j1.data": ('[{"@id": "http://x/a"}]', "jsonld"),
+        "j2.data": ("[]", "jsonld"),
+    }
+    for fname, (content, fmt) in cases.items():
+        f = tmp_path / fname
+        f.write_text(content)
+        assert sniff_format(str(f)) == fmt, fname
+
+
+def test_jsonld_context_term_cycle_is_loud():
+    import json
+
+    for ctx in ({"a": "a"}, {"a": "b", "b": "a"}):
+        with pytest.raises(JsonLdUnsupported, match="cyclic"):
+            parse_jsonld(json.dumps(
+                {"@context": ctx, "@id": "http://x/s", "a": "v"}
+            ))
+
+
 def test_read_rdf_local_dispatch(spark, tmp_path):
     nt = tmp_path / "x.nt"
     nt.write_text('<http://x/s> <http://x/p> "v" .\n')

@@ -124,3 +124,7 @@ def test_plan_driver_wrong_values_and_meta(spark, tmp_path):
     # the mirrored direction survives
     assert ("db", "2", "99") not in devs
     assert ("dc", "99", "2") in devs
+    # ingested wrong values ride on the result for --failOnWrongValue
+    assert {tuple(r) for r in res.wrong_values.collect()} == {
+        ("dc", EX + "c/n2", "num", "99"),
+    }

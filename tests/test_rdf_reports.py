@@ -208,6 +208,35 @@ def test_nquads_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(rows)
 
 
+def test_writers_treat_empty_string_graph_as_default(spark, tmp_path):
+    """parse_trig/read_trig_local mark default-graph quads with graph ==
+    '' while plan frames use NULL; both must serialize as plain triples,
+    never as an invalid '<>' label."""
+    from abecto_spark.sources.rdf import write_nquads, write_trig_local
+
+    rows = [
+        ("http://ex.org/a", "http://ex.org/p", "iri", "http://ex.org/b",
+         None, "", ""),
+        ("http://ex.org/c", "http://ex.org/p", "iri", "http://ex.org/d",
+         None, "", None),
+    ]
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string, graph string")
+    quads = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "nq")
+    write_nquads(quads, out)
+    import glob
+
+    text = "".join(open(p).read() for p in glob.glob(out + "/part-*"))
+    assert "<>" not in text
+    back = {tuple(r) for r in read_ntriples(spark, out).collect()}
+    assert back == {tuple(r[:6]) + (None,) for r in rows}
+    trig = str(tmp_path / "d.trig")
+    write_trig_local(quads, trig)
+    t = open(trig).read()
+    assert "<>" not in t and "{" not in t  # all default-graph statements
+
+
 def test_trig_local_roundtrip(spark, tmp_path):
     from abecto_spark.sources.rdf import write_trig_local
     from abecto_spark.sources.turtle import read_trig_local

@@ -256,6 +256,48 @@ def test_union_branches_and_branch_local_vars(spark, triples):
     assert rows == {(EX + "alice", None), (EX + "carol", "99999")}
 
 
+def test_union_partial_var_compatible_join(spark, triples):
+    """A variable bound in only one UNION branch, later used as a join
+    key: SPARQL compatible-join semantics (unbound matches anything),
+    not an equi-join that silently drops the unbound-branch rows."""
+    df = sparql_select(
+        triples,
+        f"""SELECT ?s ?y ?z WHERE {{
+              {{ ?s <{EX}label> "Alice" }}
+              UNION
+              {{ ?s <{EX}boss> ?y }}
+              ?y <{EX}label> ?z .
+            }}""",
+    )
+    rows = {
+        (r["s"]["value"], r["y"] and r["y"]["value"], r["z"]["value"])
+        for r in df.collect()
+    }
+    assert rows == {
+        # branch 2: ?y = bob, joined on equality
+        (EX + "alice", EX + "bob", "Bob"),
+        (EX + "alice", EX + "bob", "Bobby"),
+        # branch 1: ?y unbound → compatible with every (?y ?z) binding,
+        # and the join coalesces ?y from the right side
+        (EX + "alice", EX + "alice", "Alice"),
+        (EX + "alice", EX + "bob", "Bob"),
+        (EX + "alice", EX + "bob", "Bobby"),
+    }
+
+
+def test_minus_on_possibly_unbound_var_is_loud(spark, triples):
+    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
+        sparql_select(
+            triples,
+            f"""SELECT ?s WHERE {{
+                  {{ ?s <{EX}label> "Alice" }}
+                  UNION
+                  {{ ?s <{EX}boss> ?y }}
+                  MINUS {{ ?y <{EX}label> "Bob" }}
+                }}""",
+        ).collect()
+
+
 def test_minus_and_not_exists(spark, triples):
     base = f"?s a <{EX}Person> ."
     minus = sparql_select(

@@ -244,6 +244,85 @@ def test_cli_report_on_filters_exit_bits(spark, tmp_path):
     assert code == 2
 
 
+def test_cli_fail_on_wrong_value_bit(spark, tmp_path):
+    """--failOnWrongValue (bit 16, `Abecto.java:225-227`): a
+    PropertyComparison step whose av:predefinedMetaDataGraph carries an
+    av:WrongValue annotation sets the bit; the matching deviation is
+    suppressed on the annotated side."""
+    from abecto_spark.cli import main
+
+    (tmp_path / "b.nt").write_text(
+        f'<{EX}b/n1> <{EX}label> "Widget" .\n'
+        f'<{EX}b/n1> <{EX}num> "1" .\n'
+        f'<{EX}b/n2> <{EX}label> "Gadget" .\n'
+        f'<{EX}b/n2> <{EX}num> "2" .\n'
+    )
+    (tmp_path / "c.nt").write_text(
+        f'<{EX}c/n1> <{EX}label> "Widget" .\n'
+        f'<{EX}c/n1> <{EX}num> "1" .\n'
+        f'<{EX}c/n2> <{EX}label> "Gadget" .\n'
+        f'<{EX}c/n2> <{EX}num> "99" .\n'
+    )
+    pattern = (
+        f"SELECT ?k ?label ?num WHERE {{ ?k <{EX}label> ?label ;"
+        f" <{EX}num> ?num }}"
+    )
+    plan = f"""
+    @base <{EX}> .
+    @prefix av: <http://w3id.org/abecto/vocabulary#> .
+    @prefix oa: <http://www.w3.org/ns/oa#> .
+    @prefix p-plan: <http://purl.org/net/p-plan#> .
+    @prefix abecto: <java:de.uni_jena.cs.fusion.abecto.processor.> .
+
+    <plan> a av:Plan .
+    <sb> a av:Step ; p-plan:isStepOfPlan <plan> ;
+        av:processorClass abecto:FileSourceProcessor ;
+        av:hasParameter [av:key "path" ; av:value "b.nt" ] ;
+        av:associatedDataset <db> .
+    <sc> a av:Step ; p-plan:isStepOfPlan <plan> ;
+        av:processorClass abecto:FileSourceProcessor ;
+        av:hasParameter [av:key "path" ; av:value "c.nt" ] ;
+        av:associatedDataset <dc> .
+    <aspectThing> a av:Aspect ; av:keyVariableName "k" .
+    [] a av:AspectPattern ; av:ofAspect <aspectThing> ;
+        av:associatedDataset <db> ; av:definingQuery \"\"\"{pattern}\"\"\" .
+    [] a av:AspectPattern ; av:ofAspect <aspectThing> ;
+        av:associatedDataset <dc> ; av:definingQuery \"\"\"{pattern}\"\"\" .
+    GRAPH <wrongValues> {{
+        [] oa:hasTarget <c/n2> ;
+           oa:hasBody [ a av:WrongValue ;
+                        av:affectedAspect <aspectThing> ;
+                        av:affectedValue "99" ;
+                        av:affectedVariableName "num" ] .
+    }}
+    <jw> a av:Step ; p-plan:isStepOfPlan <plan> ;
+        av:processorClass abecto:JaroWinklerMappingProcessor ;
+        p-plan:isPrecededBy <sb>, <sc> ;
+        av:hasParameter
+            [av:key "threshold" ; av:value 9e-1 ] ,
+            [av:key "aspect" ; av:value <aspectThing> ] ,
+            [av:key "variables" ; av:value "label" ] .
+    <prop> a av:Step ; p-plan:isStepOfPlan <plan> ;
+        av:processorClass abecto:PropertyComparisonProcessor ;
+        p-plan:isPrecededBy <jw> ;
+        av:predefinedMetaDataGraph <wrongValues> ;
+        av:hasParameter
+            [av:key "aspect" ; av:value <aspectThing> ] ,
+            [av:key "variables" ; av:value "num" ] .
+    """
+    plan_file = tmp_path / "plan.trig"
+    plan_file.write_text(plan)
+    assert main([str(plan_file), "--failOnWrongValue"]) == 16
+    # the annotated dataset carries no bit when reporting is restricted
+    # to a dataset without wrong values... the annotation names dc/n2,
+    # so --reportOn db must drop the bit
+    assert main([str(plan_file), "--reportOn", EX + "db",
+                 "--failOnWrongValue"]) == 0
+    # the "2 vs 99" deviation seen from db is suppressed (99 is a known
+    # wrong value), the mirror direction survives → bit 2 still fires
+    assert main([str(plan_file), "--failOnDeviation"]) == 2
+
+
 def test_cli_bad_export_template(spark):
     from abecto_spark.cli import main
 

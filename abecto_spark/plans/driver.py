@@ -212,12 +212,14 @@ def _p_url_source(state: PlanState, step: dict) -> None:
 
 def _p_sparql_source(state: PlanState, step: dict) -> None:
     """`SparqlSourceProcessor.java:63-387` — frontier crawl of a SPARQL
-    endpoint. The ``service`` parameter is a file:// URL or path whose
-    graph backs a LocalGraphEndpoint (the drop-in point for a real HTTP
-    endpoint outside this container)."""
+    endpoint. The ``service`` parameter is either a file:// URL / path
+    whose graph backs a LocalGraphEndpoint, or an http(s):// SPARQL
+    endpoint served through HttpSparqlEndpoint (chunked VALUES-CONSTRUCT
+    with adaptive chunk sizing and bounded retries)."""
     from ..sources.formats import read_rdf_local
     from ..sources.sparql_source import (
         DEFAULT_FOLLOW_UNLIMITED,
+        HttpSparqlEndpoint,
         LocalGraphEndpoint,
         sparql_source,
     )
@@ -228,13 +230,21 @@ def _p_sparql_source(state: PlanState, step: dict) -> None:
     service = params.get("service")
     if not service:
         raise PlanError(f"step {step['id']}: sparql_source needs service")
-    path = service[len("file://"):] if service.startswith("file://") else service
     if service.startswith(("http://", "https://")):
-        raise PlanError(
-            f"step {step['id']}: remote SPARQL endpoints need a network-"
-            "enabled LocalGraphEndpoint substitute"
+        endpoint = HttpSparqlEndpoint(
+            state.spark,
+            service,
+            chunk_size=int(params.get("chunkSize", 500)),
+            max_retries=int(params.get("maxRetries", 128)),
         )
-    endpoint = LocalGraphEndpoint(_norm_ingest(read_rdf_local(state.spark, path)))
+    else:
+        path = (
+            service[len("file://"):] if service.startswith("file://")
+            else service
+        )
+        endpoint = LocalGraphEndpoint(
+            _norm_ingest(read_rdf_local(state.spark, path))
+        )
     out = sparql_source(
         state.spark,
         endpoint,

@@ -31,7 +31,12 @@ class PlanFileError(ValueError):
 
 # processorClass trailing name -> (driver registry key, param-name map,
 # params that are always lists, params holding aspect IRIs)
-_LIST_PARAMS = {"path", "variables", "aspects", "language_filter_patterns"}
+_LIST_PARAMS = {
+    "path", "variables", "aspects", "language_filter_patterns",
+    # SparqlSourceProcessor multi-valued parameters
+    "list", "followInverse", "followUnlimited", "followInverseUnlimited",
+    "ignoreInverse",
+}
 _PROCESSORS = {
     "FileSourceProcessor": ("file_source", {"path": "path"}),
     "UrlSourceProcessor": ("url_source", {"url": "url"}),
@@ -41,7 +46,8 @@ _PROCESSORS = {
          "maxDistance": "maxDistance", "followInverse": "followInverse",
          "followUnlimited": "followUnlimited",
          "followInverseUnlimited": "followInverseUnlimited",
-         "ignoreInverse": "ignoreInverse"},
+         "ignoreInverse": "ignoreInverse",
+         "chunkSize": "chunkSize", "maxRetries": "maxRetries"},
     ),
     "JaroWinklerMappingProcessor": (
         "jw_mapping",

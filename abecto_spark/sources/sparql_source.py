@@ -102,6 +102,165 @@ def _iris(spark: SparkSession, values) -> DataFrame:
     return spark.createDataFrame([(v,) for v in values], "r string").distinct()
 
 
+_TRIPLES_DDL = (
+    "s string, p string, o_kind string, o_value string,"
+    " o_datatype string, o_lang string"
+)
+
+
+def _urllib_transport(url: str, data: bytes, headers: dict) -> bytes:
+    """Default HTTP transport: POST the query body, return the response
+    bytes. Injected per-endpoint so tests (and proxied deployments)
+    replace it without touching the protocol logic."""
+    import urllib.request
+
+    req = urllib.request.Request(url, data=data, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.read()
+
+
+#: process-wide default transport; the TriG plan loader's sparql_source
+#: step builds endpoints through this hook so tests can substitute a
+#: mocked transport for http(s) service IRIs
+HTTP_TRANSPORT = _urllib_transport
+
+
+class HttpSparqlEndpoint:
+    """HTTP implementation of the crawl endpoint protocol — the remote
+    analog of :class:`LocalGraphEndpoint`, mirroring the reference's
+    request machinery (`SparqlSourceProcessor.java:215-292`):
+
+    * descriptions load via two separate VALUES-CONSTRUCT queries
+      (forward ``?r ?p ?o`` and inverse ``?s ?p ?r``), VALUES *inside*
+      the WHERE clause (the reference's Virtuoso workaround), never
+      DESCRIBE (endpoint-dependent semantics — the reference's own
+      implementation note);
+    * chunked requests of at most ``chunk_size`` resources (default 500,
+      `:74`), chunk size ×``chunk_size_decrease_factor`` (default 0.5,
+      `:82`) after a failed request — the failed chunk's resources are
+      retried — and ×``chunk_size_increase_factor`` (default 1.5, `:89`)
+      after a success, capped at the initial size;
+    * a total budget of ``max_retries`` failed requests (default 128,
+      `:148`) across the crawl, after which the error propagates.
+
+    The frontier is collected to the driver per describe round — the
+    same driver-sized bound as the reference's Java collections; crawl
+    frontiers are endpoint-protection-sized, not corpus-sized.
+    ``transport(url, body_bytes, headers) -> bytes`` is injectable for
+    tests and custom auth.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        service: str,
+        *,
+        chunk_size: int = 500,
+        chunk_size_decrease_factor: float = 0.5,
+        chunk_size_increase_factor: float = 1.5,
+        max_retries: int = 128,
+        transport=None,
+    ):
+        self.spark = spark
+        self.service = service
+        self.chunk_size = chunk_size
+        self.chunk_size_decrease_factor = chunk_size_decrease_factor
+        self.chunk_size_increase_factor = chunk_size_increase_factor
+        self._retries_left = max_retries
+        self.transport = transport if transport is not None else HTTP_TRANSPORT
+
+    def _request(self, query_text: str, accept: str) -> bytes:
+        return self.transport(
+            self.service,
+            query_text.encode("utf-8"),
+            {"Content-Type": "application/sparql-query", "Accept": accept},
+        )
+
+    def select_iris(self, query_text: str) -> DataFrame:
+        """IRI bindings of every result variable of the seed SELECT
+        (`SparqlSourceProcessor.java:304-317`), via the SPARQL JSON
+        results format."""
+        import json
+
+        body = self._request(query_text, "application/sparql-results+json")
+        doc = json.loads(body.decode("utf-8"))
+        iris = sorted({
+            b[v]["value"]
+            for b in doc.get("results", {}).get("bindings", [])
+            for v in b
+            if b[v].get("type") == "uri"
+        })
+        return _iris(self.spark, iris)
+
+    def describe(
+        self,
+        frontier: DataFrame,
+        inverse: bool,
+        ignore_inverse: tuple[str, ...] = (),
+    ) -> DataFrame:
+        iris = [r["r"] for r in frontier.select("r").distinct().collect()]
+        rows = self._load_chunked(iris, inverse=False)
+        if inverse:
+            rows += self._load_chunked(
+                iris, inverse=True, ignore_inverse=ignore_inverse
+            )
+        return self.spark.createDataFrame(rows, _TRIPLES_DDL)
+
+    @staticmethod
+    def _construct_query(
+        chunk: list[str], inverse: bool, ignore_inverse: tuple[str, ...]
+    ) -> str:
+        values = "VALUES ?r { " + " ".join(f"<{i}>" for i in chunk) + " }"
+        if not inverse:
+            return f"CONSTRUCT {{ ?r ?p ?o }} WHERE {{ ?r ?p ?o . {values} }}"
+        filt = ""
+        if ignore_inverse:
+            terms = ", ".join(f"<{p}>" for p in ignore_inverse)
+            filt = f"FILTER(?p NOT IN ({terms})) "
+        return (
+            f"CONSTRUCT {{ ?s ?p ?r }} WHERE {{ ?s ?p ?r . {filt}{values} }}"
+        )
+
+    def _load_chunked(
+        self,
+        iris: list[str],
+        inverse: bool,
+        ignore_inverse: tuple[str, ...] = (),
+    ) -> list[tuple]:
+        from .turtle import parse_turtle
+
+        rows: list[tuple] = []
+        current = self.chunk_size
+        i = 0
+        while i < len(iris):
+            chunk = iris[i:i + current]
+            query = self._construct_query(chunk, inverse, ignore_inverse)
+            try:
+                body = self._request(query, "application/n-triples")
+            except Exception as e:  # noqa: BLE001 — any transport failure
+                if self._retries_left <= 0:
+                    raise CrawlError(
+                        f"SPARQL request to {self.service} failed with"
+                        f" maxRetries exhausted: {e}"
+                    ) from e
+                # reference `:270-284`: spend one retry, shrink the chunk,
+                # redo the same resources
+                self._retries_left -= 1
+                current = max(
+                    1, int(current * self.chunk_size_decrease_factor)
+                )
+                continue
+            rows.extend(parse_turtle(body.decode("utf-8")))
+            i += len(chunk)
+            # grow back toward (never past) the configured size, with the
+            # reference's integer truncation (`:266-268`)
+            current = min(
+                self.chunk_size,
+                max(1, int(current * self.chunk_size_increase_factor)),
+            )
+        return rows
+
+
 def sparql_source(
     spark: SparkSession,
     endpoint: LocalGraphEndpoint,
@@ -125,9 +284,16 @@ def sparql_source(
 
     def load(frontier: DataFrame, inverse: bool) -> None:
         nonlocal model, loaded
-        got = endpoint.describe(frontier, inverse, ignore_inverse)
-        model = got if model is None else model.unionByName(got)
-        model = model.distinct().localCheckpoint(eager=True)
+        got = endpoint.describe(frontier, inverse, ignore_inverse).distinct()
+        if model is None:
+            model = got.localCheckpoint(eager=True)
+        else:
+            # delta-only accumulation: dedup the (small) round delta
+            # against the checkpointed model instead of re-distincting
+            # the whole accumulated model every round — O(|delta|) new
+            # work per round, not O(rounds × |model|)
+            delta = got.exceptAll(model)
+            model = model.unionByName(delta).localCheckpoint(eager=True)
         loaded = loaded.unionByName(frontier).distinct().localCheckpoint(
             eager=True
         )

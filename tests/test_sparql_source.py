@@ -192,3 +192,186 @@ def test_plan_driver_sparql_source_step(spark, tmp_path):
     assert (NS + "x", NS + "y") in got
     assert (NS + "y", "why") in got
     assert (NS + "z", NS + "z2") not in got
+
+
+# ---------------------------------------------------------------------------
+# HttpSparqlEndpoint: the crawl protocol over a mocked HTTP transport
+# (`SparqlSourceProcessor.java:215-292` — chunked VALUES-CONSTRUCT,
+# adaptive chunk sizing, bounded retries)
+
+
+def _nt_bytes(rows):
+    lines = []
+    for s, p, k, v, dt, lang in rows:
+        subj = s if s.startswith("_:") else f"<{s}>"
+        if k == "iri":
+            o = f"<{v}>"
+        elif k == "bnode":
+            o = v
+        else:
+            esc = v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+            o = f'"{esc}"'
+            if lang:
+                o += f"@{lang}"
+            elif dt and dt != XSD_STRING:
+                o += f"^^<{dt}>"
+        lines.append(f"{subj} <{p}> {o} .")
+    return ("\n".join(lines) + "\n").encode()
+
+
+class FakeHttpSparql:
+    """In-memory endpoint behind the transport callable: answers the
+    HttpSparqlEndpoint's exact wire queries from a triples DataFrame,
+    records each CONSTRUCT chunk size, and can fail the first N
+    CONSTRUCT requests (a flaky remote)."""
+
+    def __init__(self, spark, triples, fail_first=0):
+        self.spark = spark
+        self.triples = triples
+        self.fail_left = fail_first
+        self.construct_chunks = []
+
+    def __call__(self, url, data, headers):
+        import json
+        import re
+
+        from pyspark.sql import functions as F
+
+        query = data.decode()
+        if headers["Accept"] == "application/sparql-results+json":
+            from abecto_spark.sparql import sparql_select
+
+            wide = sparql_select(self.triples, query)
+            bindings = []
+            for r in wide.collect():
+                b = {}
+                for n in wide.columns:
+                    t = r[n]
+                    if t is not None and t["kind"] == "iri":
+                        b[n] = {"type": "uri", "value": t["value"]}
+                bindings.append(b)
+            return json.dumps({"results": {"bindings": bindings}}).encode()
+        values = re.search(r"VALUES \?r \{ (.*?) \}", query).group(1)
+        iris = re.findall(r"<([^>]*)>", values)
+        self.construct_chunks.append(len(iris))
+        if self.fail_left > 0:
+            self.fail_left -= 1
+            raise RuntimeError("injected 503")
+        if query.startswith("CONSTRUCT { ?s ?p ?r }"):
+            out = self.triples.where(
+                (F.col("o_kind") == "iri") & F.col("o_value").isin(iris)
+            )
+            m = re.search(r"NOT IN \(([^)]*)\)", query)
+            if m:
+                ign = re.findall(r"<([^>]*)>", m.group(1))
+                out = out.where(~F.col("p").isin(ign))
+        else:
+            out = self.triples.where(F.col("s").isin(iris))
+        return _nt_bytes([tuple(r) for r in out.collect()])
+
+
+def _stmt_set(df):
+    return {
+        (r["s"], r["p"], r["o_kind"], r["o_value"], r["o_datatype"],
+         r["o_lang"] or "")
+        for r in df.collect()
+    }
+
+
+def test_http_endpoint_crawl_matches_local(spark, crawl_graph):
+    from abecto_spark.sources.sparql_source import HttpSparqlEndpoint
+
+    fake = FakeHttpSparql(spark, crawl_graph)
+    kwargs = dict(
+        query=f"SELECT ?item WHERE {{BIND(<{NS}individual> AS ?item)}}",
+        follow_inverse=(NS + "inverseAssociation",),
+        max_distance=1,
+    )
+    out_http = sparql_source(
+        spark,
+        HttpSparqlEndpoint(
+            spark, "http://mock/sparql", chunk_size=3, transport=fake
+        ),
+        **kwargs,
+    )
+    out_local = sparql_source(spark, LocalGraphEndpoint(crawl_graph), **kwargs)
+    assert _stmt_set(out_http) == _stmt_set(out_local)
+    # every request honored the chunk bound
+    assert fake.construct_chunks and max(fake.construct_chunks) <= 3
+
+
+def test_http_endpoint_retry_shrinks_and_regrows_chunks(spark, crawl_graph):
+    from abecto_spark.sources.sparql_source import HttpSparqlEndpoint
+
+    fake = FakeHttpSparql(spark, crawl_graph, fail_first=2)
+    ep = HttpSparqlEndpoint(
+        spark, "http://mock/sparql", chunk_size=4, max_retries=5,
+        transport=fake,
+    )
+    iris = [
+        NS + "individual", NS + "followUnlimited1", NS + "followUnlimited2",
+        NS + "followUnlimited3", NS + "association1", NS + "inverseAssociation1",
+    ]
+    frontier = spark.createDataFrame([(i,) for i in iris], "r string")
+    out = ep.describe(frontier, inverse=False)
+    from pyspark.sql import functions as F
+
+    expected = crawl_graph.where(F.col("s").isin(iris))
+    got = {(r["s"], r["p"], r["o_value"]) for r in out.collect()}
+    want = {(r["s"], r["p"], r["o_value"]) for r in expected.collect()}
+    assert got == want
+    # 4 failed -> retried at 2 (failed) -> at 1 (ok); growth is the
+    # reference's integer truncation, so it stays at 1 for the rest
+    assert fake.construct_chunks == [4, 2, 1, 1, 1, 1, 1, 1]
+    assert ep._retries_left == 3
+
+
+def test_http_endpoint_retries_exhausted_is_loud(spark, crawl_graph):
+    from abecto_spark.sources.sparql_source import (
+        CrawlError,
+        HttpSparqlEndpoint,
+    )
+
+    fake = FakeHttpSparql(spark, crawl_graph, fail_first=3)
+    ep = HttpSparqlEndpoint(
+        spark, "http://mock/sparql", chunk_size=4, max_retries=2,
+        transport=fake,
+    )
+    frontier = spark.createDataFrame([(NS + "individual",)], "r string")
+    with pytest.raises(CrawlError, match="maxRetries exhausted"):
+        ep.describe(frontier, inverse=False)
+
+
+def test_trig_plan_sparql_source_http_service(spark, crawl_graph, tmp_path,
+                                              monkeypatch):
+    """A TriG plan whose SparqlSourceProcessor step names an http://
+    service IRI runs through HttpSparqlEndpoint (transport mocked via
+    the module hook)."""
+    from abecto_spark.plans.driver import run_plan
+    from abecto_spark.plans.trig_plan import load_trig_plan
+    from abecto_spark.sources import sparql_source as mod
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", FakeHttpSparql(spark, crawl_graph))
+    plan_text = f"""
+    @base <{NS}> .
+    @prefix av: <http://w3id.org/abecto/vocabulary#> .
+    @prefix p-plan: <http://purl.org/net/p-plan#> .
+    @prefix abecto: <java:de.uni_jena.cs.fusion.abecto.processor.> .
+
+    <plan> a av:Plan .
+    <src> a av:Step ; p-plan:isStepOfPlan <plan> ;
+        av:processorClass abecto:SparqlSourceProcessor ;
+        av:hasParameter
+            [av:key "service" ; av:value <http://mock/sparql> ] ,
+            [av:key "list" ; av:value <{NS}individual> ] ,
+            [av:key "maxDistance" ; av:value 1 ] ,
+            [av:key "chunkSize" ; av:value 2 ] ;
+        av:associatedDataset <d1> .
+    """
+    plan_file = tmp_path / "plan.trig"
+    plan_file.write_text(plan_text)
+    res = run_plan(spark, load_trig_plan(str(plan_file)))
+    got = {(r["s"], r["p"], r["o_value"])
+           for r in res.primary[NS + "d1"].collect()}
+    assert (NS + "individual", NS + "association", NS + "association1") in got
+    assert (NS + "association1", RDFS + "label", "label") in got

@@ -604,13 +604,10 @@ def q_aspect_algebra(spark, sf):
     )
 
 
-def q_sparql_paths(spark, sf):
-    """Round-3 arbitrary-length property paths: customers reach regions
-    through ``locatedIn / next* / partOf`` over a nation-chain graph —
-    the engine runs the semi-naive path-doubling closure, the oracle a
-    DuckDB recursive CTE over the same chain."""
-    from ..sparql import sparql_select
-
+def _nation_chain_triples(spark, sf):
+    """Shared RDF graph for the property-path oracle rows: customers
+    ``locatedIn`` nations, nations chained by ``next`` in nationkey
+    order, nations ``partOf`` regions."""
     ex = "http://example.org/"
     nation = _t(spark, sf, "nation")
     customer = _t(spark, sf, "customer").where(F.col("c_custkey") % 5 == 0)
@@ -645,6 +642,18 @@ def q_sparql_paths(spark, sf):
             ))
         )
     )
+    return triples
+
+
+def q_sparql_paths(spark, sf):
+    """Round-3 arbitrary-length property paths: customers reach regions
+    through ``locatedIn / next* / partOf`` over a nation-chain graph —
+    the engine runs the semi-naive path-doubling closure, the oracle a
+    DuckDB recursive CTE over the same chain."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    triples = _nation_chain_triples(spark, sf)
     wide = sparql_select(
         triples,
         f"""
@@ -657,6 +666,31 @@ def q_sparql_paths(spark, sf):
     )
     return wide.select(
         F.col("c")["value"].alias("customer"),
+        F.col("r")["value"].alias("region"),
+    )
+
+
+def q_sparql_paths_seeded(spark, sf):
+    """Round-4 constant-endpoint path closure: ``<n0> next* ?m`` starts
+    from a constant, so the engine runs the seeded frontier fixpoint
+    (sparql.py ``_seeded_closure_df``) instead of materializing the
+    all-pairs reachability relation; the oracle is a DuckDB recursive
+    CTE anchored at nationkey 0."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    triples = _nation_chain_triples(spark, sf)
+    wide = sparql_select(
+        triples,
+        f"""
+        SELECT DISTINCT ?m ?r WHERE {{
+          <n0> <{ex}next>* ?m .
+          ?m <{ex}partOf> ?r .
+        }}
+        """,
+    )
+    return wide.select(
+        F.col("m")["value"].alias("node"),
         F.col("r")["value"].alias("region"),
     )
 
@@ -1096,6 +1130,7 @@ QUERIES = {
     "aspect_bgp": q_aspect_bgp,
     "aspect_algebra": q_aspect_algebra,
     "sparql_paths": q_sparql_paths,
+    "sparql_paths_seeded": q_sparql_paths_seeded,
     "sparql_describe": q_sparql_describe,
     "sparql_agg": q_sparql_agg,
     "sparql_crawl": q_sparql_crawl,
@@ -1216,6 +1251,21 @@ ORACLES = {
         JOIN reach ON reach.a = c.c_nationkey
         JOIN nation m ON m.n_nationkey = reach.b
         WHERE c.c_custkey % 5 = 0
+    """,
+    "sparql_paths_seeded": """
+        WITH RECURSIVE nxt(a, b) AS (
+          SELECT n.n_nationkey, n.n_nationkey + 1 FROM nation n
+          WHERE EXISTS (SELECT 1 FROM nation m
+                        WHERE m.n_nationkey = n.n_nationkey + 1)
+        ),
+        reach(b) AS (
+          SELECT n_nationkey FROM nation WHERE n_nationkey = 0
+          UNION
+          SELECT nxt.b FROM reach JOIN nxt ON nxt.a = reach.b
+        )
+        SELECT DISTINCT 'n' || CAST(reach.b AS VARCHAR) AS node,
+               'r' || CAST(m.n_regionkey AS VARCHAR) AS region
+        FROM reach JOIN nation m ON m.n_nationkey = reach.b
     """,
     "sparql_agg": """
         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS customer,

@@ -890,6 +890,9 @@ _TERM_FIELDS = ("kind", "value", "datatype", "lang")
 # fixpoint-round bound for arbitrary-length property paths (p* / p+):
 # with path doubling each round, 30 rounds cover closure diameter 2^30
 PATH_CLOSURE_MAX_ITER = 30
+#: linear bound for constant-seeded closures (rounds = depth from the
+#: seed, not log2(diameter)); exceeding it raises rather than truncates
+PATH_SEEDED_MAX_ITER = 256
 
 
 def _term_struct(kind, value, datatype, lang) -> Column:
@@ -1073,6 +1076,12 @@ class _Compiler:
         edges = edges.select(
             F.col(a_name).alias("a"), F.col(b_name).alias("b")
         ).distinct()
+        s_const = not isinstance(s_term, Var)
+        o_const = not isinstance(o_term, Var)
+        if mod in ("*", "+") and s_const != o_const:
+            return self._seeded_closure_df(
+                edges, s_term, o_term, s_const, mod
+            )
         if mod in ("*", "+"):
             # path doubling: the delta joins the FULL relation so covered
             # path length doubles per round — diameter 2^30 within the
@@ -1123,6 +1132,69 @@ class _Compiler:
                 "path closure with two constant endpoints is not supported"
             )
         return df.select(*[c.alias(n) for n, c in cols.items()]), set(cols)
+
+    def _seeded_closure_df(
+        self, edges: DataFrame, s_term, o_term, s_const: bool, mod: str
+    ) -> tuple[DataFrame, set[str]]:
+        """Constant-endpoint ``*``/``+`` closure: a frontier fixpoint
+        seeded from the constant — O(|reachable set|) work per round and
+        never the all-pairs reachability relation (which the general
+        path-doubling closure materializes, O(V·E) pairs on a deep/wide
+        graph, for an answer that needed one chain). The same frontier
+        kernel as the endpoint crawl (``sources/sparql_source.py``)."""
+        const = s_term if s_const else o_term
+        var = o_term if s_const else s_term
+        # orient edges so the walk always leaves the seed: reverse them
+        # when the *object* end is the constant
+        step = edges if s_const else edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b")
+        )
+        step = step.localCheckpoint(eager=True)  # reused every round
+        spark = edges.sparkSession
+        conf_key = "spark.sql.constraintPropagation.enabled"
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            reach = (
+                step.where(F.col("a") == _const_struct(const))
+                .select("b").distinct().localCheckpoint(eager=True)
+            )
+            delta = reach
+            # linear frontier extension: rounds = graph depth from the
+            # seed (not diameter-doubling — the frontier is a node set,
+            # pairs can't compose); bounded loudly, never truncated
+            for _ in range(PATH_SEEDED_MAX_ITER):
+                new = (
+                    delta.alias("d")
+                    .join(step.alias("e"), F.col("d.b") == F.col("e.a"))
+                    .select(F.col("e.b").alias("b"))
+                    .distinct()
+                    .join(reach, ["b"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if new.limit(1).count() == 0:
+                    break
+                reach = reach.unionByName(new).localCheckpoint(eager=True)
+                delta = new
+            else:
+                raise SparqlUnsupported(
+                    "seeded path closure exceeded"
+                    f" {PATH_SEEDED_MAX_ITER} rounds (graph deeper than the"
+                    " iteration bound)"
+                )
+        finally:
+            spark.conf.set(conf_key, prev)
+        if mod == "*":
+            # zero-length case (§9.3): the constant matches itself when
+            # it is a term of the graph — same node-terms domain as the
+            # var-var closure
+            self_row = (
+                self._node_terms()
+                .where(F.col("n") == _const_struct(const))
+                .select(F.col("n").alias("b"))
+            )
+            reach = reach.unionByName(self_row).distinct()
+        return reach.select(F.col("b").alias(var.name)), {var.name}
 
     def _values_df(self, names: list[str], rows: list[tuple]) -> DataFrame:
         """VALUES inline data → a literal DataFrame of term structs,

@@ -73,6 +73,7 @@ def main() -> None:
         "wrong_value_suppression",
         "aspect_algebra",
         "sparql_paths",
+        "sparql_paths_seeded",
         "sparql_agg",
         "sparql_describe",
         "sessionize",

@@ -432,6 +432,30 @@ def test_path_star_includes_zero_length(spark, chain):
     assert got == [(EX + n,) for n in ("a", "b", "c", "d")]
 
 
+def test_path_seeded_constant_endpoints(spark, chain):
+    """Constant-endpoint closures run the seeded frontier fixpoint (no
+    all-pairs relation) — subject-seeded, object-seeded, and + vs *."""
+    plus = _pairs(
+        sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}a> <{EX}knows>+ ?y }}")
+    )
+    assert plus == [(EX + n,) for n in ("b", "c", "d")]
+    # constant on the object side: walk the reversed edges
+    back = _pairs(
+        sparql_select(chain, f"SELECT ?x WHERE {{ ?x <{EX}knows>+ <{EX}d> }}")
+    )
+    assert back == [(EX + n,) for n in ("a", "b", "c")]
+    back_star = _pairs(
+        sparql_select(chain, f"SELECT ?x WHERE {{ ?x <{EX}knows>* <{EX}d> }}")
+    )
+    assert back_star == [(EX + n,) for n in ("a", "b", "c", "d")]
+    # a seed that is not a graph term matches nothing (the engine's
+    # zero-length domain is the graph's terms, matching the var-var form)
+    off_graph = _pairs(
+        sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}zz> <{EX}knows>* ?y }}")
+    )
+    assert off_graph == []
+
+
 def test_path_alternative_and_inverse(spark, chain):
     alt = _pairs(
         sparql_select(

@@ -695,6 +695,47 @@ def q_sparql_paths_seeded(spark, sf):
     )
 
 
+def q_sparql_graph(spark, sf):
+    """Round-4 named-graph patterns: customer quads live in one named
+    graph per market segment; ``GRAPH ?g { ?c name ?n . ?c nat ?k }``
+    binds the label and joins the two patterns *within* each graph — a
+    decoy graph carrying names but no nation keys contributes nothing.
+    The engine compiles the variable label to an extra binding on each
+    scan; the oracle is a plain projection (per-graph join ≡ per-row
+    attributes here by construction)."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    cust = _t(spark, sf, "customer").where(F.col("c_custkey") % 7 == 0)
+    c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def row(p, value):
+        return cust.select(
+            c.alias("s"), F.lit(ex + p).alias("p"),
+            F.lit("literal").alias("o_kind"), value.alias("o_value"),
+            F.lit(XSD_STRING).alias("o_datatype"), F.lit("").alias("o_lang"),
+            F.col("c_mktsegment").alias("graph"),
+        )
+
+    name_rows = row("name", F.col("c_name"))
+    key_rows = row("nat", F.col("c_nationkey").cast("string"))
+    decoy = name_rows.withColumn("graph", F.lit("mixed"))
+    quads = name_rows.unionByName(key_rows).unionByName(decoy)
+    wide = sparql_select(
+        quads,
+        f"""
+        SELECT ?g ?name ?nk WHERE {{
+          GRAPH ?g {{ ?c <{ex}name> ?name . ?c <{ex}nat> ?nk }}
+        }}
+        """,
+    )
+    return wide.select(
+        F.col("g")["value"].alias("graph"),
+        F.col("name")["value"].alias("name"),
+        F.col("nk")["value"].alias("nationkey"),
+    )
+
+
 def q_sparql_agg(spark, sf):
     """Round-3 SPARQL aggregation: GROUP BY / HAVING / COUNT / MIN /
     MAX / GROUP_CONCAT(DISTINCT) over an orders-derived triples table,
@@ -1131,6 +1172,7 @@ QUERIES = {
     "aspect_algebra": q_aspect_algebra,
     "sparql_paths": q_sparql_paths,
     "sparql_paths_seeded": q_sparql_paths_seeded,
+    "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "sparql_agg": q_sparql_agg,
     "sparql_crawl": q_sparql_crawl,
@@ -1266,6 +1308,11 @@ ORACLES = {
         SELECT DISTINCT 'n' || CAST(reach.b AS VARCHAR) AS node,
                'r' || CAST(m.n_regionkey AS VARCHAR) AS region
         FROM reach JOIN nation m ON m.n_nationkey = reach.b
+    """,
+    "sparql_graph": """
+        SELECT c_mktsegment AS graph, c_name AS name,
+               CAST(c_nationkey AS VARCHAR) AS nationkey
+        FROM customer WHERE c_custkey % 7 = 0
     """,
     "sparql_agg": """
         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS customer,

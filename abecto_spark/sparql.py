@@ -61,10 +61,16 @@ structs, so Catalyst plans map-side partial aggregation. Determinism
 choices where the spec leaves order open: SAMPLE is the lexical
 minimum, GROUP_CONCAT sorts its inputs.
 
+Named graphs (round 4): ``GRAPH <iri> { ... }`` / ``GRAPH ?g { ... }``
+over relations carrying a ``graph`` column (the quad readers) — a
+constant label is a filter on the scan, a variable label an extra
+binding on every inner triple pattern. Outer (non-GRAPH) patterns keep
+matching every row — the engine's union-of-graphs default.
+
 Restrictions (documented, loud): no negated property sets ``!(...)``,
-subqueries, named-graph patterns, UNDEF in VALUES, AVG(DISTINCT), or
-EXISTS/MINUS blocks sharing no variable with the outer pattern.
-Unsupported syntax raises ``SparqlUnsupported``.
+subqueries, UNDEF in VALUES, AVG(DISTINCT), EXISTS/MINUS blocks sharing
+no variable with the outer pattern, SERVICE, or property-path closures
+inside ``GRAPH ?var``. Unsupported syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -174,6 +180,7 @@ class Group:
     # arbitrary-length path entries: (s_term, a_var, inner Group, b_var,
     # mod, o_term) — inner Group binds a_var/b_var to the one-step edge
     path_closures: list = field(default_factory=list)
+    graph_blocks: list = field(default_factory=list)  # (Var|Iri, Group)
 
 
 @dataclass
@@ -519,7 +526,15 @@ class _Parser:
                     raise SparqlUnsupported("expected variable after AS")
                 self.eat(")")
                 g.binds.append((expr, vv[1:]))
-            elif self.at_word("GRAPH", "SERVICE"):
+            elif self.at_word("GRAPH"):
+                self.next()
+                gterm = self.parse_term(position="subject")
+                if not isinstance(gterm, (Var, Iri)):
+                    raise SparqlUnsupported(
+                        "GRAPH label must be an IRI or variable"
+                    )
+                g.graph_blocks.append((gterm, self.parse_group()))
+            elif self.at_word("SERVICE"):
                 raise SparqlUnsupported(f"{v} not supported")
             elif v == "{":
                 # nested group; `{ A } UNION { B } [UNION { C }]` branches
@@ -920,16 +935,23 @@ def _const_struct(term) -> Column:
 class _Compiler:
     """Compile one Group into a DataFrame with a struct column per var."""
 
-    def __init__(self, triples: DataFrame):
-        # normalized term fields so struct equality is term identity
-        self.t = triples.select(
+    def __init__(self, triples: DataFrame, graph_var: str | None = None):
+        # normalized term fields so struct equality is term identity; an
+        # optional graph column (quad readers) rides along for GRAPH
+        # patterns — outer (non-GRAPH) patterns still match every row,
+        # the engine's long-standing union-of-graphs default
+        cols = [
             F.col("s"),
             F.col("p"),
             F.col("o_kind"),
             F.col("o_value"),
             F.coalesce(F.col("o_datatype"), F.lit("")).alias("o_datatype"),
             F.coalesce(F.col("o_lang"), F.lit("")).alias("o_lang"),
-        )
+        ]
+        if "graph" in triples.columns:
+            cols.append(F.col("graph"))
+        self.t = triples.select(*cols)
+        self.graph_var = graph_var
 
     def triple_df(self, tp: Triple) -> tuple[DataFrame, set[str]]:
         df = self.t
@@ -964,6 +986,15 @@ class _Compiler:
                 & (F.col("o_value") == tp.o.lex)
                 & (F.col("o_datatype") == tp.o.datatype)
                 & (F.col("o_lang") == tp.o.lang)
+            )
+        if self.graph_var is not None:
+            if self.graph_var in cols:
+                raise SparqlUnsupported(
+                    "graph variable reused as subject/predicate/object"
+                    " inside one triple pattern"
+                )
+            cols[self.graph_var] = _term_struct(
+                F.lit("iri"), F.col("graph"), F.lit(""), F.lit("")
             )
         out = df.select(*[c.alias(n) for n, c in cols.items()])
         return out, set(cols)
@@ -1072,6 +1103,13 @@ class _Compiler:
         from .operators.rules import fixpoint
 
         s_term, a_name, inner, b_name, mod, o_term = entry
+        if self.graph_var is not None:
+            # a per-graph closure would need the graph label threaded
+            # through the edge relation — refuse loudly rather than mix
+            # reachability across graphs
+            raise SparqlUnsupported(
+                "property-path closure inside GRAPH ?var"
+            )
         edges, _ = self.group_df(inner)
         edges = edges.select(
             F.col(a_name).alias("a"), F.col(b_name).alias("b")
@@ -1196,6 +1234,30 @@ class _Compiler:
             reach = reach.unionByName(self_row).distinct()
         return reach.select(F.col("b").alias(var.name)), {var.name}
 
+    def _graph_df(
+        self, gterm, inner: Group
+    ) -> tuple[DataFrame, set[str], set[str]]:
+        """``GRAPH <iri>/{?g} { ... }`` (SPARQL 1.1 §13.3): scope the
+        inner group to named-graph rows — a constant label compiles to a
+        plain filter on the graph column (partition-prunable when the
+        quads are stored partitioned by graph), a variable label rides
+        as an extra binding on every inner triple scan so same-graph
+        joins fall out of the ordinary equi-join. The reference scopes
+        its metadata queries this way (`Queries.java`,
+        `Metadata.java:199-228`)."""
+        if "graph" not in self.t.columns:
+            raise SparqlUnsupported(
+                "GRAPH pattern over a relation without a graph column"
+            )
+        named = self.t.where(
+            F.col("graph").isNotNull() & (F.col("graph") != "")
+        )
+        if isinstance(gterm, Iri):
+            sub = _Compiler(named.where(F.col("graph") == gterm.value))
+            return sub._group_df3(inner)
+        sub = _Compiler(named, graph_var=gterm.name)
+        return sub._group_df3(inner)
+
     def _values_df(self, names: list[str], rows: list[tuple]) -> DataFrame:
         """VALUES inline data → a literal DataFrame of term structs,
         joined (or cross-joined) into the group like any other operand;
@@ -1212,6 +1274,7 @@ class _Compiler:
         if (
             not g.triples and not g.binds and not g.unions
             and not g.values_blocks and not g.path_closures
+            and not g.graph_blocks
         ):
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
@@ -1223,6 +1286,9 @@ class _Compiler:
         for branches in g.unions:
             df, vs, umaybe = self._union_df(branches)
             acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, umaybe)
+        for gterm, inner in g.graph_blocks:
+            df, vs, gmaybe = self._graph_df(gterm, inner)
+            acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, gmaybe)
         for names, rows in g.values_blocks:
             acc, bound, maybe = self._join_in(
                 acc, bound, maybe, self._values_df(names, rows), set(names), set()

@@ -74,6 +74,7 @@ def main() -> None:
         "aspect_algebra",
         "sparql_paths",
         "sparql_paths_seeded",
+        "sparql_graph",
         "sparql_agg",
         "sparql_describe",
         "sessionize",

@@ -160,7 +160,7 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 def test_unsupported_syntax_is_loud():
     for q in [
         "SELECT ?s WHERE { ?s !<http://x> ?o }",  # negated property set
-        "SELECT ?s WHERE { GRAPH <http://g> { ?s ?p ?o } }",
+        "SELECT ?s WHERE { SERVICE <http://g> { ?s ?p ?o } }",
         "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
         "SELECT ?s WHERE { ?s ?p ?o . VALUES ?x { UNDEF } }",
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
@@ -430,6 +430,68 @@ def test_path_star_includes_zero_length(spark, chain):
         sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}a> <{EX}knows>* ?y }}")
     )
     assert got == [(EX + n,) for n in ("a", "b", "c", "d")]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    ddl = TRIPLES_DDL + ", graph string"
+    rows = [
+        (EX + "s1", EX + "p", "iri", EX + "o1", None, None, EX + "g1"),
+        (EX + "s1", EX + "p", "iri", EX + "o2", None, None, EX + "g2"),
+        (EX + "s2", EX + "p", "iri", EX + "o1", None, None, EX + "g2"),
+        (EX + "s3", EX + "p", "iri", EX + "o3", None, None, None),  # default
+        (EX + "o1", EX + "label", "literal", "One", XSD_STRING, "", EX + "g1"),
+    ]
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_graph_constant_label(spark, quads):
+    g1 = sparql_select(
+        quads, f"SELECT ?s ?o WHERE {{ GRAPH <{EX}g1> {{ ?s <{EX}p> ?o }} }}"
+    )
+    g2 = sparql_select(
+        quads, f"SELECT ?s ?o WHERE {{ GRAPH <{EX}g2> {{ ?s <{EX}p> ?o }} }}"
+    )
+    pair = lambda df: {(r["s"]["value"], r["o"]["value"]) for r in df.collect()}  # noqa: E731
+    # the same BGP returns different bindings per graph
+    assert pair(g1) == {(EX + "s1", EX + "o1")}
+    assert pair(g2) == {(EX + "s1", EX + "o2"), (EX + "s2", EX + "o1")}
+
+
+def test_graph_variable_label_and_same_graph_join(spark, quads):
+    wide = sparql_select(
+        quads, f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
+    )
+    got = {(r["g"]["value"], r["s"]["value"]) for r in wide.collect()}
+    # default-graph rows are not named graphs (SPARQL §13.3)
+    assert got == {
+        (EX + "g1", EX + "s1"), (EX + "g2", EX + "s1"), (EX + "g2", EX + "s2"),
+    }
+    joined = sparql_select(
+        quads,
+        f"""SELECT ?g ?s ?lbl WHERE {{
+              GRAPH ?g {{ ?s <{EX}p> ?o . ?o <{EX}label> ?lbl }}
+            }}""",
+    )
+    rows = {(r["g"]["value"], r["s"]["value"], r["lbl"]["value"])
+            for r in joined.collect()}
+    # o1 is labeled only inside g1, so the g2 usage of o1 joins nothing
+    assert rows == {(EX + "g1", EX + "s1", "One")}
+
+
+def test_graph_outer_pattern_still_unions_all_graphs(spark, quads):
+    allrows = sparql_select(quads, f"SELECT ?s WHERE {{ ?s <{EX}p> ?o }}")
+    assert {r["s"]["value"] for r in allrows.collect()} == {
+        EX + "s1", EX + "s2", EX + "s3",
+    }
+
+
+def test_graph_over_triples_relation_is_loud(spark, triples):
+    with pytest.raises(SparqlUnsupported, match="graph column"):
+        sparql_select(
+            triples,
+            f"SELECT ?s WHERE {{ GRAPH ?g {{ ?s <{EX}label> ?o }} }}",
+        ).collect()
 
 
 def test_path_seeded_constant_endpoints(spark, chain):

@@ -20,9 +20,21 @@ proportional to new facts — the property that keeps recursive rules
 feasible at 10^9+ triples (a naive loop re-derives everything each
 round).
 
-Restrictions: no Jena builtins (``noValue``, ``makeTemp``, ...), no
-backward rules; CONSTRUCT WHERE supports the aspect-pattern subset of
-sparql.py. Unsupported syntax raises ``SparqlUnsupported``.
+Builtins (round 4): the two that occur in real ABECTO-adjacent rule
+sets are supported in rule *bodies* —
+
+  * ``noValue(?s <p> [?o])`` compiles to a left-anti join against the
+    current statement relation (Jena's NoValue). Like Jena's forward
+    engine, it is evaluated against the state of each round and derived
+    facts are never retracted, so rules should be stratified (noValue
+    over predicates the rules don't later derive).
+  * ``regex(?x, "pattern")`` compiles to an anchored ``rlike`` (Jena's
+    Regex does a full ``matches()``); group binding is not supported.
+
+Restrictions: other Jena builtins (``makeTemp``, ``bound``, ...),
+builtins in rule heads, and backward rules are unsupported; CONSTRUCT
+WHERE supports the aspect-pattern subset of sparql.py. Unsupported
+syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -48,10 +60,17 @@ TRIPLE_COLS = ("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
 
 
 @dataclass(frozen=True)
+class Builtin:
+    name: str     # "noValue" | "regex"
+    args: tuple   # parsed terms
+
+
+@dataclass(frozen=True)
 class Rule:
     name: str
     body: tuple[Triple, ...]
     head: tuple[Triple, ...]
+    builtins: tuple = ()  # Builtin filters over the body bindings
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +108,15 @@ def _parse_rule(p: _Parser) -> Rule:
         name = v2[:-1]
         p.next()
     body = []
-    while p.peek()[1] == "(":
-        body.append(_parse_atom(p))
+    builtins = []
+    while True:
+        k2, v2 = p.peek()
+        if v2 == "(":
+            body.append(_parse_atom(p))
+        elif v2 in ("noValue", "regex"):
+            builtins.append(_parse_builtin(p))
+        else:
+            break
     if p.peek()[1] == "-":
         p.next()
     if p.peek()[1] != ">":
@@ -102,8 +128,8 @@ def _parse_rule(p: _Parser) -> Rule:
     if bracketed:
         if p.peek()[1] != "]":
             raise SparqlUnsupported(
-                f"unsupported rule syntax near {p.peek()[1]!r} (builtins are "
-                "not supported)"
+                f"unsupported rule syntax near {p.peek()[1]!r} (only the"
+                " noValue and regex builtins are supported, in rule bodies)"
             )
         p.next()
     if p.peek()[1] == ".":
@@ -114,7 +140,21 @@ def _parse_rule(p: _Parser) -> Rule:
     for tp in head:
         if not _triple_vars([tp]) <= body_vars:
             raise SparqlUnsupported("head variable not bound in body")
-    return Rule(name, tuple(body), tuple(head))
+    for b in builtins:
+        if b.name == "regex":
+            tgt = b.args[0]
+            if not (isinstance(tgt, Var) and tgt.name in body_vars):
+                raise SparqlUnsupported(
+                    "regex target must be a variable bound in the body"
+                )
+        else:  # noValue: needs ≥1 body variable to anchor the anti-join
+            if not any(
+                isinstance(t, Var) and t.name in body_vars for t in b.args
+            ):
+                raise SparqlUnsupported(
+                    "noValue must share a variable with the rule body"
+                )
+    return Rule(name, tuple(body), tuple(head), tuple(builtins))
 
 
 def _parse_atom(p: _Parser) -> Triple:
@@ -124,6 +164,28 @@ def _parse_atom(p: _Parser) -> Triple:
     o = p.parse_term(position="object")
     p.eat(")")
     return Triple(s, pred, o)
+
+
+def _parse_builtin(p: _Parser) -> Builtin:
+    name = p.next()[1]
+    p.eat("(")
+    args = []
+    while p.peek()[1] != ")":
+        if p.peek()[1] == ",":
+            p.next()
+            continue
+        args.append(p.parse_term(position="object"))
+    p.next()  # ')'
+    if name == "regex":
+        if len(args) != 2 or not isinstance(args[1], Lit):
+            raise SparqlUnsupported(
+                "regex builtin takes (term, \"pattern\"); group binding"
+                " is not supported"
+            )
+    elif name == "noValue":
+        if len(args) not in (2, 3):
+            raise SparqlUnsupported("noValue builtin takes (s, p[, o])")
+    return Builtin(name, tuple(args))
 
 
 def _triple_vars(triples) -> set[str]:
@@ -154,6 +216,32 @@ def _body_df(comp_all: _Compiler, comp_delta: _Compiler | None, body, delta_idx)
             acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
             bound |= vs
     return acc, bound
+
+
+def _apply_builtins(
+    comp_all: _Compiler, acc: DataFrame, bound: set[str], builtins
+) -> DataFrame:
+    """Builtin filters over the matched body bindings: regex → anchored
+    rlike; noValue → left-anti join against the current statement
+    relation (evaluated per round, like Jena's forward engine)."""
+    fresh = 0
+    for b in builtins:
+        if b.name == "regex":
+            tgt, pat = b.args
+            acc = acc.where(
+                F.col(tgt.name)["value"].rlike(f"^(?:{pat.lex})$")
+            )
+            continue
+        # noValue(s, p[, o]): absent-object form probes with a fresh var
+        terms = list(b.args)
+        if len(terms) == 2:
+            fresh += 1
+            terms.append(Var(f"__nv{fresh}"))
+        probe, vs = comp_all.triple_df(Triple(*terms))
+        shared = sorted(bound & vs)
+        acc = acc.join(probe.select(*shared).distinct(), on=shared,
+                       how="left_anti")
+    return acc
 
 
 def _head_rows(match: DataFrame, bound: set[str], head) -> DataFrame:
@@ -244,12 +332,24 @@ def apply_jena_rules(
         for r in rules:
             if first:
                 match, bound = _body_df(comp_all, None, r.body, None)
+                match = _apply_builtins(comp_all, match, bound, r.builtins)
                 news.append(_head_rows(match, bound, r.head))
             else:
                 # semi-naive: any new derivation uses ≥1 delta fact; cover
-                # each atom position once
+                # each atom position once. Rules with noValue re-evaluate
+                # naively every round — negation over a growing relation
+                # is non-monotonic, so a delta restriction would both
+                # miss rows (a noValue that held only for older bindings)
+                # and keep none it shouldn't (facts never retract,
+                # matching Jena's forward semantics)
+                if any(b.name == "noValue" for b in r.builtins):
+                    match, bound = _body_df(comp_all, None, r.body, None)
+                    match = _apply_builtins(comp_all, match, bound, r.builtins)
+                    news.append(_head_rows(match, bound, r.head))
+                    continue
                 for i in range(len(r.body)):
                     match, bound = _body_df(comp_all, comp_delta, r.body, i)
+                    match = _apply_builtins(comp_all, match, bound, r.builtins)
                     news.append(_head_rows(match, bound, r.head))
         first = False
         cand = news[0]

@@ -695,6 +695,50 @@ def q_sparql_paths_seeded(spark, sf):
     )
 
 
+def q_rule_builtins(spark, sf):
+    """Round-4 Jena rule builtins: ``noValue`` compiles to a left-anti
+    join against the statement relation, ``regex`` to an anchored
+    ``rlike`` (GenericRuleReasoner grammar,
+    `ForwardRuleReasoningProcessor.java:33-44`). Customers with no
+    orders whose name full-matches an even-digit suffix get flagged."""
+    from ..operators.rule_text import apply_jena_rules
+
+    ex = "http://example.org/"
+    cust = _t(spark, sf, "customer").where(F.col("c_custkey") % 3 == 0)
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def row(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"),
+            (F.lit(dt) if dt else F.lit(None).cast("string")).alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    triples = (
+        cust.select(*row(c, "type", "iri", F.lit(ex + "Customer"), None))
+        .unionByName(cust.select(*row(c, "name", "literal",
+                                      F.col("c_name"), XSD_STRING)))
+        .unionByName(orders.select(*row(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
+            "orderedBy", "iri",
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")), None,
+        )))
+    )
+    rules = (
+        f'[nv: (?c <{ex}type> <{ex}Customer>) (?c <{ex}name> ?n)'
+        f' noValue(?o <{ex}orderedBy> ?c) regex(?n, ".*[02468]")'
+        f' -> (?c <{ex}flag> <{ex}NoOrders>)]'
+    )
+    out = apply_jena_rules(triples, rules)
+    return out.where(F.col("p") == ex + "flag").select(
+        F.col("s").alias("customer")
+    )
+
+
 def q_sparql_graph(spark, sf):
     """Round-4 named-graph patterns: customer quads live in one named
     graph per market segment; ``GRAPH ?g { ?c name ?n . ?c nat ?k }``
@@ -1173,6 +1217,7 @@ QUERIES = {
     "sparql_paths": q_sparql_paths,
     "sparql_paths_seeded": q_sparql_paths_seeded,
     "sparql_graph": q_sparql_graph,
+    "rule_builtins": q_rule_builtins,
     "sparql_describe": q_sparql_describe,
     "sparql_agg": q_sparql_agg,
     "sparql_crawl": q_sparql_crawl,
@@ -1308,6 +1353,15 @@ ORACLES = {
         SELECT DISTINCT 'n' || CAST(reach.b AS VARCHAR) AS node,
                'r' || CAST(m.n_regionkey AS VARCHAR) AS region
         FROM reach JOIN nation m ON m.n_nationkey = reach.b
+    """,
+    "rule_builtins": """
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS customer
+        FROM customer c
+        WHERE c_custkey % 3 = 0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+          AND regexp_full_match(c_name, '.*[02468]')
     """,
     "sparql_graph": """
         SELECT c_mktsegment AS graph, c_name AS name,

@@ -112,3 +112,101 @@ def test_rule_parse_errors():
         parse_jena_rules("[(?a <p> ?b) noValue(?a) -> (?a <q> ?b)]")  # builtin
     with pytest.raises(SparqlUnsupported):
         parse_jena_rules("just words")
+
+
+# ---------------------------------------------------------------------------
+# round-4 builtins: noValue / regex (`ForwardRuleReasoningProcessor.java:33-44`
+# delegates to GenericRuleReasoner, whose rule grammar admits builtins)
+
+
+def test_rule_novalue_builtin(spark):
+    rows = [
+        (EX + "a", EX + "type", "iri", EX + "T", None, None),
+        (EX + "b", EX + "type", "iri", EX + "T", None, None),
+        (EX + "a", EX + "has", "iri", EX + "x", None, None),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        triples,
+        f"[nv: (?s <{EX}type> <{EX}T>) noValue(?s <{EX}has> ?v)"
+        f" -> (?s <{EX}flag> <{EX}Missing>)]",
+    )
+    flagged = {r["s"] for r in out.where(out.p == EX + "flag").collect()}
+    assert flagged == {EX + "b"}  # a has a <has> value, b does not
+
+
+def test_rule_novalue_two_arg_form_and_constant_object(spark):
+    rows = [
+        (EX + "a", EX + "type", "iri", EX + "T", None, None),
+        (EX + "b", EX + "type", "iri", EX + "T", None, None),
+        (EX + "a", EX + "has", "iri", EX + "x", None, None),
+        (EX + "b", EX + "has", "iri", EX + "y", None, None),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLES_DDL)
+    # 3-arg form with a constant object: b has <has> but not <has> x
+    out = apply_jena_rules(
+        triples,
+        f"[nv: (?s <{EX}type> <{EX}T>) noValue(?s <{EX}has> <{EX}x>)"
+        f" -> (?s <{EX}flag> <{EX}NoX>)]",
+    )
+    flagged = {r["s"] for r in out.where(out.p == EX + "flag").collect()}
+    assert flagged == {EX + "b"}
+
+
+def test_rule_regex_builtin_full_match(spark):
+    rows = [
+        (EX + "a", EX + "label", "literal", "abc-1", None, ""),
+        (EX + "b", EX + "label", "literal", "xbc-2", None, ""),
+        (EX + "c", EX + "label", "literal", "abc-1-tail", None, ""),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        triples,
+        f'[rg: (?s <{EX}label> ?l) regex(?l, "abc-[0-9]")'
+        f" -> (?s <{EX}flag> <{EX}Hit>)]",
+    )
+    flagged = {r["s"] for r in out.where(out.p == EX + "flag").collect()}
+    # Jena's regex is a full match: the -tail row must not match
+    assert flagged == {EX + "a"}
+
+
+def test_rule_novalue_with_derived_facts_is_round_evaluated(spark):
+    """noValue rules re-evaluate naively per round: once another rule
+    derives the probed predicate, no NEW noValue conclusions appear for
+    those bindings (existing conclusions never retract — Jena forward
+    semantics)."""
+    rows = [
+        (EX + "a", EX + "src", "iri", EX + "x", None, None),
+    ]
+    triples = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        triples,
+        f"""
+        [mk: (?s <{EX}src> ?v) -> (?s <{EX}has> ?v)]
+        [nv: (?s <{EX}src> ?v) noValue(?s <{EX}has> ?v)
+             -> (?s <{EX}flag> <{EX}Missing>)]
+        """,
+    )
+    # round 1 evaluates both rules on the base state: <has> does not
+    # exist yet, so the flag IS derived (and never retracted), exactly
+    # like Jena's simultaneous forward pass
+    flagged = {r["s"] for r in out.where(out.p == EX + "flag").collect()}
+    assert flagged == {EX + "a"}
+    has = {r["s"] for r in out.where(out.p == EX + "has").collect()}
+    assert has == {EX + "a"}
+
+
+def test_rule_builtin_parse_errors():
+    with pytest.raises(SparqlUnsupported, match="share a variable"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) noValue(<{EX}x> <{EX}q> <{EX}y>)"
+            f" -> (?a <{EX}r> ?b)]"
+        )
+    with pytest.raises(SparqlUnsupported, match="regex"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) regex(?b) -> (?a <{EX}r> ?b)]"
+        )
+    with pytest.raises(SparqlUnsupported, match="bound in the body"):
+        parse_jena_rules(
+            f'[(?a <{EX}p> ?b) regex(?zz, "x") -> (?a <{EX}r> ?b)]'
+        )

@@ -556,6 +556,30 @@ def q_property_findings(spark, sf):
     )
 
 
+def q_report_deviations(spark, sf):
+    """Round-4: the deviations-CSV export surface as an oracle row — the
+    exact row relation `export_deviations_csv` writes (filter + column
+    projection from `export/deviations.rq:29-60`), over the same
+    lineitem findings as ``property_findings``."""
+    from .reports import deviations_report_rows
+
+    li = _t(spark, sf, "lineitem")
+    values = _values_from(
+        li,
+        F.col("l_returnflag"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")),
+        "qty",
+        F.col("l_quantity").cast("int").cast("string"),
+        datatype=XSD_INTEGER,
+    )
+    members = values.select("dataset", "resource").distinct()
+    canonical = _identity_canonical(members)
+    _, findings = property_comparison(
+        spark, values, members, canonical, "order_qty", ["qty"]
+    )
+    return deviations_report_rows(findings)
+
+
 def q_aspect_algebra(spark, sf):
     """Round-3 SPARQL algebra over a customer-derived triples table:
     UNION branches, FILTER NOT EXISTS, a VALUES inline table, and
@@ -1218,6 +1242,7 @@ QUERIES = {
     "sparql_paths_seeded": q_sparql_paths_seeded,
     "sparql_graph": q_sparql_graph,
     "rule_builtins": q_rule_builtins,
+    "report_deviations": q_report_deviations,
     "sparql_describe": q_sparql_describe,
     "sparql_agg": q_sparql_agg,
     "sparql_crawl": q_sparql_crawl,
@@ -1797,6 +1822,39 @@ ORACLES = {
                CAST(qb AS VARCHAR) FROM dev
         UNION ALL
         SELECT 'deviation', 'qty', db, r, CAST(qb AS VARCHAR), da, r,
+               CAST(qa AS VARCHAR) FROM dev
+    """,
+    "report_deviations": """
+        WITH vals AS (
+          SELECT DISTINCT l_returnflag AS d, 'o' || CAST(l_orderkey AS VARCHAR) AS r,
+                 CAST(l_quantity AS INT) AS q
+          FROM lineitem),
+        members AS (SELECT DISTINCT d, r FROM vals),
+        grouped AS (SELECT r FROM members GROUP BY r HAVING COUNT(DISTINCT d) >= 2),
+        gm AS (SELECT m.d, m.r FROM members m JOIN grouped g USING (r)),
+        pairs AS (SELECT a.r, a.d AS da, b.d AS db
+                  FROM gm a JOIN gm b ON a.r = b.r AND a.d < b.d),
+        va AS (SELECT p.r, p.da, p.db, v.q FROM pairs p
+               JOIN vals v ON v.r = p.r AND v.d = p.da),
+        vb AS (SELECT p.r, p.da, p.db, v.q FROM pairs p
+               JOIN vals v ON v.r = p.r AND v.d = p.db),
+        unc_a AS (SELECT * FROM va WHERE NOT EXISTS (
+            SELECT 1 FROM vb WHERE vb.r = va.r AND vb.da = va.da
+                   AND vb.db = va.db AND vb.q = va.q)),
+        unc_b AS (SELECT * FROM vb WHERE NOT EXISTS (
+            SELECT 1 FROM va WHERE va.r = vb.r AND va.da = vb.da
+                   AND va.db = vb.db AND va.q = vb.q)),
+        dev AS (SELECT a.r, a.da, a.db, a.q AS qa, b.q AS qb
+                FROM unc_a a JOIN unc_b b
+                  ON a.r = b.r AND a.da = b.da AND a.db = b.db)
+        SELECT 'order_qty' AS aspect, 'qty' AS variable,
+               da AS affected_dataset, r AS affected_resource,
+               CAST(qa AS VARCHAR) AS affected_value,
+               db AS compared_to_dataset, r AS compared_to_resource,
+               CAST(qb AS VARCHAR) AS compared_to_value
+        FROM dev
+        UNION ALL
+        SELECT 'order_qty', 'qty', db, r, CAST(qb AS VARCHAR), da, r,
                CAST(qa AS VARCHAR) FROM dev
     """,
     "embedding_neardup": """

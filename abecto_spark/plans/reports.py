@@ -25,10 +25,24 @@ DEVIATION_COLS = [
 ]
 
 
+def deviations_report_rows(findings: DataFrame) -> DataFrame:
+    """The deviations-CSV row relation (`export/deviations.rq:29-60`) —
+    shared by :func:`export_deviations_csv` and the driver-contract
+    ``report_deviations`` oracle row, so the export projection itself is
+    hash-checked."""
+    return findings.where(F.col("kind") == "deviation").select(*DEVIATION_COLS)
+
+
+def omissions_report_rows(findings: DataFrame) -> DataFrame:
+    """The omissions-CSV row relation (resource + value omissions)."""
+    return findings.where(
+        F.col("kind").isin("resource_omission", "value_omission")
+    ).select("kind", *DEVIATION_COLS)
+
+
 def export_deviations_csv(findings: DataFrame, path: str, mode: str = "overwrite") -> None:
     (
-        findings.where(F.col("kind") == "deviation")
-        .select(*DEVIATION_COLS)
+        deviations_report_rows(findings)
         .orderBy(*DEVIATION_COLS)
         .write.mode(mode)
         .option("header", True)
@@ -38,8 +52,7 @@ def export_deviations_csv(findings: DataFrame, path: str, mode: str = "overwrite
 
 def export_omissions_csv(findings: DataFrame, path: str, mode: str = "overwrite") -> None:
     (
-        findings.where(F.col("kind").isin("resource_omission", "value_omission"))
-        .select("kind", *DEVIATION_COLS)
+        omissions_report_rows(findings)
         .orderBy("kind", *DEVIATION_COLS)
         .write.mode(mode)
         .option("header", True)

@@ -21,6 +21,7 @@ _EXT = {
     ".ttl": "turtle", ".turtle": "turtle",
     ".trig": "trig",
     ".rdf": "rdfxml", ".owl": "rdfxml", ".xml": "rdfxml",
+    ".trix": "trix",
     ".jsonld": "jsonld", ".json": "jsonld",
 }
 
@@ -28,7 +29,7 @@ _NT_LINE = re.compile(r"^<[^>]*>\s+<[^>]*>\s+.+\s*\.\s*$")
 
 
 def sniff_format(path: str, head: str | None = None) -> str:
-    """Return one of ntriples|turtle|trig|rdfxml|jsonld."""
+    """Return one of ntriples|turtle|trig|rdfxml|jsonld|trix."""
     low = path.lower()
     for ext, fmt in _EXT.items():
         if low.endswith(ext):
@@ -37,6 +38,8 @@ def sniff_format(path: str, head: str | None = None) -> str:
         with open(path, encoding="utf-8-sig", errors="replace") as fh:
             head = fh.read(8192)
     stripped = head.lstrip("﻿ \t\r\n")
+    if "<TriX" in head or "trix/trix-1" in head:
+        return "trix"
     if stripped.startswith("<?xml") or "<rdf:RDF" in head:
         return "rdfxml"
     if stripped.startswith("{"):
@@ -80,6 +83,10 @@ def read_rdf_local(spark: SparkSession, path: str, fmt: str | None = None) -> Da
         from .rdfxml import read_rdfxml_local
 
         return read_rdfxml_local(spark, path)
+    if fmt == "trix":
+        from .trix import read_trix_local
+
+        return read_trix_local(spark, path).drop("graph")
     if fmt == "jsonld":
         from .jsonld import read_jsonld_local
 

@@ -261,3 +261,90 @@ def test_wrong_value_turtle_blank_nodes_suppress_finding(spark, tmp_path):
         "kind = 'deviation' AND compared_to_value = '99'"
     ).count()
     assert devs_before > 0 and devs_after == 0
+
+
+# ---------------------------------------------------------------------------
+# TriX (`util/Models.java:66-95`, Lang.TRIX)
+
+
+def test_trix_roundtrip_tutorial_graph(spark, tmp_path):
+    """The tutorial graph's shapes in TriX: named + default graphs, all
+    four term element kinds, language tags."""
+    from abecto_spark.sources.trix import parse_trix, read_trix_local
+
+    doc = """<?xml version="1.0"?>
+    <TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+      <graph>
+        <uri>http://example.org/dataset1</uri>
+        <triple>
+          <uri>http://example.org/a/alice</uri>
+          <uri>http://www.w3.org/2000/01/rdf-schema#label</uri>
+          <plainLiteral>Alice</plainLiteral>
+        </triple>
+        <triple>
+          <uri>http://example.org/a/alice</uri>
+          <uri>http://example.org/a/pnr</uri>
+          <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">45678</typedLiteral>
+        </triple>
+        <triple>
+          <uri>http://example.org/a/alice</uri>
+          <uri>http://example.org/a/note</uri>
+          <plainLiteral xml:lang="en">the boss</plainLiteral>
+        </triple>
+      </graph>
+      <graph>
+        <triple>
+          <id>b0</id>
+          <uri>http://example.org/a/boss</uri>
+          <uri>http://example.org/a/alice</uri>
+        </triple>
+      </graph>
+    </TriX>
+    """
+    rows = parse_trix(doc)
+    assert ("http://example.org/dataset1", "http://example.org/a/alice",
+            "http://www.w3.org/2000/01/rdf-schema#label", "literal",
+            "Alice", "http://www.w3.org/2001/XMLSchema#string", "") in rows
+    assert ("http://example.org/dataset1", "http://example.org/a/alice",
+            "http://example.org/a/pnr", "literal", "45678",
+            "http://www.w3.org/2001/XMLSchema#integer", "") in rows
+    langs = {r[6] for r in rows}
+    assert "en" in langs
+    # the default-graph blank-node triple
+    assert ("", "_:b0", "http://example.org/a/boss", "iri",
+            "http://example.org/a/alice", None, "") in rows
+
+    f = tmp_path / "g.trix"
+    f.write_text(doc)
+    df = read_trix_local(spark, str(f))
+    assert df.count() == 4
+    # sniffed dispatch (extension and content) through read_rdf_local
+    assert sniff_format(str(f)) == "trix"
+    g = tmp_path / "g.data"
+    g.write_text(doc)
+    assert sniff_format(str(g)) == "trix"
+    triples = read_rdf_local(spark, str(g))
+    assert triples.count() == 4 and "graph" not in triples.columns
+
+
+def test_trix_unsupported_is_loud():
+    from abecto_spark.sources.trix import TrixUnsupported, parse_trix
+
+    for doc, msg in [
+        ("<notTriX/>", "namespace"),
+        ('<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">'
+         "<graph><triple><uri>http://x</uri></triple></graph></TriX>",
+         "term elements"),
+        ('<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">'
+         "<graph><triple>"
+         "<plainLiteral>x</plainLiteral><uri>http://p</uri><uri>http://o</uri>"
+         "</triple></graph></TriX>", "literal subject"),
+        ('<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">'
+         "<graph><triple>"
+         "<uri>http://s</uri><uri>http://p</uri>"
+         "<typedLiteral>x</typedLiteral>"
+         "</triple></graph></TriX>", "datatype"),
+        ("not xml at all", "well-formed"),
+    ]:
+        with pytest.raises(TrixUnsupported, match=msg):
+            parse_trix(doc)

@@ -719,6 +719,39 @@ def q_sparql_paths_seeded(spark, sf):
     )
 
 
+def q_sparql_subquery(spark, sf):
+    """Round-4 SPARQL 1.1 §12 subqueries: an aggregating ``{ SELECT ...
+    GROUP BY }`` joined into the outer group by its projected variable,
+    with an outer FILTER over the aggregate alias. Oracle: the same
+    join of a grouped count CTE in DuckDB."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    orders = _t(spark, sf, "orders").where(F.col("o_orderkey") % 3 == 0)
+    o = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    triples = orders.select(
+        o.alias("s"), F.lit(ex + "by").alias("p"), F.lit("iri").alias("o_kind"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"), F.lit("").alias("o_lang"),
+    )
+    wide = sparql_select(
+        triples,
+        f"""
+        SELECT ?c ?o ?n WHERE {{
+          ?o <{ex}by> ?c .
+          {{ SELECT ?c (COUNT(?x) AS ?n) WHERE {{ ?x <{ex}by> ?c }}
+             GROUP BY ?c }}
+          FILTER(?n >= 5)
+        }}
+        """,
+    )
+    return wide.select(
+        F.col("c")["value"].alias("customer"),
+        F.col("o")["value"].alias("order_id"),
+        F.col("n")["value"].alias("n"),
+    )
+
+
 def q_rule_builtins(spark, sf):
     """Round-4 Jena rule builtins: ``noValue`` compiles to a left-anti
     join against the statement relation, ``regex`` to an anchored
@@ -1241,6 +1274,7 @@ QUERIES = {
     "sparql_paths": q_sparql_paths,
     "sparql_paths_seeded": q_sparql_paths_seeded,
     "sparql_graph": q_sparql_graph,
+    "sparql_subquery": q_sparql_subquery,
     "rule_builtins": q_rule_builtins,
     "report_deviations": q_report_deviations,
     "sparql_describe": q_sparql_describe,
@@ -1378,6 +1412,16 @@ ORACLES = {
         SELECT DISTINCT 'n' || CAST(reach.b AS VARCHAR) AS node,
                'r' || CAST(m.n_regionkey AS VARCHAR) AS region
         FROM reach JOIN nation m ON m.n_nationkey = reach.b
+    """,
+    "sparql_subquery": """
+        WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderkey % 3 = 0),
+        cnt AS (SELECT o_custkey, COUNT(*) AS n FROM o GROUP BY o_custkey)
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS customer,
+               'o' || CAST(o.o_orderkey AS VARCHAR) AS order_id,
+               CAST(cnt.n AS VARCHAR) AS n
+        FROM o JOIN cnt ON cnt.o_custkey = o.o_custkey
+        WHERE cnt.n >= 5
     """,
     "rule_builtins": """
         SELECT 'c' || CAST(c_custkey AS VARCHAR) AS customer

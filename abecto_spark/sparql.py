@@ -67,10 +67,17 @@ constant label is a filter on the scan, a variable label an extra
 binding on every inner triple pattern. Outer (non-GRAPH) patterns keep
 matching every row — the engine's union-of-graphs default.
 
+Round 4 also lifted four restrictions: ``UNDEF`` in VALUES (NULL struct
+slots + compatible-join semantics downstream), EXISTS/NOT EXISTS blocks
+sharing no variable with the outer pattern (a boolean gate — one eager
+emptiness probe), ``DESCRIBE *``, and §12 subqueries (``{ SELECT ... }``
+compiled on the same graph scope and joined in by its projected
+variables).
+
 Restrictions (documented, loud): no negated property sets ``!(...)``,
-subqueries, UNDEF in VALUES, AVG(DISTINCT), EXISTS/MINUS blocks sharing
-no variable with the outer pattern, SERVICE, or property-path closures
-inside ``GRAPH ?var``. Unsupported syntax raises ``SparqlUnsupported``.
+AVG(DISTINCT), SERVICE, MINUS blocks over possibly-unbound shared
+variables, or property-path closures inside ``GRAPH ?var``.
+Unsupported syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -181,6 +188,7 @@ class Group:
     # mod, o_term) — inner Group binds a_var/b_var to the one-step edge
     path_closures: list = field(default_factory=list)
     graph_blocks: list = field(default_factory=list)  # (Var|Iri, Group)
+    subqueries: list = field(default_factory=list)  # nested SelectQuery
 
 
 @dataclass
@@ -211,6 +219,7 @@ class AskQuery:
 class DescribeQuery:
     targets: list  # list[Var | Iri]
     where: Group | None
+    star: bool = False  # DESCRIBE * — every WHERE-bound variable
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +298,11 @@ class _Parser:
 
     def parse_query(self) -> SelectQuery:
         self.parse_prologue()
+        return self.parse_select_body()
+
+    def parse_select_body(self) -> SelectQuery:
+        """From the SELECT keyword onward — the shared shape of top-level
+        queries and subqueries (SPARQL 1.1 §12 SubSelect)."""
         self.eat("SELECT")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -431,7 +445,8 @@ class _Parser:
 
     def parse_values_term(self):
         if self.at_word("UNDEF"):
-            raise SparqlUnsupported("UNDEF in VALUES not supported")
+            self.next()
+            return None  # unbound slot — compatible with any binding
         return self.parse_term(position="object")
 
     def parse_construct(self) -> ConstructQuery:
@@ -442,7 +457,8 @@ class _Parser:
             template.optionals or template.filters or template.binds
             or template.unions or template.minuses or template.not_exists
             or template.exists or template.values_blocks
-            or template.path_closures
+            or template.path_closures or template.graph_blocks
+            or template.subqueries
         ):
             raise SparqlUnsupported("CONSTRUCT template must be plain triples")
         if self.at_word("WHERE"):
@@ -463,22 +479,27 @@ class _Parser:
         self.parse_prologue()
         self.eat("DESCRIBE")
         targets: list = []
-        while True:
-            k, _v = self.peek()
-            if k in ("var", "iri", "pname"):
-                targets.append(self.parse_term(position="subject"))
-            else:
-                break
-        if not targets:
-            raise SparqlUnsupported(
-                "DESCRIBE needs >=1 variable or IRI (DESCRIBE * not supported)"
-            )
+        star = False
+        if self.peek()[1] == "*":
+            self.next()
+            star = True
+        else:
+            while True:
+                k, _v = self.peek()
+                if k in ("var", "iri", "pname"):
+                    targets.append(self.parse_term(position="subject"))
+                else:
+                    break
+        if not targets and not star:
+            raise SparqlUnsupported("DESCRIBE needs >=1 variable or IRI, or *")
         where = None
         if self.at_word("WHERE") or self.peek()[1] == "{":
             if self.at_word("WHERE"):
                 self.next()
             where = self.parse_group()
-        return DescribeQuery(targets, where)
+        if star and where is None:
+            raise SparqlUnsupported("DESCRIBE * needs a WHERE group")
+        return DescribeQuery(targets, where, star)
 
     # -- group ----------------------------------------------------------
 
@@ -537,6 +558,14 @@ class _Parser:
             elif self.at_word("SERVICE"):
                 raise SparqlUnsupported(f"{v} not supported")
             elif v == "{":
+                k2, v2 = self.toks[self.i + 1]
+                if k2 in ("word", "pname") and v2.upper() == "SELECT":
+                    # subquery (SPARQL 1.1 §12): evaluated on the same
+                    # graph scope, joined in by its projected variables
+                    self.next()  # '{'
+                    g.subqueries.append(self.parse_select_body())
+                    self.eat("}")
+                    continue
                 # nested group; `{ A } UNION { B } [UNION { C }]` branches
                 branches = [self.parse_group()]
                 while self.at_word("UNION"):
@@ -1258,13 +1287,24 @@ class _Compiler:
         sub = _Compiler(named, graph_var=gterm.name)
         return sub._group_df3(inner)
 
-    def _values_df(self, names: list[str], rows: list[tuple]) -> DataFrame:
+    def _values_df(
+        self, names: list[str], rows: list[tuple]
+    ) -> tuple[DataFrame, set[str]]:
         """VALUES inline data → a literal DataFrame of term structs,
         joined (or cross-joined) into the group like any other operand;
-        Catalyst can then use it as a broadcast build side."""
-        data = [tuple(_term_tuple(t) for t in row) for row in rows]
+        Catalyst can then use it as a broadcast build side. UNDEF slots
+        are NULL structs; their variables are returned as possibly
+        unbound so downstream joins use the compatible condition."""
+        data = [
+            tuple(None if t is None else _term_tuple(t) for t in row)
+            for row in rows
+        ]
         ddl = ", ".join(f"`{n}` {_TERM_DDL}" for n in names)
-        return self.t.sparkSession.createDataFrame(data, ddl)
+        undef = {
+            n for i, n in enumerate(names)
+            if any(row[i] is None for row in rows)
+        }
+        return self.t.sparkSession.createDataFrame(data, ddl), undef
 
     def group_df(self, g: Group) -> tuple[DataFrame, set[str]]:
         df, bound, _maybe = self._group_df3(g)
@@ -1274,7 +1314,7 @@ class _Compiler:
         if (
             not g.triples and not g.binds and not g.unions
             and not g.values_blocks and not g.path_closures
-            and not g.graph_blocks
+            and not g.graph_blocks and not g.subqueries
         ):
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
@@ -1289,9 +1329,15 @@ class _Compiler:
         for gterm, inner in g.graph_blocks:
             df, vs, gmaybe = self._graph_df(gterm, inner)
             acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, gmaybe)
-        for names, rows in g.values_blocks:
+        for sq in g.subqueries:
+            df, names, smaybe = _select_df(self, sq)
             acc, bound, maybe = self._join_in(
-                acc, bound, maybe, self._values_df(names, rows), set(names), set()
+                acc, bound, maybe, df, set(names), smaybe
+            )
+        for names, rows in g.values_blocks:
+            vdf, undef = self._values_df(names, rows)
+            acc, bound, maybe = self._join_in(
+                acc, bound, maybe, vdf, set(names), undef
             )
         for entry in g.path_closures:
             df, vs = self._closure_df(entry)
@@ -1329,10 +1375,12 @@ class _Compiler:
             ndf, nvs, nmaybe = self._group_df3(ne)
             shared = sorted(bound & nvs)
             if not shared:
-                raise SparqlUnsupported(
-                    "FILTER NOT EXISTS sharing no variables with the outer"
-                    " pattern is not supported"
-                )
+                # a disconnected NOT EXISTS is a boolean gate: keep all
+                # rows iff the inner pattern has no solutions (one tiny
+                # eager probe, like the closure rounds)
+                if ndf.limit(1).count() > 0:
+                    acc = acc.where(F.lit(False))
+                continue
             if any(v in maybe or v in nmaybe for v in shared):
                 raise SparqlUnsupported(
                     "FILTER NOT EXISTS sharing a possibly-unbound"
@@ -1345,10 +1393,9 @@ class _Compiler:
             edf, evs, emaybe = self._group_df3(ex)
             shared = sorted(bound & evs)
             if not shared:
-                raise SparqlUnsupported(
-                    "FILTER EXISTS sharing no variables with the outer"
-                    " pattern is not supported"
-                )
+                if edf.limit(1).count() == 0:
+                    acc = acc.where(F.lit(False))
+                continue
             if any(v in maybe or v in emaybe for v in shared):
                 raise SparqlUnsupported(
                     "FILTER EXISTS sharing a possibly-unbound"
@@ -1743,15 +1790,15 @@ def _order_keys(order: list, bound: set[str]) -> list[Column]:
     return keys
 
 
-def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
-    """Run a restricted SPARQL SELECT over the triples DataFrame. Output:
-    one struct column (kind, value, datatype, lang) per projected
-    variable; unbound optionals are NULL structs. Solution modifiers
-    (ORDER BY / LIMIT / OFFSET) are honored — the reference preserves
-    them from aspect patterns (`ComparisonProcessor.java:57-75`)."""
-    q = parse_select(query_text)
-    comp = _Compiler(triples)
-    df, bound = comp.group_df(q.where)
+def _select_df(
+    comp: _Compiler, q: SelectQuery
+) -> tuple[DataFrame, list, set]:
+    """Compile a parsed SELECT against a compiler's graph scope —
+    shared by top-level ``sparql_select`` and §12 subqueries. Returns
+    (result df with one term-struct column per projection name, names
+    in projection order, possibly-unbound name set)."""
+    df, bound, grp_maybe = comp._group_df3(q.where)
+    bound0 = set(bound)
     agg_mode = bool(q.group_by or q.having) or any(
         _has_agg(e) for e, _ in q.projections
     )
@@ -1769,14 +1816,22 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         # pre-projection sort may use unprojected variables
         df = df.orderBy(*_order_keys(q.order, bound))
     cols = []
+    maybe_out: set[str] = set()
     for expr, name in projections:
         if isinstance(expr, Var):
             if expr.name in bound:
                 cols.append(F.col(expr.name).alias(name))
+                # aggregate aliases (not bound pre-aggregation) and vars
+                # unbound in some rows stay possibly-unbound for callers
+                # joining the subquery result
+                if expr.name in grp_maybe or expr.name not in bound0:
+                    maybe_out.add(name)
             else:
                 cols.append(F.lit(None).cast(_TERM_DDL).alias(name))
+                maybe_out.add(name)
         else:
             cols.append(compile_expr_term(expr, bound).alias(name))
+            maybe_out.add(name)  # expressions may evaluate to NULL
     out = df.select(*cols)
     if q.distinct:
         out = out.distinct()
@@ -1790,6 +1845,17 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
+    return out, [n for _, n in projections], maybe_out
+
+
+def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
+    """Run a restricted SPARQL SELECT over the triples DataFrame. Output:
+    one struct column (kind, value, datatype, lang) per projected
+    variable; unbound optionals are NULL structs. Solution modifiers
+    (ORDER BY / LIMIT / OFFSET) are honored — the reference preserves
+    them from aspect patterns (`ComparisonProcessor.java:57-75`)."""
+    q = parse_select(query_text)
+    out, _names, _maybe = _select_df(_Compiler(triples), q)
     return out
 
 
@@ -1821,10 +1887,12 @@ def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
         if iri_targets
         else None
     )
-    if var_targets:
+    if var_targets or q.star:
         if q.where is None:
             raise SparqlUnsupported("DESCRIBE with variables needs a WHERE group")
         df, bound = _Compiler(triples).group_df(q.where)
+        if q.star:
+            var_targets = sorted(bound)
         for n in var_targets:
             if n not in bound:
                 raise SparqlUnsupported(f"?{n} not bound in DESCRIBE WHERE")

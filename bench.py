@@ -75,6 +75,7 @@ def main() -> None:
         "sparql_paths",
         "sparql_paths_seeded",
         "sparql_graph",
+        "sparql_subquery",
         "rule_builtins",
         "sparql_agg",
         "sparql_describe",

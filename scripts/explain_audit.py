@@ -133,6 +133,44 @@ def main() -> int:
             "PushedFilters: [" in p and "EqualTo(p,http://example.org/name)" in p,
         )
         check("sparql_select: no cartesian product", "CartesianProduct" not in p)
+
+        # ---- 7b. GRAPH constant label pruning (round 4) ----------------
+        quads = c.selectExpr(
+            "concat('c', c_custkey) AS s",
+            "'http://example.org/name' AS p",
+            "'literal' AS o_kind",
+            "c_name AS o_value",
+            "'http://www.w3.org/2001/XMLSchema#string' AS o_datatype",
+            "'' AS o_lang",
+            "c_mktsegment AS graph",
+        )
+        quads.write.mode("overwrite").parquet(tdir + "/q")
+        qdf = spark.read.parquet(tdir + "/q")
+        gw = sparql_select(
+            qdf,
+            "SELECT ?k ?name WHERE { GRAPH <BUILDING>"
+            " { ?k <http://example.org/name> ?name } }",
+        )
+        p = plan_of(gw)
+        sections.append(("sparql GRAPH constant label (partition-prunable filter)", p))
+        check(
+            "sparql GRAPH <iri>: graph filter pushed to parquet scan",
+            "EqualTo(graph,BUILDING)" in p,
+        )
+
+        # ---- 7c. subquery joins as one Catalyst tree (round 4) ---------
+        sq = sparql_select(
+            tdf,
+            """SELECT ?k ?name ?n WHERE {
+                 ?k <http://example.org/name> ?name .
+                 { SELECT ?k (COUNT(?v) AS ?n)
+                   WHERE { ?k <http://example.org/name> ?v } GROUP BY ?k }
+               }""",
+        )
+        p = plan_of(sq)
+        sections.append(("sparql subquery (aggregate child joined, one tree)", p))
+        check("sparql subquery: no cartesian product", "CartesianProduct" not in p)
+        check("sparql subquery: map-side partial aggregation", "partial_count" in p)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 

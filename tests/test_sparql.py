@@ -162,7 +162,7 @@ def test_unsupported_syntax_is_loud():
         "SELECT ?s WHERE { ?s !<http://x> ?o }",  # negated property set
         "SELECT ?s WHERE { SERVICE <http://g> { ?s ?p ?o } }",
         "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
-        "SELECT ?s WHERE { ?s ?p ?o . VALUES ?x { UNDEF } }",
+        "SELECT ?s WHERE { ?s !(<http://x>|<http://y>) ?o }",
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
     ]:
         with pytest.raises(SparqlUnsupported):
@@ -332,6 +332,76 @@ def test_values_single_and_multi_var(spark, triples):
         f"SELECT ?s WHERE {{ ?s <{EX}label> ?v }} VALUES ?v {{ \"Alice\" }}",
     )
     assert [r["s"]["value"] for r in trailing.collect()] == [EX + "alice"]
+
+
+def test_values_undef_compatible_rows(spark, triples):
+    """UNDEF leaves a VALUES slot unbound: the row is compatible with
+    any binding of that variable (SPARQL §10.2.2)."""
+    df = sparql_select(
+        triples,
+        f"""SELECT ?s ?v WHERE {{
+              ?s <{EX}label> ?v .
+              VALUES (?s ?v) {{ (<{EX}alice> UNDEF) (UNDEF "Bob") }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["v"]["value"]) for r in df.collect()}
+    assert rows == {(EX + "alice", "Alice"), (EX + "bob", "Bob")}
+
+
+def test_disconnected_exists_is_boolean_gate(spark, triples):
+    hit = sparql_select(
+        triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}pnr> ?x .
+              FILTER EXISTS {{ ?y <{EX}label> "Alice" }} }}""",
+    )
+    assert {r["s"]["value"] for r in hit.collect()} == {
+        EX + "alice", EX + "carol",
+    }
+    miss = sparql_select(
+        triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}pnr> ?x .
+              FILTER EXISTS {{ ?y <{EX}label> "Nobody" }} }}""",
+    )
+    assert miss.count() == 0
+    kept = sparql_select(
+        triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}pnr> ?x .
+              FILTER NOT EXISTS {{ ?y <{EX}label> "Nobody" }} }}""",
+    )
+    assert kept.count() == 2
+    gated = sparql_select(
+        triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}pnr> ?x .
+              FILTER NOT EXISTS {{ ?y <{EX}label> "Alice" }} }}""",
+    )
+    assert gated.count() == 0
+
+
+def test_subquery_aggregate_and_limit(spark, triples):
+    """SPARQL 1.1 §12 subqueries: evaluated on the same graph, joined
+    into the outer group by their projected variables."""
+    agg = sparql_select(
+        triples,
+        f"""SELECT ?k ?lbl ?n WHERE {{
+              ?k <{EX}label> ?lbl .
+              {{ SELECT ?k (COUNT(?p) AS ?n) WHERE {{ ?k <{EX}pnr> ?p }}
+                 GROUP BY ?k }}
+            }}""",
+    )
+    rows = {(r["k"]["value"], r["lbl"]["value"], r["n"]["value"])
+            for r in agg.collect()}
+    assert rows == {(EX + "alice", "Alice", "1")}  # carol has no label
+    top = sparql_select(
+        triples,
+        f"""SELECT ?k ?v WHERE {{
+              ?k <{EX}pnr> ?v .
+              {{ SELECT ?k WHERE {{ ?k <{EX}pnr> ?p }}
+                 ORDER BY DESC(?p) LIMIT 1 }}
+            }}""",
+    )
+    assert {(r["k"]["value"], r["v"]["value"]) for r in top.collect()} == {
+        (EX + "carol", "99999"),
+    }
 
 
 def test_order_limit_offset_and_star(spark, triples):
@@ -693,8 +763,22 @@ def test_describe_bnode_closure(spark):
     assert len(out) == 4
 
 
+def test_describe_star(spark, triples):
+    from abecto_spark.sparql import sparql_describe
+
+    # DESCRIBE * = describe every WHERE-bound variable: ?x (alice) and
+    # ?b (her boss, bob)
+    out = sparql_describe(
+        triples,
+        f"DESCRIBE * WHERE {{ ?x <{EX}boss> ?b }}",
+    ).collect()
+    assert {r["s"] for r in out} == {EX + "alice", EX + "bob"}
+    with pytest.raises(SparqlUnsupported, match="WHERE"):
+        sparql_describe(triples, "DESCRIBE *")
+
+
 def test_describe_without_targets_is_loud(spark, triples):
     from abecto_spark.sparql import sparql_describe
 
     with pytest.raises(SparqlUnsupported):
-        sparql_describe(triples, "DESCRIBE * WHERE { ?s ?p ?o }")
+        sparql_describe(triples, "DESCRIBE")

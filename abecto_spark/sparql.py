@@ -67,17 +67,17 @@ constant label is a filter on the scan, a variable label an extra
 binding on every inner triple pattern. Outer (non-GRAPH) patterns keep
 matching every row — the engine's union-of-graphs default.
 
-Round 4 also lifted four restrictions: ``UNDEF`` in VALUES (NULL struct
+Round 4 also lifted six restrictions: ``UNDEF`` in VALUES (NULL struct
 slots + compatible-join semantics downstream), EXISTS/NOT EXISTS blocks
 sharing no variable with the outer pattern (a boolean gate — one eager
-emptiness probe), ``DESCRIBE *``, and §12 subqueries (``{ SELECT ... }``
+emptiness probe), ``DESCRIBE *``, §12 subqueries (``{ SELECT ... }``
 compiled on the same graph scope and joined in by its projected
-variables).
+variables), negated property sets ``!(<a>|^<b>)`` (a NOT-IN predicate
+filter per direction), and ``AVG(DISTINCT)``.
 
-Restrictions (documented, loud): no negated property sets ``!(...)``,
-AVG(DISTINCT), SERVICE, MINUS blocks over possibly-unbound shared
-variables, or property-path closures inside ``GRAPH ?var``.
-Unsupported syntax raises ``SparqlUnsupported``.
+Restrictions (documented, loud): no SERVICE, BASE, MINUS blocks over
+possibly-unbound shared variables, or property-path closures inside
+``GRAPH ?var``. Unsupported syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -151,6 +151,18 @@ class PMod:
 
 
 @dataclass(frozen=True)
+class PNegSet:
+    """Negated property set ``!(<a>|^<b>|...)`` (§9.1): one edge whose
+    predicate is outside ``fwd`` (forward direction) unioned with one
+    reversed edge whose predicate is outside ``inv`` — each direction
+    only if it has members (per the SPARQL algebra translation)."""
+    fwd: tuple  # forward-member IRIs
+    inv: tuple  # inverse-member IRIs (those written with ^)
+    has_fwd: bool  # at least one non-^ member was written
+    has_inv: bool  # at least one ^ member was written
+
+
+@dataclass(frozen=True)
 class Call:
     fn: str
     args: tuple
@@ -189,6 +201,7 @@ class Group:
     path_closures: list = field(default_factory=list)
     graph_blocks: list = field(default_factory=list)  # (Var|Iri, Group)
     subqueries: list = field(default_factory=list)  # nested SelectQuery
+    neg_triples: list = field(default_factory=list)  # (s, PNegSet, o)
 
 
 @dataclass
@@ -624,6 +637,9 @@ class _Parser:
             self.next()
             p = self.parse_path()
             self.eat(")")
+        elif self.peek()[1] == "!":
+            self.next()
+            p = self.parse_neg_set()
         else:
             p = self.parse_term(position="predicate")
         if self.peek()[1] in ("*", "+", "?"):
@@ -632,6 +648,36 @@ class _Parser:
                 raise SparqlUnsupported("path modifier on a variable predicate")
             p = PMod(p, mod)
         return PInv(p) if inv else p
+
+    def parse_neg_set(self) -> PNegSet:
+        """After '!': ``iri`` | ``^iri`` | ``( member ('|' member)* )``."""
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def member():
+            target = fwd
+            if self.peek()[1] == "^":
+                self.next()
+                target = inv
+            t = self.parse_term(position="predicate")
+            if not isinstance(t, Iri):
+                raise SparqlUnsupported(
+                    "negated property set members must be IRIs"
+                )
+            target.append(t.value)
+
+        if self.peek()[1] == "(":
+            self.next()
+            if self.peek()[1] == ")":
+                raise SparqlUnsupported("empty negated property set")
+            member()
+            while self.peek()[1] == "|":
+                self.next()
+                member()
+            self.eat(")")
+        else:
+            member()
+        return PNegSet(tuple(fwd), tuple(inv), bool(fwd), bool(inv))
 
     def fresh_var(self, stem: str = "p") -> Var:
         self._fresh += 1
@@ -666,6 +712,8 @@ class _Parser:
             inner = Group()
             self.desugar_path(inner, a, path.inner, b)
             g.path_closures.append((s, a.name, inner, b.name, path.mod, o))
+        elif isinstance(path, PNegSet):
+            g.neg_triples.append((s, path, o))
         else:  # pragma: no cover
             raise SparqlUnsupported(f"bad path {path!r}")
 
@@ -1263,6 +1311,41 @@ class _Compiler:
             reach = reach.unionByName(self_row).distinct()
         return reach.select(F.col("b").alias(var.name)), {var.name}
 
+    def _negset_df(self, s_term, nps, o_term) -> tuple[DataFrame, set[str]]:
+        """Negated property set (§9.1): forward edges whose predicate is
+        outside the forward members, unioned with reversed edges whose
+        predicate is outside the inverse members — each direction only
+        if members of that direction were written. Compiles to a scan
+        with a NOT-IN predicate filter (no join)."""
+        parts: list[DataFrame] = []
+        vs: set[str] = set()
+
+        def scan(subj, obj, excluded):
+            pv = Var("__npsp")
+            df, tvs = self.triple_df(Triple(subj, pv, obj))
+            df = df.where(
+                ~F.col("__npsp")["value"].isin(list(excluded))
+            ).drop("__npsp")
+            return df, tvs - {"__npsp"}
+
+        if nps.has_fwd:
+            df, vs = scan(s_term, o_term, nps.fwd)
+            parts.append(df)
+        if nps.has_inv and not isinstance(o_term, Lit):
+            # a literal can never be a subject, so the inverse direction
+            # of a literal endpoint matches nothing
+            df, ivs = scan(o_term, s_term, nps.inv)
+            parts.append(df)
+            vs = vs | ivs if parts[:-1] else ivs
+        if not parts:
+            raise SparqlUnsupported(
+                "negated property set with no applicable direction"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out, vs
+
     def _graph_df(
         self, gterm, inner: Group
     ) -> tuple[DataFrame, set[str], set[str]]:
@@ -1315,6 +1398,7 @@ class _Compiler:
             not g.triples and not g.binds and not g.unions
             and not g.values_blocks and not g.path_closures
             and not g.graph_blocks and not g.subqueries
+            and not g.neg_triples
         ):
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
@@ -1322,6 +1406,9 @@ class _Compiler:
         maybe: set[str] = set()
         for tp in g.triples:
             df, vs = self.triple_df(tp)
+            acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, set())
+        for s_term, nps, o_term in g.neg_triples:
+            df, vs = self._negset_df(s_term, nps, o_term)
             acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, set())
         for branches in g.unions:
             df, vs, umaybe = self._union_df(branches)
@@ -1668,9 +1755,12 @@ def _agg_col(a: Agg, bound: set[str]) -> Column:
             F.sum_distinct(v) if a.distinct else F.sum(v), XSD + "decimal"
         )
     if a.fn == "AVG":
-        if a.distinct:
-            raise SparqlUnsupported("AVG(DISTINCT) not supported")
-        return _num_lit_term(F.avg(_num(a.arg, bound)), XSD + "decimal")
+        v = _num(a.arg, bound)
+        if a.distinct:  # no native distinct-avg: sum/count over distincts
+            c = F.sum_distinct(v) / F.count_distinct(v)
+        else:
+            c = F.avg(v)
+        return _num_lit_term(c, XSD + "decimal")
     if a.fn in ("MIN", "MAX"):
         t = compile_expr_term(a.arg, bound)
         num = F.when(

@@ -159,10 +159,10 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 
 def test_unsupported_syntax_is_loud():
     for q in [
-        "SELECT ?s WHERE { ?s !<http://x> ?o }",  # negated property set
+        "BASE <http://x/> SELECT ?s WHERE { ?s ?p ?o }",
         "SELECT ?s WHERE { SERVICE <http://g> { ?s ?p ?o } }",
         "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
-        "SELECT ?s WHERE { ?s !(<http://x>|<http://y>) ?o }",
+        "SELECT ?s WHERE { GRAPH 'lit' { ?s ?p ?o } }",  # literal label
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
     ]:
         with pytest.raises(SparqlUnsupported):
@@ -586,6 +586,48 @@ def test_path_seeded_constant_endpoints(spark, chain):
         sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}zz> <{EX}knows>* ?y }}")
     )
     assert off_graph == []
+
+
+def test_negated_property_set(spark, chain):
+    # forward: every edge from a whose predicate is not <knows>
+    fwd = _pairs(
+        sparql_select(
+            chain, f"SELECT ?y WHERE {{ <{EX}a> !<{EX}knows> ?y }}"
+        )
+    )
+    assert fwd == [(EX + "e",)]  # the <likes> edge survives
+    # parenthesized set excluding both predicates from a: nothing left
+    none = sparql_select(
+        chain,
+        f"SELECT ?y WHERE {{ <{EX}a> !(<{EX}knows>|<{EX}likes>) ?y }}",
+    )
+    assert none.count() == 0
+    # mixed direction: !(<likes>|^<knows>) from b = forward edges not
+    # <likes> (b knows c) plus inverse edges not <knows> (none: a->b is
+    # knows)
+    mixed = _pairs(
+        sparql_select(
+            chain,
+            f"SELECT ?y WHERE {{ <{EX}b> !(<{EX}likes>|^<{EX}knows>) ?y }}",
+        )
+    )
+    assert mixed == [(EX + "c",)]
+    # inverse-only set: ^!... via ^ on the member — edges INTO e whose
+    # predicate is not <knows> (the likes edge from a)
+    inv = _pairs(
+        sparql_select(chain, f"SELECT ?x WHERE {{ <{EX}e> !(^<{EX}knows>) ?x }}")
+    )
+    assert inv == [(EX + "a",)]
+
+
+def test_avg_distinct(spark, triples):
+    df = sparql_select(
+        triples,
+        f"""SELECT (AVG(DISTINCT ?p) AS ?a) WHERE {{ ?s <{EX}pnr> ?p }}""",
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert float(rows[0]["a"]["value"]) == (45678 + 99999) / 2
 
 
 def test_path_alternative_and_inverse(spark, chain):

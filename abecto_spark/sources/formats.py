@@ -92,3 +92,83 @@ def read_rdf_local(spark: SparkSession, path: str, fmt: str | None = None) -> Da
 
         return read_jsonld_local(spark, path)
     raise ValueError(f"unknown RDF format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# text-content parsing with brute-force language fallback
+# (`util/Models.java:69-95`: try each supported language on the buffered
+# stream, collect per-language errors, raise combined)
+
+#: HTTP content types → formats (for content negotiation); the Accept
+#: header offered by url_source lists these, mirroring Models.java:108-111
+CONTENT_TYPES = {
+    "text/turtle": "turtle",
+    "application/x-turtle": "turtle",
+    "application/rdf+xml": "rdfxml",
+    "application/ld+json": "jsonld",
+    "application/json": "jsonld",
+    "application/n-triples": "turtle",  # NT ⊂ Turtle, driver-side
+    "application/n-quads": "trig",
+    "application/trig": "trig",
+    "application/trix+xml": "trix",
+}
+
+
+def _parse_text(fmt: str, text: str) -> list[tuple]:
+    """Parse RDF text of a known format into 6-tuple triple rows."""
+    if fmt in ("turtle", "ntriples"):
+        from .turtle import parse_turtle
+
+        return parse_turtle(text)
+    if fmt == "trig":
+        from .turtle import parse_trig
+
+        return [tuple(r[1:]) for r in parse_trig(text)]
+    if fmt == "rdfxml":
+        from .rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text)
+    if fmt == "jsonld":
+        from .jsonld import parse_jsonld
+
+        return parse_jsonld(text)
+    if fmt == "trix":
+        from .trix import parse_trix
+
+        return [tuple(r[1:]) for r in parse_trix(text)]
+    raise ValueError(f"unknown RDF format {fmt!r}")
+
+
+#: brute-force order ≈ the reference's supportedLanguages list
+#: (`Models.java:66-67`), minus the binary/absent formats, plus Turtle
+#: (which also covers N-Triples/N-Quads driver-side)
+_BRUTE_FORCE_ORDER = ("rdfxml", "trig", "jsonld", "trix", "turtle")
+
+
+def parse_rdf_text(text: str, fmt: str | None = None) -> list[tuple]:
+    """Parse RDF text into triple rows. With ``fmt`` (e.g. from an HTTP
+    content type) that parser is tried first; on failure — or with no
+    format hint — every driver-side parser is tried in order and the
+    combined per-language errors raise loudly (`Models.java:69-95`)."""
+    errors: dict[str, Exception] = {}
+    if fmt:
+        try:
+            return _parse_text(fmt, text)
+        except Exception as e:  # noqa: BLE001 — fall through to brute force
+            errors[fmt] = e
+    for lang in _BRUTE_FORCE_ORDER:
+        if lang in errors:
+            continue
+        try:
+            return _parse_text(lang, text)
+        except Exception as e:  # noqa: BLE001 — try the next language
+            errors[lang] = e
+    detail = "\n  ".join(f"Failed to parse {k}: {v}" for k, v in errors.items())
+    raise ValueError(f"Unknown RDF language.\n  {detail}")
+
+
+def read_rdf_text(spark: SparkSession, text: str, fmt: str | None = None) -> DataFrame:
+    rows = parse_rdf_text(text, fmt)
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string")
+    return spark.createDataFrame(rows, ddl) if rows else spark.createDataFrame([], ddl)

@@ -368,31 +368,41 @@ def sparql_source(
     )
 
 
+def _urllib_get(url: str, headers: dict) -> tuple[bytes, str]:
+    """Default URL transport: GET following redirects; returns (body,
+    content-type). Injectable via ``URL_TRANSPORT`` for tests/auth."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        ctype = resp.headers.get("Content-Type", "") or ""
+        return resp.read(), ctype
+
+
+#: process-wide URL-fetch hook (tests substitute a mocked transport)
+URL_TRANSPORT = _urllib_get
+
+
 def url_source(spark: SparkSession, urls: list[str]) -> DataFrame:
     """`UrlSourceProcessor.java:29-43`: read each URL into the primary
-    model. ``file://`` URLs and plain paths go through the multi-format
-    reader; http(s) is fetched driver-side with stdlib urllib (format
-    sniffed from the path suffix) — exactly the reference's driver-side
-    `Models.read(model, uri)`."""
-    from .formats import read_rdf_local
+    model — the reference's driver-side `Models.read(model, uri)`
+    (`Models.java:97-117`). ``file://`` URLs and plain paths go through
+    the multi-format reader; http(s) is fetched with an Accept header
+    offering every supported RDF content type (+ ``*/*;q=0.8``), parsed
+    by the content-type's parser first, then by brute-force language
+    detection with combined loud errors (`Models.java:69-95`)."""
+    from .formats import CONTENT_TYPES, read_rdf_local, read_rdf_text
 
     out: DataFrame | None = None
     for url in urls:
-        if url.startswith("file://"):
-            path = url[len("file://"):]
-        elif url.startswith(("http://", "https://")):
-            import tempfile
-            import urllib.request
-
-            suffix = "." + url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1] else ".nt"
-            with urllib.request.urlopen(url) as resp, tempfile.NamedTemporaryFile(
-                suffix=suffix, delete=False
-            ) as tmp:
-                tmp.write(resp.read())
-                path = tmp.name
+        if url.startswith(("http://", "https://")):
+            accept = ", ".join(sorted(CONTENT_TYPES)) + ", */*;q=0.8"
+            body, ctype = URL_TRANSPORT(url, {"Accept": accept})
+            fmt = CONTENT_TYPES.get(ctype.split(";")[0].strip().lower())
+            df = read_rdf_text(spark, body.decode("utf-8"), fmt)
         else:
-            path = url
-        df = read_rdf_local(spark, path)
+            path = url[len("file://"):] if url.startswith("file://") else url
+            df = read_rdf_local(spark, path)
         out = df if out is None else out.unionByName(df)
     if out is None:
         raise ValueError("url_source needs at least one URL")

@@ -375,3 +375,54 @@ def test_trig_plan_sparql_source_http_service(spark, crawl_graph, tmp_path,
            for r in res.primary[NS + "d1"].collect()}
     assert (NS + "individual", NS + "association", NS + "association1") in got
     assert (NS + "association1", RDFS + "label", "label") in got
+
+
+# ---------------------------------------------------------------------------
+# url_source over HTTP: content negotiation + brute-force language
+# fallback (`Models.java:69-117`)
+
+
+def test_url_source_http_content_negotiation(spark, monkeypatch):
+    from abecto_spark.sources import sparql_source as mod
+
+    seen = {}
+
+    def fake_get(url, headers):
+        seen["accept"] = headers["Accept"]
+        return (f'<{NS}s> <{NS}p> "via-http" .\n'.encode(), "text/turtle")
+
+    monkeypatch.setattr(mod, "URL_TRANSPORT", fake_get)
+    df = url_source(spark, ["http://mock/data"])
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [(NS + "s", NS + "p", "literal", "via-http",
+                     XSD_STRING, "")]
+    # the Accept header offers the supported content types
+    assert "text/turtle" in seen["accept"] and "*/*;q=0.8" in seen["accept"]
+
+
+def test_url_source_wrong_content_type_brute_forces(spark, monkeypatch):
+    from abecto_spark.sources import sparql_source as mod
+
+    # server claims JSON-LD but serves Turtle: the declared parser fails
+    # and brute-force language detection recovers (Models.java:69-95)
+    monkeypatch.setattr(
+        mod, "URL_TRANSPORT",
+        lambda url, headers: (
+            f'<{NS}s> <{NS}p> <{NS}o> .\n'.encode(), "application/ld+json"
+        ),
+    )
+    df = url_source(spark, ["http://mock/data"])
+    assert [tuple(r)[:4] for r in df.collect()] == [
+        (NS + "s", NS + "p", "iri", NS + "o"),
+    ]
+
+
+def test_url_source_unparseable_is_loud(spark, monkeypatch):
+    from abecto_spark.sources import sparql_source as mod
+
+    monkeypatch.setattr(
+        mod, "URL_TRANSPORT",
+        lambda url, headers: (b"\x00 definitely not RDF {{{", "text/plain"),
+    )
+    with pytest.raises(ValueError, match="Unknown RDF language"):
+        url_source(spark, ["http://mock/data"])

@@ -23,6 +23,7 @@ _EXT = {
     ".rdf": "rdfxml", ".owl": "rdfxml", ".xml": "rdfxml",
     ".trix": "trix",
     ".jsonld": "jsonld", ".json": "jsonld",
+    ".rj": "rdfjson",
 }
 
 _NT_LINE = re.compile(r"^<[^>]*>\s+<[^>]*>\s+.+\s*\.\s*$")
@@ -91,6 +92,10 @@ def read_rdf_local(spark: SparkSession, path: str, fmt: str | None = None) -> Da
         from .jsonld import read_jsonld_local
 
         return read_jsonld_local(spark, path)
+    if fmt == "rdfjson":
+        from .rdfjson import read_rdfjson_local
+
+        return read_rdfjson_local(spark, path)
     raise ValueError(f"unknown RDF format {fmt!r}")
 
 
@@ -111,6 +116,7 @@ CONTENT_TYPES = {
     "application/n-quads": "trig",
     "application/trig": "trig",
     "application/trix+xml": "trix",
+    "application/rdf+json": "rdfjson",
 }
 
 
@@ -132,6 +138,10 @@ def _parse_text(fmt: str, text: str) -> list[tuple]:
         from .jsonld import parse_jsonld
 
         return parse_jsonld(text)
+    if fmt == "rdfjson":
+        from .rdfjson import parse_rdfjson
+
+        return parse_rdfjson(text)
     if fmt == "trix":
         from .trix import parse_trix
 
@@ -142,7 +152,7 @@ def _parse_text(fmt: str, text: str) -> list[tuple]:
 #: brute-force order ≈ the reference's supportedLanguages list
 #: (`Models.java:66-67`), minus the binary/absent formats, plus Turtle
 #: (which also covers N-Triples/N-Quads driver-side)
-_BRUTE_FORCE_ORDER = ("rdfxml", "trig", "jsonld", "trix", "turtle")
+_BRUTE_FORCE_ORDER = ("rdfxml", "trig", "rdfjson", "jsonld", "trix", "turtle")
 
 
 def parse_rdf_text(text: str, fmt: str | None = None) -> list[tuple]:

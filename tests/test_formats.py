@@ -348,3 +348,51 @@ def test_trix_unsupported_is_loud():
     ]:
         with pytest.raises(TrixUnsupported, match=msg):
             parse_trix(doc)
+
+
+# ---------------------------------------------------------------------------
+# RDF/JSON (`util/Models.java:66-67`, Lang.RDFJSON)
+
+
+def test_rdfjson_roundtrip_and_dispatch(spark, tmp_path):
+    from abecto_spark.sources.rdfjson import RdfJsonUnsupported, parse_rdfjson
+
+    doc = """{
+      "http://x/s": {
+        "http://x/p": [
+          {"type": "uri", "value": "http://x/o"},
+          {"type": "literal", "value": "hi", "lang": "en"},
+          {"type": "literal", "value": "7",
+           "datatype": "http://www.w3.org/2001/XMLSchema#integer"},
+          {"type": "bnode", "value": "b0"}
+        ]
+      },
+      "_:b0": {
+        "http://x/q": [ {"type": "literal", "value": "plain"} ]
+      }
+    }"""
+    rows = set(parse_rdfjson(doc))
+    assert ("http://x/s", "http://x/p", "iri", "http://x/o", None, "") in rows
+    assert ("http://x/s", "http://x/p", "literal", "hi",
+            RDF_NS + "langString", "en") in rows
+    assert ("http://x/s", "http://x/p", "literal", "7",
+            XSD + "integer", "") in rows
+    assert ("http://x/s", "http://x/p", "bnode", "_:b0", None, "") in rows
+    assert ("_:b0", "http://x/q", "literal", "plain",
+            XSD + "string", "") in rows
+
+    f = tmp_path / "d.rj"
+    f.write_text(doc)
+    assert sniff_format(str(f)) == "rdfjson"
+    assert read_rdf_local(spark, str(f)).count() == 5
+
+    # brute-force: an RDF/JSON body served with no usable format hint
+    from abecto_spark.sources.formats import parse_rdf_text
+
+    assert len(parse_rdf_text(doc)) == 5
+
+    for bad in ['["not", "rdf-json"]', '{"s": "x"}',
+                '{"s": {"p": [{"value": "no type"}]}}',
+                '{"s": {"p": [{"type": "weird", "value": "x"}]}}']:
+        with pytest.raises(RdfJsonUnsupported):
+            parse_rdfjson(bad)

@@ -113,6 +113,40 @@ def stateful_sessionize(
     )
 
 
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence-wins exact dedup over a document stream — the
+    streaming counterpart of the batch ``exact_dedup`` operator: content
+    fingerprint = xxhash64 over the span texts (JVM-side), duplicates
+    across micro-batches dropped through streaming dropDuplicates state.
+
+    With ``ts_col`` (an event-time column) the dedup state is bounded by
+    the watermark (``dropDuplicatesWithinWatermark`` — duplicates are
+    only guaranteed dropped within the watermark horizon, the standard
+    bounded-state trade-off); without one, state holds one entry per
+    distinct fingerprint for the life of the query — exact, but sized by
+    the distinct corpus (fine for bounded backfills, not an unbounded
+    firehose).
+    """
+    fp = F.xxhash64(
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                "spans", lambda s: F.coalesce(s["text"], s["media_ref"])
+            ),
+        )
+    )
+    out = docs_stream.withColumn("fp", fp)
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        ).drop("fp")
+    return out.dropDuplicates(["fp"]).drop("fp")
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query to completion over the currently available
     input (test harness path: memory sink + processAllAvailable)."""

@@ -192,6 +192,49 @@ class HttpSparqlEndpoint:
         })
         return _iris(self.spark, iris)
 
+    def select_binding_rows(
+        self, query_text: str
+    ) -> tuple[list[tuple], list[str]]:
+        """Full typed bindings of a SELECT (SPARQL JSON results) as term
+        4-tuples per variable — the SERVICE-federation path (sparql.py
+        ``_service_df``); ``select_iris`` keeps the crawl's IRI-only
+        view."""
+        import json
+
+        body = self._request(query_text, "application/sparql-results+json")
+        doc = json.loads(body.decode("utf-8"))
+        names = list(doc.get("head", {}).get("vars", []))
+        rows: list[tuple] = []
+        for b in doc.get("results", {}).get("bindings", []):
+            row = []
+            for v in names:
+                t = b.get(v)
+                if t is None:
+                    row.append(None)
+                    continue
+                kind = t.get("type")
+                value = t.get("value", "")
+                if kind == "uri":
+                    row.append(("iri", value, "", ""))
+                elif kind == "bnode":
+                    row.append((
+                        "bnode",
+                        value if value.startswith("_:") else f"_:{value}",
+                        "", "",
+                    ))
+                elif kind in ("literal", "typed-literal"):
+                    lang = t.get("xml:lang", "")
+                    dt = t.get("datatype") or (
+                        "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+                        if lang
+                        else "http://www.w3.org/2001/XMLSchema#string"
+                    )
+                    row.append(("literal", value, dt, lang))
+                else:
+                    raise CrawlError(f"bad binding type {kind!r} from endpoint")
+            rows.append(tuple(row))
+        return rows, names
+
     def describe(
         self,
         frontier: DataFrame,

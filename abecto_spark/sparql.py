@@ -73,11 +73,15 @@ sharing no variable with the outer pattern (a boolean gate — one eager
 emptiness probe), ``DESCRIBE *``, §12 subqueries (``{ SELECT ... }``
 compiled on the same graph scope and joined in by its projected
 variables), negated property sets ``!(<a>|^<b>)`` (a NOT-IN predicate
-filter per direction), and ``AVG(DISTINCT)``.
+filter per direction), ``AVG(DISTINCT)``, and ``SERVICE [SILENT]``
+federation (plain-triples patterns serialized back to a SELECT and sent
+through the crawl's HTTP transport; SILENT maps failure to the spec's
+single empty solution).
 
-Restrictions (documented, loud): no SERVICE, BASE, MINUS blocks over
-possibly-unbound shared variables, or property-path closures inside
-``GRAPH ?var``. Unsupported syntax raises ``SparqlUnsupported``.
+Restrictions (documented, loud): no BASE, variable SERVICE endpoints,
+non-triple SERVICE patterns, MINUS blocks over possibly-unbound shared
+variables, or property-path closures inside ``GRAPH ?var``. Unsupported
+syntax raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -202,6 +206,7 @@ class Group:
     graph_blocks: list = field(default_factory=list)  # (Var|Iri, Group)
     subqueries: list = field(default_factory=list)  # nested SelectQuery
     neg_triples: list = field(default_factory=list)  # (s, PNegSet, o)
+    services: list = field(default_factory=list)  # (Iri, silent, Group)
 
 
 @dataclass
@@ -569,7 +574,17 @@ class _Parser:
                     )
                 g.graph_blocks.append((gterm, self.parse_group()))
             elif self.at_word("SERVICE"):
-                raise SparqlUnsupported(f"{v} not supported")
+                self.next()
+                silent = False
+                if self.at_word("SILENT"):
+                    self.next()
+                    silent = True
+                endpoint = self.parse_term(position="subject")
+                if not isinstance(endpoint, Iri):
+                    raise SparqlUnsupported(
+                        "SERVICE endpoint must be a constant IRI"
+                    )
+                g.services.append((endpoint, silent, self.parse_group()))
             elif v == "{":
                 k2, v2 = self.toks[self.i + 1]
                 if k2 in ("word", "pname") and v2.upper() == "SELECT":
@@ -1311,6 +1326,71 @@ class _Compiler:
             reach = reach.unionByName(self_row).distinct()
         return reach.select(F.col("b").alias(var.name)), {var.name}
 
+    def _service_df(
+        self, endpoint: Iri, silent: bool, inner: Group
+    ) -> tuple[DataFrame, set[str], set[str]]:
+        """``SERVICE [SILENT] <endpoint> { triples }`` (SPARQL 1.1
+        Federated Query): serialize the inner pattern back to a SELECT,
+        POST it to the endpoint (same transport machinery as the crawl's
+        ``HttpSparqlEndpoint``), and join the JSON bindings in like any
+        other operand. Only plain-triples service patterns are
+        serialized (loud otherwise). SILENT turns any transport failure
+        into the spec's single empty solution."""
+        if (
+            inner.optionals or inner.filters or inner.binds or inner.unions
+            or inner.minuses or inner.not_exists or inner.exists
+            or inner.values_blocks or inner.path_closures
+            or inner.graph_blocks or inner.subqueries or inner.neg_triples
+            or inner.services
+        ):
+            raise SparqlUnsupported(
+                "SERVICE pattern must be plain triples"
+            )
+        if not inner.triples:
+            raise SparqlUnsupported("empty SERVICE pattern")
+        vs = sorted(
+            t.name
+            for tp in inner.triples
+            for t in (tp.s, tp.p, tp.o)
+            if isinstance(t, Var)
+        )
+        body = " . ".join(
+            f"{_term_text(tp.s)} {_term_text(tp.p)} {_term_text(tp.o)}"
+            for tp in inner.triples
+        )
+        query = f"SELECT {' '.join('?' + v for v in vs)} WHERE {{ {body} }}"
+        spark = self.t.sparkSession
+        ddl = ", ".join(f"`{v}` {_TERM_DDL}" for v in vs)
+        try:
+            from .sources.sparql_source import HttpSparqlEndpoint
+
+            ep = HttpSparqlEndpoint(spark, endpoint.value)
+            rows, names = ep.select_binding_rows(query)
+        except Exception:
+            if not silent:
+                raise
+            # SILENT: the single empty solution mapping (§18.6) — one
+            # row with every service variable unbound
+            row = tuple(None for _ in vs)
+            return spark.createDataFrame([row], ddl), set(vs), set(vs)
+        # remote endpoints may omit vars per binding → possibly unbound
+        data = []
+        maybe: set[str] = set()
+        idx = {n: i for i, n in enumerate(names)}
+        for r in rows:
+            row = []
+            for v in vs:
+                t = r[idx[v]] if v in idx else None
+                if t is None:
+                    maybe.add(v)
+                row.append(t)
+            data.append(tuple(row))
+        df = (
+            spark.createDataFrame(data, ddl)
+            if data else spark.createDataFrame([], ddl)
+        )
+        return df, set(vs), maybe
+
     def _negset_df(self, s_term, nps, o_term) -> tuple[DataFrame, set[str]]:
         """Negated property set (§9.1): forward edges whose predicate is
         outside the forward members, unioned with reversed edges whose
@@ -1398,7 +1478,7 @@ class _Compiler:
             not g.triples and not g.binds and not g.unions
             and not g.values_blocks and not g.path_closures
             and not g.graph_blocks and not g.subqueries
-            and not g.neg_triples
+            and not g.neg_triples and not g.services
         ):
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None
@@ -1421,6 +1501,9 @@ class _Compiler:
             acc, bound, maybe = self._join_in(
                 acc, bound, maybe, df, set(names), smaybe
             )
+        for endpoint, silent, inner in g.services:
+            df, vs, smaybe = self._service_df(endpoint, silent, inner)
+            acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, smaybe)
         for names, rows in g.values_blocks:
             vdf, undef = self._values_df(names, rows)
             acc, bound, maybe = self._join_in(
@@ -1497,6 +1580,23 @@ class _Compiler:
 
 
 _TERM_DDL = "struct<kind:string,value:string,datatype:string,lang:string>"
+
+
+def _term_text(t) -> str:
+    """Serialize a parsed term back to SPARQL text (for SERVICE
+    federation requests)."""
+    if isinstance(t, Var):
+        return f"?{t.name}"
+    if isinstance(t, Iri):
+        return f"<{t.value}>"
+    if isinstance(t, Lit):
+        lex = t.lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        if t.lang:
+            return f'"{lex}"@{t.lang}'
+        if t.datatype and t.datatype != XSD_STRING:
+            return f'"{lex}"^^<{t.datatype}>'
+        return f'"{lex}"'
+    raise SparqlUnsupported(f"cannot serialize term {t!r}")
 
 
 def _term_tuple(term) -> tuple:

@@ -160,7 +160,7 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 def test_unsupported_syntax_is_loud():
     for q in [
         "BASE <http://x/> SELECT ?s WHERE { ?s ?p ?o }",
-        "SELECT ?s WHERE { SERVICE <http://g> { ?s ?p ?o } }",
+        "SELECT ?s WHERE { SERVICE ?ep { ?s ?p ?o } }",  # variable endpoint
         "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
         "SELECT ?s WHERE { GRAPH 'lit' { ?s ?p ?o } }",  # literal label
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
@@ -375,6 +375,96 @@ def test_disconnected_exists_is_boolean_gate(spark, triples):
               FILTER NOT EXISTS {{ ?y <{EX}label> "Alice" }} }}""",
     )
     assert gated.count() == 0
+
+
+def _service_transport(spark, triples):
+    """Mock SPARQL-protocol transport: answers SELECTs from a local
+    triples DataFrame with full typed JSON bindings."""
+    import json
+
+    def transport(url, data, headers):
+        wide = sparql_select(triples, data.decode())
+        bindings = []
+        for r in wide.collect():
+            b = {}
+            for n in wide.columns:
+                t = r[n]
+                if t is None:
+                    continue
+                if t["kind"] == "iri":
+                    b[n] = {"type": "uri", "value": t["value"]}
+                elif t["kind"] == "bnode":
+                    b[n] = {"type": "bnode", "value": t["value"][2:]}
+                else:
+                    o = {"type": "literal", "value": t["value"]}
+                    if t["lang"]:
+                        o["xml:lang"] = t["lang"]
+                    elif t["datatype"]:
+                        o["datatype"] = t["datatype"]
+                    b[n] = o
+            bindings.append(b)
+        return json.dumps(
+            {"head": {"vars": list(wide.columns)},
+             "results": {"bindings": bindings}}
+        ).encode()
+
+    return transport
+
+
+def test_service_federation(spark, triples, monkeypatch):
+    """SERVICE <endpoint> { triples }: the inner pattern is serialized
+    to a SELECT, sent through the HTTP transport, and the typed JSON
+    bindings join the outer pattern."""
+    from abecto_spark.sources import sparql_source as mod
+
+    # remote endpoint holds the pnr facts; local graph the labels
+    remote = spark.createDataFrame(
+        [
+            (EX + "alice", EX + "pnr", "literal", "45678", XSD_INTEGER, ""),
+            (EX + "zed", EX + "pnr", "literal", "1", XSD_INTEGER, ""),
+        ],
+        TRIPLES_DDL,
+    )
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", _service_transport(spark, remote))
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?lbl ?pnr WHERE {{
+              ?s <{EX}label> ?lbl .
+              SERVICE <http://remote/sparql> {{ ?s <{EX}pnr> ?pnr }}
+              FILTER(?pnr > 1000)
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["lbl"]["value"], r["pnr"]["value"],
+             r["pnr"]["datatype"]) for r in out.collect()}
+    assert rows == {(EX + "alice", "Alice", "45678", XSD_INTEGER)}
+
+
+def test_service_silent_swallows_failure(spark, triples, monkeypatch):
+    from abecto_spark.sources import sparql_source as mod
+
+    def broken(url, data, headers):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", broken)
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?x WHERE {{
+              ?s <{EX}pnr> ?p .
+              SERVICE SILENT <http://down/sparql> {{ ?s <{EX}q> ?x }}
+            }}""",
+    )
+    # SILENT → single empty solution: outer rows survive, ?x unbound
+    rows = {(r["s"]["value"], r["x"]) for r in out.collect()}
+    assert rows == {(EX + "alice", None), (EX + "carol", None)}
+    # without SILENT the transport failure propagates
+    with pytest.raises(RuntimeError, match="connection refused"):
+        sparql_select(
+            triples,
+            f"""SELECT ?s WHERE {{
+                  ?s <{EX}pnr> ?p .
+                  SERVICE <http://down/sparql> {{ ?s <{EX}q> ?x }}
+                }}""",
+        ).collect()
 
 
 def test_subquery_aggregate_and_limit(spark, triples):

@@ -282,6 +282,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self._fresh = 0  # counter for path-desugaring variables
 
     def peek(self):
@@ -304,15 +305,34 @@ class _Parser:
     # -- query ----------------------------------------------------------
 
     def parse_prologue(self) -> None:
-        while self.at_word("PREFIX"):
+        while self.at_word("PREFIX", "BASE"):
+            if self.at_word("BASE"):
+                self.next()
+                k, iri = self.next()
+                if k != "iri":
+                    raise SparqlUnsupported("bad BASE declaration")
+                self.base = self._resolve(iri[1:-1])  # later BASEs chain
+                continue
             self.next()
             k, pname = self.next()
             k2, iri = self.next()
             if not (pname.endswith(":") or k == "pname") or k2 != "iri":
                 raise SparqlUnsupported("bad PREFIX declaration")
-            self.prefixes[pname[:-1] if pname.endswith(":") else pname.split(":")[0]] = iri[1:-1]
-        if self.at_word("BASE"):
-            raise SparqlUnsupported("BASE not supported")
+            self.prefixes[
+                pname[:-1] if pname.endswith(":") else pname.split(":")[0]
+            ] = self._resolve(iri[1:-1])
+
+    _ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+    def _resolve(self, iri: str) -> str:
+        """Resolve a (possibly relative) IRI against the BASE, if any —
+        verbatim when no BASE is declared (bare-token graph IRIs are a
+        long-standing engine convention)."""
+        if self.base is None or self._ABS_IRI.match(iri):
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, iri)
 
     def parse_query(self) -> SelectQuery:
         self.parse_prologue()
@@ -743,7 +763,7 @@ class _Parser:
         if k == "var":
             return Var(v[1:])
         if k == "iri":
-            return Iri(v[1:-1])
+            return Iri(self._resolve(v[1:-1]))
         if k == "pname":
             pfx, local = v.split(":", 1)
             if pfx not in self.prefixes:

@@ -159,7 +159,7 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 
 def test_unsupported_syntax_is_loud():
     for q in [
-        "BASE <http://x/> SELECT ?s WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s <http://x/p> ?o } GROUP BY",  # empty GROUP BY
         "SELECT ?s WHERE { SERVICE ?ep { ?s ?p ?o } }",  # variable endpoint
         "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
         "SELECT ?s WHERE { GRAPH 'lit' { ?s ?p ?o } }",  # literal label
@@ -332,6 +332,24 @@ def test_values_single_and_multi_var(spark, triples):
         f"SELECT ?s WHERE {{ ?s <{EX}label> ?v }} VALUES ?v {{ \"Alice\" }}",
     )
     assert [r["s"]["value"] for r in trailing.collect()] == [EX + "alice"]
+
+
+def test_base_resolves_relative_iris(spark, triples):
+    """BASE resolves relative IRIs in terms and PREFIX declarations;
+    absolute IRIs pass through untouched."""
+    rows = sparql_select(
+        triples,
+        """BASE <http://example.org/>
+           PREFIX e: <>
+           SELECT ?v WHERE { <alice> e:label ?v }""",
+    ).collect()
+    assert [r["v"]["value"] for r in rows] == ["Alice"]
+    # without BASE, relative IRIs stay verbatim (bare-token graph terms)
+    from abecto_spark.sparql import parse_select
+
+    q = parse_select("SELECT ?v WHERE { <n0> <p> ?v }")
+    tp = q.where.triples[0]
+    assert tp.s.value == "n0" and tp.p.value == "p"
 
 
 def test_values_undef_compatible_rows(spark, triples):

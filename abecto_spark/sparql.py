@@ -78,10 +78,12 @@ federation (plain-triples patterns serialized back to a SELECT and sent
 through the crawl's HTTP transport; SILENT maps failure to the spec's
 single empty solution).
 
-Restrictions (documented, loud): no BASE, variable SERVICE endpoints,
-non-triple SERVICE patterns, MINUS blocks over possibly-unbound shared
-variables, or property-path closures inside ``GRAPH ?var``. Unsupported
-syntax raises ``SparqlUnsupported``.
+Restrictions (documented, loud): no variable SERVICE endpoints,
+non-triple SERVICE patterns, or MINUS blocks over possibly-unbound
+shared variables. Unsupported syntax raises ``SparqlUnsupported``.
+(BASE, GRAPH, per-graph path closures, UNDEF, subqueries, negated
+property sets, AVG(DISTINCT), disconnected EXISTS, DESCRIBE *, and
+SERVICE federation were all lifted in round 4.)
 """
 
 from __future__ import annotations
@@ -1196,13 +1198,22 @@ class _Compiler:
     def _node_terms(self) -> DataFrame:
         """All RDF terms occurring in the graph (subjects ∪ objects) — the
         zero-length-path domain of SPARQL 1.1 §9.3 (``p*`` / ``p?`` match
-        every graph term to itself)."""
-        subs = self.t.select(_subject_struct(F.col("s")).alias("n"))
+        every graph term to itself). Inside ``GRAPH ?var`` the domain is
+        per named graph, so a ``g`` term column rides along."""
+        extra = []
+        if self.graph_var is not None:
+            extra = [
+                _term_struct(
+                    F.lit("iri"), F.col("graph"), F.lit(""), F.lit("")
+                ).alias("g")
+            ]
+        subs = self.t.select(_subject_struct(F.col("s")).alias("n"), *extra)
         objs = self.t.select(
             _term_struct(
                 F.col("o_kind"), F.col("o_value"),
                 F.col("o_datatype"), F.col("o_lang"),
-            ).alias("n")
+            ).alias("n"),
+            *extra,
         )
         return subs.unionByName(objs).distinct()
 
@@ -1215,17 +1226,12 @@ class _Compiler:
         from .operators.rules import fixpoint
 
         s_term, a_name, inner, b_name, mod, o_term = entry
-        if self.graph_var is not None:
-            # a per-graph closure would need the graph label threaded
-            # through the edge relation — refuse loudly rather than mix
-            # reachability across graphs
-            raise SparqlUnsupported(
-                "property-path closure inside GRAPH ?var"
-            )
+        gv = self.graph_var  # inside GRAPH ?var the closure is per graph
         edges, _ = self.group_df(inner)
-        edges = edges.select(
-            F.col(a_name).alias("a"), F.col(b_name).alias("b")
-        ).distinct()
+        sel = [F.col(a_name).alias("a"), F.col(b_name).alias("b")]
+        if gv is not None:
+            sel.append(F.col(gv).alias("g"))
+        edges = edges.select(*sel).distinct()
         s_const = not isinstance(s_term, Var)
         o_const = not isinstance(o_term, Var)
         if mod in ("*", "+") and s_const != o_const:
@@ -1235,12 +1241,19 @@ class _Compiler:
         if mod in ("*", "+"):
             # path doubling: the delta joins the FULL relation so covered
             # path length doubles per round — diameter 2^30 within the
-            # iteration bound, vs. linear growth for edge extension
+            # iteration bound, vs. linear growth for edge extension;
+            # inside GRAPH ?var the graph label is an extra join key, so
+            # reachability never crosses graphs
             def rule(delta: DataFrame, all_rows: DataFrame) -> DataFrame:
+                cond = F.col("d.b") == F.col("r.a")
+                cols = [F.col("d.a").alias("a"), F.col("r.b").alias("b")]
+                if gv is not None:
+                    cond = cond & (F.col("d.g") == F.col("r.g"))
+                    cols.append(F.col("d.g").alias("g"))
                 return (
                     delta.alias("d")
-                    .join(all_rows.alias("r"), F.col("d.b") == F.col("r.a"))
-                    .select(F.col("d.a").alias("a"), F.col("r.b").alias("b"))
+                    .join(all_rows.alias("r"), cond)
+                    .select(*cols)
                 )
 
             # Catalyst's Union constraint rewrite trips over repeatedly
@@ -1262,9 +1275,10 @@ class _Compiler:
             reach = edges
         if mod in ("*", "?"):
             nodes = self._node_terms()
-            reach = reach.unionByName(
-                nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
-            ).distinct()
+            id_cols = [F.col("n").alias("a"), F.col("n").alias("b")]
+            if gv is not None:
+                id_cols.append(F.col("g"))
+            reach = reach.unionByName(nodes.select(*id_cols)).distinct()
         # bind the endpoints like a triple pattern: vars project, constants
         # filter (a constant subject can arise from an inverse desugar)
         cols: dict[str, Column] = {}
@@ -1281,6 +1295,12 @@ class _Compiler:
             raise SparqlUnsupported(
                 "path closure with two constant endpoints is not supported"
             )
+        if gv is not None:
+            if gv in cols:
+                raise SparqlUnsupported(
+                    "graph variable reused as a path-closure endpoint"
+                )
+            cols[gv] = F.col("g")
         return df.select(*[c.alias(n) for n, c in cols.items()]), set(cols)
 
     def _seeded_closure_df(
@@ -1294,10 +1314,12 @@ class _Compiler:
         kernel as the endpoint crawl (``sources/sparql_source.py``)."""
         const = s_term if s_const else o_term
         var = o_term if s_const else s_term
+        gv = self.graph_var  # per-graph frontier inside GRAPH ?var
+        gcols = ["g"] if gv is not None else []
         # orient edges so the walk always leaves the seed: reverse them
         # when the *object* end is the constant
         step = edges if s_const else edges.select(
-            F.col("b").alias("a"), F.col("a").alias("b")
+            F.col("b").alias("a"), F.col("a").alias("b"), *gcols
         )
         step = step.localCheckpoint(eager=True)  # reused every round
         spark = edges.sparkSession
@@ -1307,19 +1329,24 @@ class _Compiler:
         try:
             reach = (
                 step.where(F.col("a") == _const_struct(const))
-                .select("b").distinct().localCheckpoint(eager=True)
+                .select("b", *gcols).distinct().localCheckpoint(eager=True)
             )
             delta = reach
             # linear frontier extension: rounds = graph depth from the
             # seed (not diameter-doubling — the frontier is a node set,
             # pairs can't compose); bounded loudly, never truncated
+            cond = F.col("d.b") == F.col("e.a")
+            ncols = [F.col("e.b").alias("b")]
+            if gv is not None:
+                cond = cond & (F.col("d.g") == F.col("e.g"))
+                ncols.append(F.col("d.g").alias("g"))
             for _ in range(PATH_SEEDED_MAX_ITER):
                 new = (
                     delta.alias("d")
-                    .join(step.alias("e"), F.col("d.b") == F.col("e.a"))
-                    .select(F.col("e.b").alias("b"))
+                    .join(step.alias("e"), cond)
+                    .select(*ncols)
                     .distinct()
-                    .join(reach, ["b"], "left_anti")
+                    .join(reach, ["b", *gcols], "left_anti")
                     .localCheckpoint(eager=True)
                 )
                 if new.limit(1).count() == 0:
@@ -1336,14 +1363,23 @@ class _Compiler:
             spark.conf.set(conf_key, prev)
         if mod == "*":
             # zero-length case (§9.3): the constant matches itself when
-            # it is a term of the graph — same node-terms domain as the
-            # var-var closure
+            # it is a term of the graph (per graph inside GRAPH ?var) —
+            # same node-terms domain as the var-var closure
             self_row = (
                 self._node_terms()
                 .where(F.col("n") == _const_struct(const))
-                .select(F.col("n").alias("b"))
+                .select(F.col("n").alias("b"), *gcols)
             )
             reach = reach.unionByName(self_row).distinct()
+        if gv is not None:
+            if gv == var.name:
+                raise SparqlUnsupported(
+                    "graph variable reused as a path-closure endpoint"
+                )
+            return (
+                reach.select(F.col("b").alias(var.name), F.col("g").alias(gv)),
+                {var.name, gv},
+            )
         return reach.select(F.col("b").alias(var.name)), {var.name}
 
     def _service_df(

@@ -932,3 +932,43 @@ def test_describe_without_targets_is_loud(spark, triples):
 
     with pytest.raises(SparqlUnsupported):
         sparql_describe(triples, "DESCRIBE")
+
+
+@pytest.fixture(scope="module")
+def graph_chains(spark):
+    """Per-graph chains: g1 holds a->b->c, g2 holds a->x (same <next>
+    predicate) — reachability must not cross graphs."""
+    ddl = TRIPLES_DDL + ", graph string"
+    rows = [
+        (EX + "a", EX + "next", "iri", EX + "b", None, None, EX + "g1"),
+        (EX + "b", EX + "next", "iri", EX + "c", None, None, EX + "g2"),
+        (EX + "a", EX + "next", "iri", EX + "x", None, None, EX + "g2"),
+    ]
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_path_closure_inside_graph_var(spark, graph_chains):
+    """Closures inside GRAPH ?g are per named graph: b->c lives in g2,
+    so a never reaches c in g1 (and reaches x only in g2)."""
+    plus = sparql_select(
+        graph_chains,
+        f"SELECT ?g ?s ?y WHERE {{ GRAPH ?g {{ ?s <{EX}next>+ ?y }} }}",
+    )
+    rows = {(r["g"]["value"], r["s"]["value"], r["y"]["value"])
+            for r in plus.collect()}
+    assert rows == {
+        (EX + "g1", EX + "a", EX + "b"),
+        (EX + "g2", EX + "b", EX + "c"),
+        (EX + "g2", EX + "a", EX + "x"),
+    }
+    # seeded (constant endpoint) variant, zero-length included per graph
+    star = sparql_select(
+        graph_chains,
+        f"SELECT ?g ?y WHERE {{ GRAPH ?g {{ <{EX}a> <{EX}next>* ?y }} }}",
+    )
+    srows = {(r["g"]["value"], r["y"]["value"]) for r in star.collect()}
+    assert srows == {
+        (EX + "g1", EX + "a"), (EX + "g1", EX + "b"),
+        (EX + "g2", EX + "a"), (EX + "g2", EX + "x"),
+        # NOT (g1, c): the b->c hop lives in g2
+    }

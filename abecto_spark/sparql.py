@@ -78,12 +78,12 @@ federation (plain-triples patterns serialized back to a SELECT and sent
 through the crawl's HTTP transport; SILENT maps failure to the spec's
 single empty solution).
 
-Restrictions (documented, loud): no variable SERVICE endpoints,
-non-triple SERVICE patterns, or MINUS blocks over possibly-unbound
-shared variables. Unsupported syntax raises ``SparqlUnsupported``.
-(BASE, GRAPH, per-graph path closures, UNDEF, subqueries, negated
-property sets, AVG(DISTINCT), disconnected EXISTS, DESCRIBE *, and
-SERVICE federation were all lifted in round 4.)
+Restrictions (documented, loud): no variable SERVICE endpoints or
+non-triple SERVICE patterns. Unsupported syntax raises
+``SparqlUnsupported``. (BASE, GRAPH, per-graph path closures, UNDEF,
+subqueries, negated property sets, AVG(DISTINCT), disconnected EXISTS,
+DESCRIBE *, SERVICE federation, and MINUS/EXISTS over possibly-unbound
+shared variables were all lifted in round 4.)
 """
 
 from __future__ import annotations
@@ -1179,6 +1179,32 @@ class _Compiler:
                     new_maybe.add(v)
         return acc, new_bound, new_maybe
 
+    def _compat_anti(
+        self,
+        acc: DataFrame,
+        probe: DataFrame,
+        shared: list[str],
+        require_dom_overlap: bool,
+        anti: bool,
+    ) -> DataFrame:
+        """Null-tolerant anti/semi join for MINUS / [NOT] EXISTS over
+        possibly-unbound shared variables: match = every shared variable
+        compatible (unbound on either side, or equal), optionally also
+        requiring ≥1 shared variable bound on BOTH sides (SPARQL Minus's
+        domain-intersection clause)."""
+        l, r = acc.alias("__l"), probe.alias("__r")
+        compat = None
+        overlap = None
+        for v in shared:
+            lv, rv = F.col(f"__l.{v}"), F.col(f"__r.{v}")
+            c = lv.isNull() | rv.isNull() | (lv == rv)
+            compat = c if compat is None else compat & c
+            b = lv.isNotNull() & rv.isNotNull()
+            overlap = b if overlap is None else overlap | b
+        cond = compat & overlap if require_dom_overlap else compat
+        how = "left_anti" if anti else "left_semi"
+        return l.join(r, on=cond, how=how)
+
     def _union_df(self, branches: list[Group]) -> tuple[DataFrame, set[str], set[str]]:
         """UNION = unionByName of branch plans; variables bound in only
         some branches are NULL structs elsewhere (marked ``maybe`` so
@@ -1585,51 +1611,61 @@ class _Compiler:
         for m in g.minuses:
             mdf, mvs, mmaybe = self._group_df3(m)
             shared = sorted(bound & mvs)
-            if any(v in maybe or v in mmaybe for v in shared):
-                # SPARQL Minus over possibly-unbound shared variables has
-                # per-row domain-intersection semantics an anti-join can't
-                # express — refuse loudly rather than silently mis-answer
-                raise SparqlUnsupported(
-                    "MINUS sharing a possibly-unbound (UNION/OPTIONAL)"
-                    " variable with the outer pattern"
-                )
-            if shared:  # MINUS over disjoint domains removes nothing (SPARQL)
+            risky = [v for v in shared if v in maybe or v in mmaybe]
+            if shared and not risky:
+                # MINUS over disjoint domains removes nothing (SPARQL)
                 acc = acc.join(
                     mdf.select(*shared).distinct(), on=shared, how="left_anti"
+                )
+            elif shared:
+                # §18.5 Minus over possibly-unbound shared variables:
+                # remove μ1 iff ∃μ2 compatible AND dom(μ1)∩dom(μ2)≠∅ —
+                # an anti-join on (all shared compatible) ∧ (≥1 shared
+                # bound on both sides); a condition anti-join (BNL) on
+                # an algebra corner, never the aspect hot path
+                acc = self._compat_anti(
+                    acc, mdf.select(*shared).distinct(), shared,
+                    require_dom_overlap=True, anti=True,
                 )
         for ne in g.not_exists:
             ndf, nvs, nmaybe = self._group_df3(ne)
             shared = sorted(bound & nvs)
+            risky = [v for v in shared if v in maybe or v in nmaybe]
             if not shared:
                 # a disconnected NOT EXISTS is a boolean gate: keep all
                 # rows iff the inner pattern has no solutions (one tiny
                 # eager probe, like the closure rounds)
                 if ndf.limit(1).count() > 0:
                     acc = acc.where(F.lit(False))
-                continue
-            if any(v in maybe or v in nmaybe for v in shared):
-                raise SparqlUnsupported(
-                    "FILTER NOT EXISTS sharing a possibly-unbound"
-                    " (UNION/OPTIONAL) variable with the outer pattern"
+            elif not risky:
+                acc = acc.join(
+                    ndf.select(*shared).distinct(), on=shared, how="left_anti"
                 )
-            acc = acc.join(
-                ndf.select(*shared).distinct(), on=shared, how="left_anti"
-            )
+            else:
+                # EXISTS-substitution semantics: an unbound μ1 variable
+                # stays free in the substituted pattern, so it matches
+                # any inner binding — plain compatibility, no domain-
+                # overlap requirement
+                acc = self._compat_anti(
+                    acc, ndf.select(*shared).distinct(), shared,
+                    require_dom_overlap=False, anti=True,
+                )
         for ex in g.exists:
             edf, evs, emaybe = self._group_df3(ex)
             shared = sorted(bound & evs)
+            risky = [v for v in shared if v in maybe or v in emaybe]
             if not shared:
                 if edf.limit(1).count() == 0:
                     acc = acc.where(F.lit(False))
-                continue
-            if any(v in maybe or v in emaybe for v in shared):
-                raise SparqlUnsupported(
-                    "FILTER EXISTS sharing a possibly-unbound"
-                    " (UNION/OPTIONAL) variable with the outer pattern"
+            elif not risky:
+                acc = acc.join(
+                    edf.select(*shared).distinct(), on=shared, how="left_semi"
                 )
-            acc = acc.join(
-                edf.select(*shared).distinct(), on=shared, how="left_semi"
-            )
+            else:
+                acc = self._compat_anti(
+                    acc, edf.select(*shared).distinct(), shared,
+                    require_dom_overlap=False, anti=False,
+                )
         for fexpr in g.filters:
             acc = acc.where(compile_expr_bool(fexpr, bound))
         return acc, bound, maybe

@@ -285,17 +285,43 @@ def test_union_partial_var_compatible_join(spark, triples):
     }
 
 
-def test_minus_on_possibly_unbound_var_is_loud(spark, triples):
-    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
-        sparql_select(
-            triples,
-            f"""SELECT ?s WHERE {{
-                  {{ ?s <{EX}label> "Alice" }}
-                  UNION
-                  {{ ?s <{EX}boss> ?y }}
-                  MINUS {{ ?y <{EX}label> "Bob" }}
-                }}""",
-        ).collect()
+def test_minus_on_possibly_unbound_var_domain_semantics(spark, triples):
+    """SPARQL §18.5 Minus over a partially-bound variable: a solution
+    whose shared variables are all unbound has an empty domain
+    intersection with μ2 and is NOT removed; a compatible bound one is."""
+    df = sparql_select(
+        triples,
+        f"""SELECT ?s ?y WHERE {{
+              {{ ?s <{EX}label> "Alice" }}
+              UNION
+              {{ ?s <{EX}boss> ?y }}
+              MINUS {{ ?y <{EX}label> "Bob" }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["y"] and r["y"]["value"]) for r in df.collect()}
+    # branch 2's (alice, bob) is removed (bob labeled "Bob"); branch 1's
+    # y-unbound row survives (disjoint domains remove nothing)
+    assert rows == {(EX + "alice", None)}
+
+
+def test_exists_on_possibly_unbound_var_substitution(spark, triples):
+    """EXISTS substitution: an unbound outer variable stays free inside
+    the pattern, so it matches any inner binding."""
+    ex_q = f"""SELECT ?s ?y WHERE {{
+          {{ ?s <{EX}label> "Alice" }}
+          UNION
+          {{ ?s <{EX}boss> ?y }}
+          FILTER EXISTS {{ ?y <{EX}label> "Bob" }}
+        }}"""
+    rows = {
+        (r["s"]["value"], r["y"] and r["y"]["value"])
+        for r in sparql_select(triples, ex_q).collect()
+    }
+    # bound row: y=bob has label "Bob" → kept; unbound row: ?y free →
+    # pattern has a solution → kept
+    assert rows == {(EX + "alice", None), (EX + "alice", EX + "bob")}
+    ne_q = ex_q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert sparql_select(triples, ne_q).count() == 0
 
 
 def test_minus_and_not_exists(spark, triples):

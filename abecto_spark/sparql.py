@@ -1019,9 +1019,13 @@ _TERM_FIELDS = ("kind", "value", "datatype", "lang")
 # fixpoint-round bound for arbitrary-length property paths (p* / p+):
 # with path doubling each round, 30 rounds cover closure diameter 2^30
 PATH_CLOSURE_MAX_ITER = 30
-#: linear bound for constant-seeded closures (rounds = depth from the
+#: linear bound for constant-seeded closures (total depth from the
 #: seed, not log2(diameter)); exceeding it raises rather than truncates
 PATH_SEEDED_MAX_ITER = 256
+#: chained frontier joins per driver round in the seeded closure — the
+#: per-round fixed cost (job + checkpoint) dominates on deep/thin
+#: graphs, so each job covers this many depths
+PATH_SEEDED_STEPS_PER_ROUND = 4
 
 
 def _term_struct(kind, value, datatype, lang) -> Column:
@@ -1358,20 +1362,34 @@ class _Compiler:
                 .select("b", *gcols).distinct().localCheckpoint(eager=True)
             )
             delta = reach
-            # linear frontier extension: rounds = graph depth from the
-            # seed (not diameter-doubling — the frontier is a node set,
-            # pairs can't compose); bounded loudly, never truncated
+            # linear frontier extension: total depth covered is bounded
+            # by PATH_SEEDED_MAX_ITER (loud, never truncated). Each
+            # driver round batches PATH_SEEDED_STEPS_PER_ROUND chained
+            # frontier joins into ONE checkpointed job — the per-round
+            # fixed cost (job scheduling + checkpoint) dominates on
+            # deep/thin graphs, so covering K depths per job cuts
+            # wall-clock ~K× there; per-step distinct() bounds any
+            # within-round revisit blowup on cyclic graphs
             cond = F.col("d.b") == F.col("e.a")
             ncols = [F.col("e.b").alias("b")]
             if gv is not None:
                 cond = cond & (F.col("d.g") == F.col("e.g"))
                 ncols.append(F.col("d.g").alias("g"))
-            for _ in range(PATH_SEEDED_MAX_ITER):
+            k = PATH_SEEDED_STEPS_PER_ROUND
+            rounds = -(-PATH_SEEDED_MAX_ITER // k)  # ceil
+            for _ in range(rounds):
+                d = delta
+                cand = None
+                for _ in range(k):
+                    d = (
+                        d.alias("d")
+                        .join(step.alias("e"), cond)
+                        .select(*ncols)
+                        .distinct()
+                    )
+                    cand = d if cand is None else cand.unionByName(d)
                 new = (
-                    delta.alias("d")
-                    .join(step.alias("e"), cond)
-                    .select(*ncols)
-                    .distinct()
+                    cand.distinct()
                     .join(reach, ["b", *gcols], "left_anti")
                     .localCheckpoint(eager=True)
                 )

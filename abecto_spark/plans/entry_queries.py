@@ -494,6 +494,18 @@ def q_doc_quality(spark, sf):
                     lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_corpus_curation(spark, sf):
+    """Round-4 composed training-data curation pass: exact dedup
+    (first-id-wins on the token-normalized content), quality floor,
+    language ID, per-language top-N quota — all Catalyst, two window
+    shuffles (operators/curate.py). Oracle replays the identical
+    composition over the content string in DuckDB."""
+    from ..operators.curate import curate_corpus
+
+    d = _t(spark, sf, "documents")
+    return curate_corpus(d, quality_min=0.35, per_lang_top_n=50)
+
+
 # --------------------------------------------------------------------------
 # embeddings
 
@@ -1274,6 +1286,7 @@ QUERIES = {
     "sparql_paths": q_sparql_paths,
     "sparql_paths_seeded": q_sparql_paths_seeded,
     "sparql_graph": q_sparql_graph,
+    "corpus_curation": q_corpus_curation,
     "sparql_subquery": q_sparql_subquery,
     "rule_builtins": q_rule_builtins,
     "report_deviations": q_report_deviations,
@@ -1984,6 +1997,55 @@ ORACLES = {
                    list_filter(string_split_regex(lower(text), '\\s+'),
                                x -> x <> ''), ' ')) AS fp
         FROM documents
+    """,
+    "corpus_curation": """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                      AS DOUBLE) AS alpha,
+                 CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+                      AS DOUBLE) AS punct,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 array_to_string(toks, ' ') AS content,
+                 ROUND((CASE WHEN n >= 20 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
+                       * (alpha / greatest(n, 1.0))
+                       * (1.0 - least(punct / greatest(n, 1.0) * 4, 1.0)), 6)
+                   AS quality,
+                 list_aggregate([
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a','in','is','that','it','for'], x))),
+                    'l': 'en'},
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['der','die','das','und','ist','von','zu','mit','den','nicht'], x))),
+                    'l': 'de'},
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['le','la','les','et','de','un','une','est','que','pour'], x))),
+                    'l': 'fr'},
+                   {'s': len(list_filter(toks, x -> list_contains(
+                     ['el','la','los','de','que','y','en','un','es','por'], x))),
+                    'l': 'es'}
+                 ], 'max') AS best
+          FROM b),
+        q AS (
+          SELECT doc_id, content, quality,
+                 CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang
+          FROM s),
+        d AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY content
+                                       ORDER BY doc_id) AS rn_fp
+          FROM q),
+        k AS (SELECT * FROM d WHERE rn_fp = 1 AND quality >= 0.35),
+        r AS (
+          SELECT doc_id, lang, quality,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id) AS rank
+          FROM k)
+        SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
     """,
     "doc_quality": """
         WITH b AS (

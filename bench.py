@@ -63,6 +63,7 @@ def main() -> None:
         "text_stats",
         "bpe_token_count",
         "doc_quality",
+        "corpus_curation",
         "doc_fingerprint",
         "ann_top1",
         "ann_lsh_topk",

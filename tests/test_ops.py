@@ -413,3 +413,36 @@ def test_ann_high_dim_broadcast_plans(spark):
     assert igot == {(i, i + 1_000_000) for i in range(40)}
     iplan = itop._jdf.queryExecution().optimizedPlan().toString()
     assert len(iplan) < 200_000
+
+
+def test_corpus_curation(spark):
+    """Planted duplicate drops (first id wins), low-quality drops, and
+    the per-language quota cuts deterministically by (quality, id)."""
+    from abecto_spark.operators.curate import curate_corpus
+
+    en = ("the cat and the dog went to the market in the morning and "
+          "it is a good day for that")
+    de = ("der hund und die katze sind von zu hause mit den kindern "
+          "nicht weit gelaufen und das ist gut")
+    rows = [
+        ("d1", en),
+        ("d2", en + " extra tail words here"),
+        ("d3", "  " + en + "  "),        # whitespace-normalized dup of d1
+        ("d4", de),
+        ("d5", "!!!???;;;"),             # junk: fails the quality floor
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = curate_corpus(docs, quality_min=0.35, per_lang_top_n=1)
+    got = {(r["doc_id"], r["lang"], r["rank"]) for r in out.collect()}
+    # d3 deduped into d1; top-1 per language keeps the best of en (d1 or
+    # d2 by quality/id) and de's d4; junk d5 gone
+    langs = {r[1] for r in got}
+    ids = {r[0] for r in got}
+    assert langs == {"en", "de"}
+    assert "d3" not in ids and "d5" not in ids
+    assert all(r[2] == 1 for r in got)
+    assert len(got) == 2
+    # raising the quota readmits the second en doc, still never d3
+    out2 = curate_corpus(docs, quality_min=0.35, per_lang_top_n=5)
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    assert ids2 == {"d1", "d2", "d4"} or ids2 == {"d2", "d1", "d4"}

@@ -24,6 +24,11 @@ _EXT = {
     ".trix": "trix",
     ".jsonld": "jsonld", ".json": "jsonld",
     ".rj": "rdfjson",
+    # reference sniff-list formats with no parser in this container —
+    # mapped so they fail with a clear message instead of a confusing
+    # Turtle parse error (`Models.java:66-67`: RDFTHRIFT, SHACLC)
+    ".rt": "rdfthrift", ".trdf": "rdfthrift",
+    ".shaclc": "shaclc", ".shc": "shaclc",
 }
 
 _NT_LINE = re.compile(r"^<[^>]*>\s+<[^>]*>\s+.+\s*\.\s*$")
@@ -96,6 +101,14 @@ def read_rdf_local(spark: SparkSession, path: str, fmt: str | None = None) -> Da
         from .rdfjson import read_rdfjson_local
 
         return read_rdfjson_local(spark, path)
+    if fmt in ("rdfthrift", "shaclc"):
+        raise ValueError(
+            f"{fmt} is recognized (reference sniff list, Models.java:66-67)"
+            " but not readable here: RDF-Thrift needs a thrift decoder and"
+            " SHACL-C a SHACL compact-syntax parser, neither of which is"
+            " available in this environment — convert to"
+            " N-Triples/Turtle/TriG/RDF-XML/JSON-LD/TriX/RDF-JSON"
+        )
     raise ValueError(f"unknown RDF format {fmt!r}")
 
 

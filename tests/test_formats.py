@@ -396,3 +396,14 @@ def test_rdfjson_roundtrip_and_dispatch(spark, tmp_path):
                 '{"s": {"p": [{"type": "weird", "value": "x"}]}}']:
         with pytest.raises(RdfJsonUnsupported):
             parse_rdfjson(bad)
+
+
+def test_thrift_and_shaclc_fail_loudly(spark, tmp_path):
+    """The reference sniff list's binary/compact formats have no parser
+    here — they must fail with a clear conversion hint, not a confusing
+    Turtle error."""
+    for fname in ("x.rt", "x.trdf", "x.shaclc", "x.shc"):
+        f = tmp_path / fname
+        f.write_bytes(b"\x82binary-or-compact-content")
+        with pytest.raises(ValueError, match="not readable here"):
+            read_rdf_local(spark, str(f))

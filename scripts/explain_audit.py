@@ -97,6 +97,19 @@ def main() -> int:
     # map-side partial aggregation instead (the property that matters)
     check("windowed_agg: map-side partial aggregation", "partial_count" in p)
 
+    # ---- 5b. corpus curation: quota window must be salted --------------
+    cc = q.q_corpus_curation(spark, SF_DIR)
+    p = plan_of(cc)
+    sections.append(("corpus_curation (salted two-phase per-language quota)", p))
+    check(
+        "corpus_curation: full-corpus quota window keyed on (lang, _salt), not lang alone",
+        re.search(r"hashpartitioning\(lang#\d+, _salt#\d+", p) is not None,
+    )
+    check(
+        "corpus_curation: at most one lang-only partitioning (the bounded survivor rank)",
+        len(re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)) <= 1,
+    )
+
     # ---- 6. ANN: brute-force top-k broadcasts the query side ----------
     ann = q.q_ann_top1(spark, SF_DIR)
     p = plan_of(ann)

@@ -731,6 +731,34 @@ def q_sparql_paths_seeded(spark, sf):
     )
 
 
+def q_sparql_paths_ground(spark, sf):
+    """Round-5 ground path probes ``<a> p*/+ <b>`` (both endpoints
+    constant — the natural reachability ASK): the seeded frontier walks
+    from the constant and early-exits once the target is reached; the
+    zero-variable result gates the rest of the group. One branch probes
+    a reachable pair (n0 →* n5 along the forward chain), the other an
+    unreachable one (n5 →+ n0 — the chain never goes backward), so both
+    the found and not-found paths are oracle-checked."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    triples = _nation_chain_triples(spark, sf)
+    wide = sparql_select(
+        triples,
+        f"""
+        SELECT DISTINCT ?n ?r WHERE {{
+          {{ <n0> <{ex}next>* <n5> . ?n <{ex}partOf> ?r }}
+          UNION
+          {{ <n5> <{ex}next>+ <n0> . ?n <{ex}locatedIn> ?r }}
+        }}
+        """,
+    )
+    return wide.select(
+        F.col("n")["value"].alias("node"),
+        F.col("r")["value"].alias("target"),
+    )
+
+
 def q_sparql_subquery(spark, sf):
     """Round-4 SPARQL 1.1 §12 subqueries: an aggregating ``{ SELECT ...
     GROUP BY }`` joined into the outer group by its projected variable,
@@ -1285,6 +1313,7 @@ QUERIES = {
     "aspect_algebra": q_aspect_algebra,
     "sparql_paths": q_sparql_paths,
     "sparql_paths_seeded": q_sparql_paths_seeded,
+    "sparql_paths_ground": q_sparql_paths_ground,
     "sparql_graph": q_sparql_graph,
     "corpus_curation": q_corpus_curation,
     "sparql_subquery": q_sparql_subquery,
@@ -1425,6 +1454,33 @@ ORACLES = {
         SELECT DISTINCT 'n' || CAST(reach.b AS VARCHAR) AS node,
                'r' || CAST(m.n_regionkey AS VARCHAR) AS region
         FROM reach JOIN nation m ON m.n_nationkey = reach.b
+    """,
+    "sparql_paths_ground": """
+        WITH RECURSIVE nxt(a, b) AS (
+          SELECT n.n_nationkey, n.n_nationkey + 1 FROM nation n
+          WHERE EXISTS (SELECT 1 FROM nation m
+                        WHERE m.n_nationkey = n.n_nationkey + 1)
+        ),
+        reach(b) AS (
+          SELECT 0
+          UNION
+          SELECT nxt.b FROM reach JOIN nxt ON nxt.a = reach.b
+        ),
+        back(b) AS (
+          SELECT nxt.b FROM nxt WHERE nxt.a = 5
+          UNION
+          SELECT nxt.b FROM back JOIN nxt ON nxt.a = back.b
+        )
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS node,
+               'r' || CAST(n_regionkey AS VARCHAR) AS target
+        FROM nation
+        WHERE EXISTS (SELECT 1 FROM reach WHERE b = 5)
+        UNION
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+               'n' || CAST(c_nationkey AS VARCHAR) AS target
+        FROM customer
+        WHERE c_custkey % 5 = 0
+          AND EXISTS (SELECT 1 FROM back WHERE b = 0)
     """,
     "sparql_subquery": """
         WITH o AS (SELECT o_orderkey, o_custkey FROM orders

@@ -159,6 +159,7 @@ class HttpSparqlEndpoint:
         chunk_size_decrease_factor: float = 0.5,
         chunk_size_increase_factor: float = 1.5,
         max_retries: int = 128,
+        max_frontier: int = 10_000_000,
         transport=None,
     ):
         self.spark = spark
@@ -167,6 +168,8 @@ class HttpSparqlEndpoint:
         self.chunk_size_decrease_factor = chunk_size_decrease_factor
         self.chunk_size_increase_factor = chunk_size_increase_factor
         self._retries_left = max_retries
+        self.max_frontier = max_frontier
+        self._response_n = 0
         self.transport = transport if transport is not None else HTTP_TRANSPORT
 
     def _request(self, query_text: str, accept: str) -> bytes:
@@ -241,7 +244,18 @@ class HttpSparqlEndpoint:
         inverse: bool,
         ignore_inverse: tuple[str, ...] = (),
     ) -> DataFrame:
-        iris = [r["r"] for r in frontier.select("r").distinct().collect()]
+        # the crawl frontier is collected to the driver (driver-sized by
+        # design — endpoint-protection-sized, not corpus-sized); guard so
+        # a pathological crawl fails loudly instead of OOMing the driver
+        distinct = frontier.select("r").distinct()
+        n = distinct.count()
+        if n > self.max_frontier:
+            raise CrawlError(
+                f"crawl frontier has {n} resources, above max_frontier="
+                f"{self.max_frontier}; narrow the seed query or raise the"
+                " bound explicitly"
+            )
+        iris = [r["r"] for r in distinct.collect()]
         rows = self._load_chunked(iris, inverse=False)
         if inverse:
             rows += self._load_chunked(
@@ -293,7 +307,18 @@ class HttpSparqlEndpoint:
                     1, int(current * self.chunk_size_decrease_factor)
                 )
                 continue
-            rows.extend(parse_turtle(body.decode("utf-8")))
+            # each HTTP response is a separate RDF document scope: blank
+            # node labels are document-local (and Jena scopes them per
+            # parse in the reference), so suffix them per response before
+            # merging — otherwise _:b0 from two chunks silently unifies
+            self._response_n += 1
+            tag = f"#r{self._response_n}"
+            for s, p, k, v, dt, lg in parse_turtle(body.decode("utf-8")):
+                if s.startswith("_:"):
+                    s += tag
+                if k == "bnode":
+                    v += tag
+                rows.append((s, p, k, v, dt, lg))
             i += len(chunk)
             # grow back toward (never past) the configured size, with the
             # reference's integer truncation (`:266-268`)

@@ -175,7 +175,7 @@ class _TrigParser:
                     name = self._graph_name()
                     self._graph_block(name)
                 else:
-                    self._statement()
+                    self._statement(allow_graph_label=True)
                     self.expect(".")
 
     def _directive(self, kind: str, dot: bool):
@@ -222,7 +222,8 @@ class _TrigParser:
         self.graph = prev
 
     # -- triples ----------------------------------------------------------
-    def _statement(self):
+    def _statement(self, allow_graph_label: bool = False):
+        start = len(self.quads)
         k, v = self.peek()
         if v == "[":
             s = self._bnode_property_list()
@@ -235,6 +236,13 @@ class _TrigParser:
         else:
             s = self._subject()
             self._predicate_object_list(s)
+        # N-Quads-style trailing graph label (`<s> <p> <o> <g> .`): in
+        # plain Turtle an IRI/pname/bnode here is a syntax error, so
+        # consuming it as the statement's graph is unambiguous.  Only at
+        # top level (never inside a TriG graph block).
+        if allow_graph_label and self.peek()[0] in ("iri", "pname", "bnode"):
+            g = self._graph_name()
+            self.quads[start:] = [(g,) + q[1:] for q in self.quads[start:]]
 
     def _subject(self) -> str:
         k, v = self.next()

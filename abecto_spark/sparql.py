@@ -1264,7 +1264,9 @@ class _Compiler:
         edges = edges.select(*sel).distinct()
         s_const = not isinstance(s_term, Var)
         o_const = not isinstance(o_term, Var)
-        if mod in ("*", "+") and s_const != o_const:
+        if mod in ("*", "+") and (s_const or o_const):
+            # one constant endpoint: frontier BFS from it; two constants:
+            # the same kernel as a reachability probe with early exit
             return self._seeded_closure_df(
                 edges, s_term, o_term, s_const, mod
             )
@@ -1308,7 +1310,19 @@ class _Compiler:
             id_cols = [F.col("n").alias("a"), F.col("n").alias("b")]
             if gv is not None:
                 id_cols.append(F.col("g"))
-            reach = reach.unionByName(nodes.select(*id_cols)).distinct()
+            reach = reach.unionByName(nodes.select(*id_cols))
+            if gv is None:
+                # §18.4 ZeroLengthPath: a constant endpoint matches
+                # itself unconditionally, even when absent from the graph
+                # (inside GRAPH ?var a graph binding is still required,
+                # so the per-graph node domain stands there)
+                spark = edges.sparkSession
+                for c in {t for t in (s_term, o_term) if not isinstance(t, Var)}:
+                    self_row = spark.range(1).select(
+                        _const_struct(c).alias("a"), _const_struct(c).alias("b")
+                    )
+                    reach = reach.unionByName(self_row)
+            reach = reach.distinct()
         # bind the endpoints like a triple pattern: vars project, constants
         # filter (a constant subject can arise from an inverse desugar)
         cols: dict[str, Column] = {}
@@ -1322,9 +1336,10 @@ class _Compiler:
             else:
                 df = df.where(F.col(end) == _const_struct(term))
         if not cols:
-            raise SparqlUnsupported(
-                "path closure with two constant endpoints is not supported"
-            )
+            # two constant endpoints with '?': the zero-variable solution
+            # multiplier — one empty mapping if any row matches, else none
+            found = df.limit(1).count() > 0
+            return df.sparkSession.range(1 if found else 0).select(), set()
         if gv is not None:
             if gv in cols:
                 raise SparqlUnsupported(
@@ -1341,11 +1356,23 @@ class _Compiler:
         never the all-pairs reachability relation (which the general
         path-doubling closure materializes, O(V·E) pairs on a deep/wide
         graph, for an answer that needed one chain). The same frontier
-        kernel as the endpoint crawl (``sources/sparql_source.py``)."""
+        kernel as the endpoint crawl (``sources/sparql_source.py``).
+
+        With BOTH endpoints constant (``<a> p* <b>`` — the natural ASK
+        reachability probe) the walk early-exits as soon as the target
+        enters the reach set and the result is the zero-variable
+        solution multiplier: one empty mapping if reachable, none
+        otherwise (inside ``GRAPH ?var``: the graphs where reachable)."""
         const = s_term if s_const else o_term
         var = o_term if s_const else s_term
+        both_const = not isinstance(var, Var)
+        target = _const_struct(var) if both_const else None
         gv = self.graph_var  # per-graph frontier inside GRAPH ?var
         gcols = ["g"] if gv is not None else []
+        spark_ = edges.sparkSession
+        if both_const and gv is None and mod == "*" and const == var:
+            # zero-length path: a constant matches itself unconditionally
+            return spark_.range(1).select(), set()
         # orient edges so the walk always leaves the seed: reverse them
         # when the *object* end is the constant
         step = edges if s_const else edges.select(
@@ -1397,6 +1424,12 @@ class _Compiler:
                     break
                 reach = reach.unionByName(new).localCheckpoint(eager=True)
                 delta = new
+                if (
+                    both_const
+                    and gv is None
+                    and new.where(F.col("b") == target).limit(1).count() > 0
+                ):
+                    break  # reachability probe: target reached, stop early
             else:
                 raise SparqlUnsupported(
                     "seeded path closure exceeded"
@@ -1406,15 +1439,27 @@ class _Compiler:
         finally:
             spark.conf.set(conf_key, prev)
         if mod == "*":
-            # zero-length case (§9.3): the constant matches itself when
-            # it is a term of the graph (per graph inside GRAPH ?var) —
-            # same node-terms domain as the var-var closure
-            self_row = (
-                self._node_terms()
-                .where(F.col("n") == _const_struct(const))
-                .select(F.col("n").alias("b"), *gcols)
-            )
+            if gv is None:
+                # §18.4 ZeroLengthPath: the constant matches itself
+                # unconditionally, even when absent from the graph
+                self_row = spark_.range(1).select(
+                    _const_struct(const).alias("b")
+                )
+            else:
+                # inside GRAPH ?var a graph binding is required, so the
+                # zero-length domain stays per named graph
+                self_row = (
+                    self._node_terms()
+                    .where(F.col("n") == _const_struct(const))
+                    .select(F.col("n").alias("b"), *gcols)
+                )
             reach = reach.unionByName(self_row).distinct()
+        if both_const:
+            hit = reach.where(F.col("b") == target)
+            if gv is not None:
+                return hit.select(F.col("g").alias(gv)).distinct(), {gv}
+            found = hit.limit(1).count() > 0
+            return spark_.range(1 if found else 0).select(), set()
         if gv is not None:
             if gv == var.name:
                 raise SparqlUnsupported(
@@ -1518,9 +1563,19 @@ class _Compiler:
             parts.append(df)
             vs = vs | ivs if parts[:-1] else ivs
         if not parts:
-            raise SparqlUnsupported(
-                "negated property set with no applicable direction"
-            )
+            # the only written direction is inapplicable (inverse-only
+            # with a literal endpoint: a literal can never be a subject)
+            # — valid SPARQL that simply matches nothing, so return the
+            # empty solution set over the pattern's variables
+            names = list(dict.fromkeys(
+                t.name for t in (s_term, o_term) if isinstance(t, Var)
+            ))
+            if self.graph_var is not None:
+                names.append(self.graph_var)
+            if names:
+                ddl = ", ".join(f"`{v}` {_TERM_DDL}" for v in names)
+                return self.t.sparkSession.createDataFrame([], ddl), set(names)
+            return self.t.where(F.lit(False)).select(), set()
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -2192,7 +2247,10 @@ def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
             raise SparqlUnsupported("DESCRIBE with variables needs a WHERE group")
         df, bound = _Compiler(triples).group_df(q.where)
         if q.star:
-            var_targets = sorted(bound)
+            # user variables only: property-path desugaring introduces
+            # internal fresh variables (__p1, ...) that are not in-scope
+            # for `DESCRIBE *`
+            var_targets = sorted(v for v in bound if not v.startswith("__"))
         for n in var_targets:
             if n not in bound:
                 raise SparqlUnsupported(f"?{n} not bound in DESCRIBE WHERE")

@@ -75,6 +75,7 @@ def main() -> None:
         "aspect_algebra",
         "sparql_paths",
         "sparql_paths_seeded",
+        "sparql_paths_ground",
         "sparql_graph",
         "sparql_subquery",
         "rule_builtins",

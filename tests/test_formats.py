@@ -407,3 +407,29 @@ def test_thrift_and_shaclc_fail_loudly(spark, tmp_path):
         f.write_bytes(b"\x82binary-or-compact-content")
         with pytest.raises(ValueError, match="not readable here"):
             read_rdf_local(spark, str(f))
+
+
+def test_parse_trig_accepts_nquads_graph_label(spark):
+    """application/n-quads is advertised in the Accept header and routed
+    to the TriG parser, which must accept the 4-term statement shape
+    (`<s> <p> <o> <g> .`) — ADVICE r4 (medium)."""
+    from abecto_spark.sources.formats import parse_rdf_text
+    from abecto_spark.sources.turtle import parse_trig
+
+    nq = (
+        "<http://ex/s> <http://ex/p> <http://ex/o> <http://ex/g> .\n"
+        '<http://ex/s> <http://ex/q> "lit" _:g2 .\n'
+        "<http://ex/s> <http://ex/r> <http://ex/o2> .\n"
+    )
+    quads = parse_trig(nq)
+    assert [(q[0], q[1], q[2]) for q in quads] == [
+        ("http://ex/g", "http://ex/s", "http://ex/p"),
+        ("_:g2", "http://ex/s", "http://ex/q"),
+        ("", "http://ex/s", "http://ex/r"),  # default graph
+    ]
+    # the content-negotiation path (fmt hint from the content type)
+    rows = parse_rdf_text(nq, "trig")
+    assert len(rows) == 3 and all(len(r) == 6 for r in rows)
+    # plain Turtle statements still reject junk after the object list
+    with pytest.raises(Exception):
+        parse_trig("<http://ex/s> <http://ex/p> <http://ex/o> 42 .")

@@ -714,12 +714,67 @@ def test_path_seeded_constant_endpoints(spark, chain):
         sparql_select(chain, f"SELECT ?x WHERE {{ ?x <{EX}knows>* <{EX}d> }}")
     )
     assert back_star == [(EX + n,) for n in ("a", "b", "c", "d")]
-    # a seed that is not a graph term matches nothing (the engine's
-    # zero-length domain is the graph's terms, matching the var-var form)
+    # §18.4 ZeroLengthPath(term, var) yields the term unconditionally —
+    # even a seed absent from the graph matches itself under '*'
     off_graph = _pairs(
         sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}zz> <{EX}knows>* ?y }}")
     )
-    assert off_graph == []
+    assert off_graph == [(EX + "zz",)]
+    # ... but reaches nothing further under '+'
+    off_plus = _pairs(
+        sparql_select(chain, f"SELECT ?y WHERE {{ <{EX}zz> <{EX}knows>+ ?y }}")
+    )
+    assert off_plus == []
+
+
+def test_path_constant_constant_probe(spark, chain):
+    """Ground closures <a> p*/+ <b> — the natural reachability probe —
+    run the seeded frontier with early exit (VERDICT r4 #3)."""
+    from abecto_spark.sparql import sparql_ask
+
+    assert sparql_ask(
+        chain, f"ASK {{ <{EX}a> <{EX}knows>+ <{EX}d> }}"
+    )
+    assert not sparql_ask(
+        chain, f"ASK {{ <{EX}d> <{EX}knows>+ <{EX}a> }}"
+    )
+    # zero-length: * matches the identical endpoints unconditionally
+    assert sparql_ask(chain, f"ASK {{ <{EX}zz> <{EX}knows>* <{EX}zz> }}")
+    assert not sparql_ask(chain, f"ASK {{ <{EX}zz> <{EX}knows>+ <{EX}zz> }}")
+    # SELECT form: the ground probe is a row multiplier for the rest
+    got = _pairs(
+        sparql_select(
+            chain,
+            f"""SELECT ?x WHERE {{
+                  <{EX}a> <{EX}knows>* <{EX}c> .
+                  <{EX}a> <{EX}likes> ?x
+                }}""",
+        )
+    )
+    assert got == [(EX + "e",)]
+    empty = sparql_select(
+        chain,
+        f"""SELECT ?x WHERE {{
+              <{EX}d> <{EX}knows>+ <{EX}a> .
+              <{EX}a> <{EX}likes> ?x
+            }}""",
+    )
+    assert empty.count() == 0
+    # '?' with two constants: direct edge or identical endpoints
+    assert sparql_ask(chain, f"ASK {{ <{EX}a> <{EX}knows>? <{EX}b> }}")
+    assert sparql_ask(chain, f"ASK {{ <{EX}a> <{EX}knows>? <{EX}a> }}")
+    assert not sparql_ask(chain, f"ASK {{ <{EX}a> <{EX}knows>? <{EX}c> }}")
+
+
+def test_negset_inapplicable_direction_is_empty(spark, chain):
+    """An inverse-only negated property set with a literal object is
+    valid SPARQL that matches nothing (a literal is never a subject) —
+    empty result, not an error (ADVICE r4)."""
+    df = sparql_select(
+        chain, f'SELECT ?s WHERE {{ ?s !(^<{EX}knows>) "Eve" }}'
+    )
+    assert df.columns == ["s"]
+    assert df.count() == 0
 
 
 def test_negated_property_set(spark, chain):
@@ -951,6 +1006,26 @@ def test_describe_star(spark, triples):
     assert {r["s"] for r in out} == {EX + "alice", EX + "bob"}
     with pytest.raises(SparqlUnsupported, match="WHERE"):
         sparql_describe(triples, "DESCRIBE *")
+
+
+def test_describe_star_excludes_internal_path_vars(spark):
+    from abecto_spark.sparql import sparql_describe
+
+    # p/q sequence path desugars through a fresh internal variable
+    # (__p1) bound to the intermediate node m — DESCRIBE * must expand
+    # to user variables only (?x=a, ?y=c), never the internals
+    rows = [
+        (EX + "a", EX + "p", "iri", EX + "m", None, None),
+        (EX + "m", EX + "q", "iri", EX + "c", None, None),
+        (EX + "m", EX + "label", "literal", "Mid", XSD_STRING, ""),
+        (EX + "c", EX + "label", "literal", "End", XSD_STRING, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_describe(
+        t, f"DESCRIBE * WHERE {{ ?x <{EX}p>/<{EX}q> ?y }}"
+    ).collect()
+    subjects = {r["s"] for r in out}
+    assert subjects == {EX + "a", EX + "c"}
 
 
 def test_describe_without_targets_is_loud(spark, triples):

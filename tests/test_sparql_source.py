@@ -426,3 +426,44 @@ def test_url_source_unparseable_is_loud(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="Unknown RDF language"):
         url_source(spark, ["http://mock/data"])
+
+
+def test_http_endpoint_scopes_bnodes_per_response(spark):
+    """Blank-node labels are document-scoped: _:b0 in two separate HTTP
+    responses are DISTINCT nodes (Jena scopes labels per parse in the
+    reference), so the chunked loader suffixes them per response."""
+    from abecto_spark.sources.sparql_source import HttpSparqlEndpoint
+
+    def transport(url, data, headers):
+        # every chunk answers with the same label _:b0
+        return b'_:b0 <http://ex/p> "x" .\n'
+
+    ep = HttpSparqlEndpoint(
+        spark, "http://mock/sparql", chunk_size=1, transport=transport
+    )
+    frontier = spark.createDataFrame(
+        [("http://ex/r1",), ("http://ex/r2",)], "r string"
+    )
+    out = ep.describe(frontier, inverse=False)
+    subjects = {r["s"] for r in out.collect()}
+    assert len(subjects) == 2  # two chunks -> two distinct bnodes
+    assert all(s.startswith("_:b0#r") for s in subjects)
+
+
+def test_http_endpoint_frontier_guard(spark):
+    """A crawl frontier above max_frontier fails loudly BEFORE the
+    driver collect, instead of OOMing (VERDICT r4 'what's wrong' #3)."""
+    from abecto_spark.sources.sparql_source import (
+        CrawlError,
+        HttpSparqlEndpoint,
+    )
+
+    ep = HttpSparqlEndpoint(
+        spark, "http://mock/sparql", max_frontier=2,
+        transport=lambda *a: b"",
+    )
+    frontier = spark.createDataFrame(
+        [(f"http://ex/r{i}",) for i in range(3)], "r string"
+    )
+    with pytest.raises(CrawlError, match="max_frontier"):
+        ep.describe(frontier, inverse=False)

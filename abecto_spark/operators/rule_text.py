@@ -20,8 +20,9 @@ proportional to new facts — the property that keeps recursive rules
 feasible at 10^9+ triples (a naive loop re-derives everything each
 round).
 
-Builtins (round 4): the two that occur in real ABECTO-adjacent rule
-sets are supported in rule *bodies* —
+Builtins supported in rule *bodies* (GenericRuleReasoner grammar,
+`ForwardRuleReasoningProcessor.java:33-44` accepts any of them in rule
+text) —
 
   * ``noValue(?s <p> [?o])`` compiles to a left-anti join against the
     current statement relation (Jena's NoValue). Like Jena's forward
@@ -30,8 +31,21 @@ sets are supported in rule *bodies* —
     over predicates the rules don't later derive).
   * ``regex(?x, "pattern")`` compiles to an anchored ``rlike`` (Jena's
     Regex does a full ``matches()``); group binding is not supported.
+  * comparisons ``lessThan / greaterThan / le / ge`` — numeric
+    comparison of the two argument values (Jena compares numbers and
+    time instants; dates are a documented restriction here). A
+    non-numeric value fails the builtin, so the rule does not fire for
+    that binding — Jena's behavior for incomparable arguments.
+  * ``equal / notEqual`` — term equality (kind, value, datatype, lang)
+    or numeric value equality, mirroring Jena's sameValueAs semantics
+    for typed numbers.
+  * tests ``bound(?x)``, ``isLiteral(?x)``, ``isIRI(?x)`` /
+    ``isURI(?x)``, ``isBNode(?x)`` — column predicates on the bound
+    term struct.
 
-Restrictions: other Jena builtins (``makeTemp``, ``bound``, ...),
+All builtins compile to column predicates (or one anti-join for
+noValue) over the matched body bindings — no new join shapes.
+Restrictions: other Jena builtins (``makeTemp``, ``sum``, ...),
 builtins in rule heads, and backward rules are unsupported; CONSTRUCT
 WHERE supports the aspect-pattern subset of sparql.py. Unsupported
 syntax raises ``SparqlUnsupported``.
@@ -59,9 +73,16 @@ from ..sparql import (
 TRIPLE_COLS = ("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
 
 
+#: comparison builtins: (name, arity-2) numeric/term predicates
+_CMP_BUILTINS = ("lessThan", "greaterThan", "le", "ge", "equal", "notEqual")
+#: unary term tests
+_TEST_BUILTINS = ("bound", "isLiteral", "isIRI", "isURI", "isBNode")
+_ALL_BUILTINS = ("noValue", "regex") + _CMP_BUILTINS + _TEST_BUILTINS
+
+
 @dataclass(frozen=True)
 class Builtin:
-    name: str     # "noValue" | "regex"
+    name: str     # one of _ALL_BUILTINS
     args: tuple   # parsed terms
 
 
@@ -113,7 +134,7 @@ def _parse_rule(p: _Parser) -> Rule:
         k2, v2 = p.peek()
         if v2 == "(":
             body.append(_parse_atom(p))
-        elif v2 in ("noValue", "regex"):
+        elif v2 in _ALL_BUILTINS:
             builtins.append(_parse_builtin(p))
         else:
             break
@@ -128,8 +149,8 @@ def _parse_rule(p: _Parser) -> Rule:
     if bracketed:
         if p.peek()[1] != "]":
             raise SparqlUnsupported(
-                f"unsupported rule syntax near {p.peek()[1]!r} (only the"
-                " noValue and regex builtins are supported, in rule bodies)"
+                f"unsupported rule syntax near {p.peek()[1]!r} (supported"
+                f" body builtins: {', '.join(_ALL_BUILTINS)})"
             )
         p.next()
     if p.peek()[1] == ".":
@@ -147,13 +168,20 @@ def _parse_rule(p: _Parser) -> Rule:
                 raise SparqlUnsupported(
                     "regex target must be a variable bound in the body"
                 )
-        else:  # noValue: needs ≥1 body variable to anchor the anti-join
+        elif b.name == "noValue":
+            # needs ≥1 body variable to anchor the anti-join
             if not any(
                 isinstance(t, Var) and t.name in body_vars for t in b.args
             ):
                 raise SparqlUnsupported(
                     "noValue must share a variable with the rule body"
                 )
+        else:  # comparison/test: every variable argument must be bound
+            for t in b.args:
+                if isinstance(t, Var) and t.name not in body_vars:
+                    raise SparqlUnsupported(
+                        f"{b.name} argument ?{t.name} not bound in the body"
+                    )
     return Rule(name, tuple(body), tuple(head), tuple(builtins))
 
 
@@ -185,6 +213,12 @@ def _parse_builtin(p: _Parser) -> Builtin:
     elif name == "noValue":
         if len(args) not in (2, 3):
             raise SparqlUnsupported("noValue builtin takes (s, p[, o])")
+    elif name in _CMP_BUILTINS:
+        if len(args) != 2:
+            raise SparqlUnsupported(f"{name} builtin takes exactly 2 arguments")
+    elif name in _TEST_BUILTINS:
+        if len(args) != 1:
+            raise SparqlUnsupported(f"{name} builtin takes exactly 1 argument")
     return Builtin(name, tuple(args))
 
 
@@ -218,12 +252,32 @@ def _body_df(comp_all: _Compiler, comp_delta: _Compiler | None, body, delta_idx)
     return acc, bound
 
 
+def _builtin_struct(t):
+    """Term struct column for a builtin argument (Var → bound column,
+    constant → literal struct; fields are never NULL, so plain struct
+    equality is term identity)."""
+    from ..sparql import _const_struct
+
+    return F.col(t.name) if isinstance(t, Var) else _const_struct(t)
+
+
+def _builtin_num(t):
+    """Numeric view of a builtin argument's value; NULL when the value
+    is not a number (the builtin then fails for that binding, matching
+    Jena's incomparable-arguments behavior)."""
+    v = F.col(t.name)["value"] if isinstance(t, Var) else (
+        F.lit(t.lex) if isinstance(t, Lit) else F.lit(t.value)
+    )
+    return v.try_cast("double")  # NULL on malformed, even under ANSI
+
+
 def _apply_builtins(
     comp_all: _Compiler, acc: DataFrame, bound: set[str], builtins
 ) -> DataFrame:
     """Builtin filters over the matched body bindings: regex → anchored
-    rlike; noValue → left-anti join against the current statement
-    relation (evaluated per round, like Jena's forward engine)."""
+    rlike; comparisons/tests → column predicates; noValue → left-anti
+    join against the current statement relation (evaluated per round,
+    like Jena's forward engine)."""
     fresh = 0
     for b in builtins:
         if b.name == "regex":
@@ -231,6 +285,35 @@ def _apply_builtins(
             acc = acc.where(
                 F.col(tgt.name)["value"].rlike(f"^(?:{pat.lex})$")
             )
+            continue
+        if b.name in _CMP_BUILTINS:
+            x, y = b.args
+            if b.name in ("equal", "notEqual"):
+                # Jena sameValueAs: identical terms, or numerically
+                # equal typed numbers; never NULL so notEqual is safe
+                eq = (_builtin_struct(x) == _builtin_struct(y)) | F.coalesce(
+                    _builtin_num(x) == _builtin_num(y), F.lit(False)
+                )
+                acc = acc.where(eq if b.name == "equal" else ~eq)
+            else:
+                op = {
+                    "lessThan": "__lt__", "greaterThan": "__gt__",
+                    "le": "__le__", "ge": "__ge__",
+                }[b.name]
+                # NULL (non-numeric) comparisons filter the row out
+                acc = acc.where(getattr(_builtin_num(x), op)(_builtin_num(y)))
+            continue
+        if b.name in _TEST_BUILTINS:
+            (t,) = b.args
+            c = _builtin_struct(t)
+            if b.name == "bound":
+                acc = acc.where(c.isNotNull())
+            elif b.name == "isLiteral":
+                acc = acc.where(c["kind"] == "literal")
+            elif b.name == "isBNode":
+                acc = acc.where(c["kind"] == "bnode")
+            else:  # isIRI / isURI
+                acc = acc.where(c["kind"] == "iri")
             continue
         # noValue(s, p[, o]): absent-object form probes with a fresh var
         terms = list(b.args)

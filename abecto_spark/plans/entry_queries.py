@@ -793,11 +793,14 @@ def q_sparql_subquery(spark, sf):
 
 
 def q_rule_builtins(spark, sf):
-    """Round-4 Jena rule builtins: ``noValue`` compiles to a left-anti
-    join against the statement relation, ``regex`` to an anchored
-    ``rlike`` (GenericRuleReasoner grammar,
-    `ForwardRuleReasoningProcessor.java:33-44`). Customers with no
-    orders whose name full-matches an even-digit suffix get flagged."""
+    """Jena rule builtins: ``noValue`` compiles to a left-anti join
+    against the statement relation, ``regex`` to an anchored ``rlike``,
+    and the round-5 comparison/test builtins (``lessThan``,
+    ``isLiteral``) to column predicates over the matched bindings
+    (GenericRuleReasoner grammar,
+    `ForwardRuleReasoningProcessor.java:33-44`). Low-balance customers
+    with no urgent orders whose name full-matches an even-digit suffix
+    get flagged."""
     from ..operators.rule_text import apply_jena_rules
 
     ex = "http://example.org/"
@@ -819,6 +822,10 @@ def q_rule_builtins(spark, sf):
         cust.select(*row(c, "type", "iri", F.lit(ex + "Customer"), None))
         .unionByName(cust.select(*row(c, "name", "literal",
                                       F.col("c_name"), XSD_STRING)))
+        .unionByName(cust.select(*row(
+            c, "bal", "literal", F.col("c_acctbal").cast("string"),
+            "http://www.w3.org/2001/XMLSchema#decimal",
+        )))
         .unionByName(orders.select(*row(
             F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
             "orderedBy", "iri",
@@ -827,7 +834,9 @@ def q_rule_builtins(spark, sf):
     )
     rules = (
         f'[nv: (?c <{ex}type> <{ex}Customer>) (?c <{ex}name> ?n)'
+        f' (?c <{ex}bal> ?b)'
         f' noValue(?o <{ex}orderedBy> ?c) regex(?n, ".*[02468]")'
+        f' lessThan(?b, 1000) isLiteral(?n)'
         f' -> (?c <{ex}flag> <{ex}NoOrders>)]'
     )
     out = apply_jena_rules(triples, rules)
@@ -1500,6 +1509,7 @@ ORACLES = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
           AND regexp_full_match(c_name, '.*[02468]')
+          AND c_acctbal < 1000
     """,
     "sparql_graph": """
         SELECT c_mktsegment AS graph, c_name AS name,

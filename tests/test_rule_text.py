@@ -210,3 +210,95 @@ def test_rule_builtin_parse_errors():
         parse_jena_rules(
             f'[(?a <{EX}p> ?b) regex(?zz, "x") -> (?a <{EX}r> ?b)]'
         )
+
+
+# round-5 comparison/test builtins (`ForwardRuleReasoningProcessor.java:33-44`
+# accepts any GenericRuleReasoner builtin in rule text)
+
+
+def _num_graph(spark):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (EX + "a", EX + "val", "literal", "3", XSD_INT, ""),
+        (EX + "b", EX + "val", "literal", "7", XSD_INT, ""),
+        (EX + "c", EX + "val", "literal", "07.0", XSD_INT, ""),
+        (EX + "d", EX + "val", "iri", EX + "notanumber", None, ""),
+        (EX + "e", EX + "val", "literal", "oops", None, ""),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+def _flagged(out, flag):
+    return {r["s"] for r in out.where(out.p == EX + flag).collect()}
+
+
+def test_rule_lessthan_greaterthan_le_ge(spark):
+    t = _num_graph(spark)
+    out = apply_jena_rules(
+        t,
+        f"[lt: (?s <{EX}val> ?v) lessThan(?v, 5) -> (?s <{EX}lt> <{EX}Y>)]"
+        f"[gt: (?s <{EX}val> ?v) greaterThan(?v, 5) -> (?s <{EX}gt> <{EX}Y>)]"
+        f"[le: (?s <{EX}val> ?v) le(?v, 7) -> (?s <{EX}le> <{EX}Y>)]"
+        f"[ge: (?s <{EX}val> ?v) ge(?v, 7) -> (?s <{EX}ge> <{EX}Y>)]",
+    )
+    # non-numeric values (IRI, 'oops') never satisfy a comparison
+    assert _flagged(out, "lt") == {EX + "a"}
+    assert _flagged(out, "gt") == {EX + "b", EX + "c"}  # 07.0 == 7 > 5
+    assert _flagged(out, "le") == {EX + "a", EX + "b", EX + "c"}
+    assert _flagged(out, "ge") == {EX + "b", EX + "c"}
+
+
+def test_rule_equal_notequal_semantics(spark):
+    t = _num_graph(spark)
+    # equal: term identity OR numeric value equality ('07.0' equals 7)
+    out = apply_jena_rules(
+        t,
+        f"[eq: (?s <{EX}val> ?v) equal(?v, 7) -> (?s <{EX}eq> <{EX}Y>)]"
+        f"[ne: (?s <{EX}val> ?v) notEqual(?v, 7) -> (?s <{EX}ne> <{EX}Y>)]",
+    )
+    assert _flagged(out, "eq") == {EX + "b", EX + "c"}
+    # notEqual is the exact complement, including non-numeric terms
+    assert _flagged(out, "ne") == {EX + "a", EX + "d", EX + "e"}
+    # term-identity branch: IRIs compare equal to themselves
+    out2 = apply_jena_rules(
+        t,
+        f"[eqi: (?s <{EX}val> ?v) equal(?v, <{EX}notanumber>)"
+        f" -> (?s <{EX}eqi> <{EX}Y>)]",
+    )
+    assert _flagged(out2, "eqi") == {EX + "d"}
+
+
+def test_rule_term_test_builtins(spark):
+    t = _num_graph(spark)
+    rows_b = [(EX + "f", EX + "val", "bnode", "_:x", None, "")]
+    t = t.unionByName(spark.createDataFrame(rows_b, TRIPLES_DDL))
+    out = apply_jena_rules(
+        t,
+        f"[l: (?s <{EX}val> ?v) isLiteral(?v) -> (?s <{EX}lit> <{EX}Y>)]"
+        f"[i: (?s <{EX}val> ?v) isIRI(?v) -> (?s <{EX}iri> <{EX}Y>)]"
+        f"[u: (?s <{EX}val> ?v) isURI(?v) -> (?s <{EX}uri> <{EX}Y>)]"
+        f"[n: (?s <{EX}val> ?v) isBNode(?v) -> (?s <{EX}bn> <{EX}Y>)]"
+        f"[b: (?s <{EX}val> ?v) bound(?v) -> (?s <{EX}bnd> <{EX}Y>)]",
+    )
+    lits = {EX + "a", EX + "b", EX + "c", EX + "e"}
+    assert _flagged(out, "lit") == lits
+    assert _flagged(out, "iri") == {EX + "d"}
+    assert _flagged(out, "uri") == {EX + "d"}
+    assert _flagged(out, "bn") == {EX + "f"}
+    # body-bound variables are always bound in a forward rule
+    assert _flagged(out, "bnd") == lits | {EX + "d", EX + "f"}
+
+
+def test_rule_comparison_parse_errors():
+    with pytest.raises(SparqlUnsupported, match="exactly 2"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) lessThan(?b) -> (?a <{EX}q> ?b)]"
+        )
+    with pytest.raises(SparqlUnsupported, match="exactly 1"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) isLiteral(?a, ?b) -> (?a <{EX}q> ?b)]"
+        )
+    with pytest.raises(SparqlUnsupported, match="not bound"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) ge(?zz, 3) -> (?a <{EX}q> ?b)]"
+        )

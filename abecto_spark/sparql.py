@@ -602,9 +602,9 @@ class _Parser:
                     self.next()
                     silent = True
                 endpoint = self.parse_term(position="subject")
-                if not isinstance(endpoint, Iri):
+                if not isinstance(endpoint, (Iri, Var)):
                     raise SparqlUnsupported(
-                        "SERVICE endpoint must be a constant IRI"
+                        "SERVICE endpoint must be an IRI or a variable"
                     )
                 g.services.append((endpoint, silent, self.parse_group()))
             elif v == "{":
@@ -1474,35 +1474,17 @@ class _Compiler:
     def _service_df(
         self, endpoint: Iri, silent: bool, inner: Group
     ) -> tuple[DataFrame, set[str], set[str]]:
-        """``SERVICE [SILENT] <endpoint> { triples }`` (SPARQL 1.1
-        Federated Query): serialize the inner pattern back to a SELECT,
-        POST it to the endpoint (same transport machinery as the crawl's
-        ``HttpSparqlEndpoint``), and join the JSON bindings in like any
-        other operand. Only plain-triples service patterns are
-        serialized (loud otherwise). SILENT turns any transport failure
-        into the spec's single empty solution."""
-        if (
-            inner.optionals or inner.filters or inner.binds or inner.unions
-            or inner.minuses or inner.not_exists or inner.exists
-            or inner.values_blocks or inner.path_closures
-            or inner.graph_blocks or inner.subqueries or inner.neg_triples
-            or inner.services
-        ):
-            raise SparqlUnsupported(
-                "SERVICE pattern must be plain triples"
-            )
-        if not inner.triples:
+        """``SERVICE [SILENT] <endpoint> { group }`` (SPARQL 1.1
+        Federated Query): serialize the inner pattern back to a SELECT
+        (triples, FILTER, BIND, OPTIONAL, UNION, MINUS, [NOT] EXISTS,
+        VALUES — ``_group_text``), POST it to the endpoint (same
+        transport machinery as the crawl's ``HttpSparqlEndpoint``), and
+        join the JSON bindings in like any other operand. SILENT turns
+        any transport failure into the spec's single empty solution."""
+        body = _group_text(inner)
+        vs = sorted(v for v in _group_var_order(inner) if not v.startswith("__"))
+        if not body or not vs:
             raise SparqlUnsupported("empty SERVICE pattern")
-        vs = sorted(
-            t.name
-            for tp in inner.triples
-            for t in (tp.s, tp.p, tp.o)
-            if isinstance(t, Var)
-        )
-        body = " . ".join(
-            f"{_term_text(tp.s)} {_term_text(tp.p)} {_term_text(tp.o)}"
-            for tp in inner.triples
-        )
         query = f"SELECT {' '.join('?' + v for v in vs)} WHERE {{ {body} }}"
         spark = self.t.sparkSession
         ddl = ", ".join(f"`{v}` {_TERM_DDL}" for v in vs)
@@ -1657,7 +1639,37 @@ class _Compiler:
                 acc, bound, maybe, df, set(names), smaybe
             )
         for endpoint, silent, inner in g.services:
-            df, vs, smaybe = self._service_df(endpoint, silent, inner)
+            if isinstance(endpoint, Var):
+                # SERVICE ?ep: the endpoint set must be statically known
+                # — iterate the IRIs a VALUES block in this group binds
+                # the variable to, one request per endpoint, the results
+                # unioned with ?ep bound (the spec leaves variable
+                # endpoints implementation-defined; Jena does the same
+                # bound-values iteration)
+                eps: list[Iri] = []
+                for names, rows in g.values_blocks:
+                    if endpoint.name in names:
+                        i = names.index(endpoint.name)
+                        for row in rows:
+                            if isinstance(row[i], Iri) and row[i] not in eps:
+                                eps.append(row[i])
+                if not eps:
+                    raise SparqlUnsupported(
+                        f"SERVICE ?{endpoint.name}: a variable endpoint"
+                        " must be bound to IRIs by a VALUES block in the"
+                        " same group"
+                    )
+                df = None
+                vs: set[str] = set()
+                smaybe: set[str] = set()
+                for ep in eps:
+                    edf, evs, emaybe = self._service_df(ep, silent, inner)
+                    edf = edf.withColumn(endpoint.name, _const_struct(ep))
+                    df = edf if df is None else df.unionByName(edf)
+                    vs, smaybe = vs | evs, smaybe | emaybe
+                vs.add(endpoint.name)
+            else:
+                df, vs, smaybe = self._service_df(endpoint, silent, inner)
             acc, bound, maybe = self._join_in(acc, bound, maybe, df, vs, smaybe)
         for names, rows in g.values_blocks:
             vdf, undef = self._values_df(names, rows)
@@ -1762,6 +1774,79 @@ def _term_text(t) -> str:
             return f'"{lex}"^^<{t.datatype}>'
         return f'"{lex}"'
     raise SparqlUnsupported(f"cannot serialize term {t!r}")
+
+
+def _expr_text(e) -> str:
+    """Serialize a parsed filter/BIND expression back to SPARQL text
+    (for SERVICE federation requests). Fully parenthesized, so operator
+    precedence survives the round-trip."""
+    if isinstance(e, (Var, Iri, Lit)):
+        return _term_text(e)
+    if isinstance(e, Op):
+        if e.right is None:
+            sym = "!" if e.op == "!" else "-"
+            return f"({sym}{_expr_text(e.left)})"
+        return f"({_expr_text(e.left)} {e.op} {_expr_text(e.right)})"
+    if isinstance(e, Call):
+        return f"{e.fn}({', '.join(_expr_text(a) for a in e.args)})"
+    raise SparqlUnsupported(
+        f"cannot serialize expression {e!r} for a SERVICE request"
+    )
+
+
+def _values_text(names: list[str], rows: list[tuple]) -> str:
+    cells = " ".join("?" + n for n in names)
+    body = " ".join(
+        "(" + " ".join(
+            "UNDEF" if t is None else _term_text(t) for t in row
+        ) + ")"
+        for row in rows
+    )
+    return f"VALUES ({cells}) {{ {body} }}"
+
+
+def _group_text(g: Group) -> str:
+    """Serialize a parsed group pattern back to SPARQL text — the
+    SERVICE federation wire format (SPARQL 1.1 Federated Query allows
+    full group patterns inside SERVICE; the reference gets this from
+    Jena ARQ, `Aspect.java:223`). Triples, FILTER, BIND, OPTIONAL,
+    UNION, MINUS, FILTER [NOT] EXISTS and VALUES round-trip; property-
+    path closures, GRAPH, subqueries, negated property sets and nested
+    SERVICE stay loud (their parsed form is already desugared past
+    faithful re-serialization)."""
+    if (
+        g.path_closures or g.graph_blocks or g.subqueries
+        or g.neg_triples or g.services
+    ):
+        raise SparqlUnsupported(
+            "SERVICE pattern contains a non-serializable form (property-"
+            "path closure, GRAPH, subquery, negated property set, or"
+            " nested SERVICE)"
+        )
+    parts: list[str] = []
+    for tp in g.triples:
+        parts.append(
+            f"{_term_text(tp.s)} {_term_text(tp.p)} {_term_text(tp.o)} ."
+        )
+    for names, rows in g.values_blocks:
+        parts.append(_values_text(names, rows))
+    for expr, name in g.binds:
+        parts.append(f"BIND({_expr_text(expr)} AS ?{name})")
+    for branches in g.unions:
+        parts.append(
+            " UNION ".join("{ " + _group_text(b) + " }" for b in branches)
+        )
+    for opt in g.optionals:
+        parts.append("OPTIONAL { " + _group_text(opt) + " }")
+    for m in g.minuses:
+        parts.append("MINUS { " + _group_text(m) + " }")
+    for ne in g.not_exists:
+        parts.append("FILTER NOT EXISTS { " + _group_text(ne) + " }")
+    for ex in g.exists:
+        parts.append("FILTER EXISTS { " + _group_text(ex) + " }")
+    for fexpr in g.filters:
+        parts.append(f"FILTER({_expr_text(fexpr)})")
+    return " ".join(parts)
 
 
 def _term_tuple(term) -> tuple:

@@ -160,7 +160,7 @@ def test_pattern_vars_and_unbound_projection(spark, triples):
 def test_unsupported_syntax_is_loud():
     for q in [
         "SELECT ?s WHERE { ?s <http://x/p> ?o } GROUP BY",  # empty GROUP BY
-        "SELECT ?s WHERE { SERVICE ?ep { ?s ?p ?o } }",  # variable endpoint
+        "SELECT ?s WHERE { SERVICE 'x' { ?s ?p ?o } }",  # literal endpoint
         "SELECT ?s WHERE { ?s ?p+ ?o }",  # quantifier on a variable
         "SELECT ?s WHERE { GRAPH 'lit' { ?s ?p ?o } }",  # literal label
         "SELECT ?s WHERE { ?s ?p ?o } LIMIT ?x",
@@ -509,6 +509,114 @@ def test_service_silent_swallows_failure(spark, triples, monkeypatch):
                   SERVICE <http://down/sparql> {{ ?s <{EX}q> ?x }}
                 }}""",
         ).collect()
+
+
+def test_service_full_group_pattern_serializes(spark, triples, monkeypatch):
+    """Round-5 SERVICE breadth: FILTER / OPTIONAL / VALUES / BIND inside
+    SERVICE serialize back to query text and run remotely — asserted on
+    the wire text AND the joined bindings."""
+    import json
+
+    from abecto_spark.sources import sparql_source as mod
+
+    remote = spark.createDataFrame(
+        [
+            (EX + "alice", EX + "pnr", "literal", "45678", XSD_INTEGER, ""),
+            (EX + "carol", EX + "pnr", "literal", "99999", XSD_INTEGER, ""),
+            (EX + "zed", EX + "pnr", "literal", "1", XSD_INTEGER, ""),
+            (EX + "alice", EX + "nick", "literal", "Ali", None, ""),
+        ],
+        TRIPLES_DDL,
+    )
+    wire: list[str] = []
+    base = _service_transport(spark, remote)
+
+    def transport(url, data, headers):
+        wire.append(data.decode())
+        return base(url, data, headers)
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", transport)
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?pnr ?nick WHERE {{
+              ?s <{EX}pnr> ?lp .
+              SERVICE <http://remote/sparql> {{
+                ?s <{EX}pnr> ?pnr .
+                OPTIONAL {{ ?s <{EX}nick> ?nick }}
+                FILTER(?pnr > 1000)
+                VALUES ?s {{ <{EX}alice> <{EX}carol> <{EX}zed> }}
+              }}
+            }}""",
+    )
+    rows = {
+        (r["s"]["value"], r["pnr"]["value"],
+         r["nick"]["value"] if r["nick"] else None)
+        for r in out.collect()
+    }
+    assert rows == {
+        (EX + "alice", "45678", "Ali"),
+        (EX + "carol", "99999", None),
+    }
+    # the wire query carries the serialized algebra, not just triples
+    assert len(wire) == 1
+    q = wire[0]
+    assert "OPTIONAL {" in q and "FILTER(" in q and "VALUES (?s)" in q
+    assert q.startswith("SELECT ?nick ?pnr ?s WHERE {")
+
+
+def test_service_variable_endpoint_iterates_values(spark, triples, monkeypatch):
+    """SERVICE ?ep with the endpoint VALUES-bound: one request per
+    endpoint IRI, results unioned with ?ep bound."""
+    from abecto_spark.sources import sparql_source as mod
+
+    remotes = {
+        "http://r1/sparql": spark.createDataFrame(
+            [(EX + "alice", EX + "pnr", "literal", "45678", XSD_INTEGER, "")],
+            TRIPLES_DDL,
+        ),
+        "http://r2/sparql": spark.createDataFrame(
+            [(EX + "carol", EX + "pnr", "literal", "99999", XSD_INTEGER, "")],
+            TRIPLES_DDL,
+        ),
+    }
+    urls: list[str] = []
+
+    def transport(url, data, headers):
+        urls.append(url)
+        return _service_transport(spark, remotes[url])(url, data, headers)
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", transport)
+    out = sparql_select(
+        triples,
+        f"""SELECT ?ep ?s ?pnr WHERE {{
+              ?s <{EX}pnr> ?lp .
+              VALUES ?ep {{ <http://r1/sparql> <http://r2/sparql> }}
+              SERVICE ?ep {{ ?s <{EX}pnr> ?pnr }}
+            }}""",
+    )
+    rows = {(r["ep"]["value"], r["s"]["value"], r["pnr"]["value"])
+            for r in out.collect()}
+    assert rows == {
+        ("http://r1/sparql", EX + "alice", "45678"),
+        ("http://r2/sparql", EX + "carol", "99999"),
+    }
+    assert sorted(urls) == ["http://r1/sparql", "http://r2/sparql"]
+
+
+def test_service_loud_corners(spark, triples, monkeypatch):
+    # variable endpoint without a VALUES binding: loud at compile
+    with pytest.raises(SparqlUnsupported, match="VALUES"):
+        sparql_select(
+            triples,
+            f"SELECT ?s WHERE {{ SERVICE ?ep {{ ?s <{EX}pnr> ?o }} }}",
+        )
+    # genuinely non-serializable body: GRAPH inside SERVICE
+    with pytest.raises(SparqlUnsupported, match="non-serializable"):
+        sparql_select(
+            triples,
+            f"""SELECT ?s WHERE {{ SERVICE <http://r/sparql> {{
+                  GRAPH <{EX}g> {{ ?s <{EX}pnr> ?o }} }} }}""",
+        )
 
 
 def test_subquery_aggregate_and_limit(spark, triples):

@@ -101,13 +101,17 @@ def read_rdf_local(spark: SparkSession, path: str, fmt: str | None = None) -> Da
         from .rdfjson import read_rdfjson_local
 
         return read_rdfjson_local(spark, path)
-    if fmt in ("rdfthrift", "shaclc"):
+    if fmt == "shaclc":
+        from .shaclc import read_shaclc_local
+
+        return read_shaclc_local(spark, path)
+    if fmt == "rdfthrift":
         raise ValueError(
-            f"{fmt} is recognized (reference sniff list, Models.java:66-67)"
-            " but not readable here: RDF-Thrift needs a thrift decoder and"
-            " SHACL-C a SHACL compact-syntax parser, neither of which is"
+            "rdfthrift is recognized (reference sniff list,"
+            " Models.java:66-67) but not readable here: RDF-Thrift is a"
+            " binary format needing a thrift decoder, which is not"
             " available in this environment — convert to"
-            " N-Triples/Turtle/TriG/RDF-XML/JSON-LD/TriX/RDF-JSON"
+            " N-Triples/Turtle/TriG/RDF-XML/JSON-LD/TriX/RDF-JSON/SHACL-C"
         )
     raise ValueError(f"unknown RDF format {fmt!r}")
 

@@ -398,15 +398,104 @@ def test_rdfjson_roundtrip_and_dispatch(spark, tmp_path):
             parse_rdfjson(bad)
 
 
-def test_thrift_and_shaclc_fail_loudly(spark, tmp_path):
-    """The reference sniff list's binary/compact formats have no parser
-    here — they must fail with a clear conversion hint, not a confusing
-    Turtle error."""
-    for fname in ("x.rt", "x.trdf", "x.shaclc", "x.shc"):
+def test_thrift_fails_loudly(spark, tmp_path):
+    """The reference sniff list's binary format has no parser here — it
+    must fail with a clear conversion hint, not a confusing Turtle
+    error. (SHACL-C gained a real reader in round 5.)"""
+    for fname in ("x.rt", "x.trdf"):
         f = tmp_path / fname
-        f.write_bytes(b"\x82binary-or-compact-content")
+        f.write_bytes(b"\x82binary-content")
         with pytest.raises(ValueError, match="not readable here"):
             read_rdf_local(spark, str(f))
+
+
+SHACLC_FIXTURE = """
+BASE <http://example.com/ns>
+IMPORTS <http://example.com/person-ontology>
+PREFIX ex: <http://example.com/ns#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+shape ex:PersonShape -> ex:Person {
+    targetNode=ex:Alice .
+    ex:ssn xsd:string [0..1] pattern="^[0-9]+$" .
+    ex:worksFor @ex:CompanyShape [0..*] .
+    ^ex:manages ex:Person [1..*] .
+    ex:age xsd:integer minInclusive=0 .
+    ex:account IRI .
+}
+"""
+
+
+def test_shaclc_reader_roundtrip(spark, tmp_path):
+    """SHACL-C fixture → the standard SHACL triples Jena's reader emits
+    for the same shapes — compared against the equivalent Turtle, with
+    blank-node labels canonicalized by (shape, path) since labels are
+    parser-private."""
+    from abecto_spark.sources.shaclc import parse_shaclc
+    from abecto_spark.sources.turtle import parse_turtle
+
+    rows = parse_shaclc(SHACLC_FIXTURE)
+    turtle_equiv = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.com/ns#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix owl: <http://www.w3.org/2002/07/owl#> .
+    <http://example.com/ns> a owl:Ontology ;
+        owl:imports <http://example.com/person-ontology> .
+    ex:PersonShape a sh:NodeShape ;
+        sh:targetClass ex:Person ;
+        sh:targetNode ex:Alice ;
+        sh:property [ sh:path ex:ssn ; sh:datatype xsd:string ;
+                      sh:maxCount 1 ; sh:pattern "^[0-9]+$" ] ;
+        sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] ;
+        sh:property [ sh:path [ sh:inversePath ex:manages ] ;
+                      sh:class ex:Person ; sh:minCount 1 ] ;
+        sh:property [ sh:path ex:age ; sh:datatype xsd:integer ;
+                      sh:minInclusive 0 ] ;
+        sh:property [ sh:path ex:account ; sh:nodeKind sh:IRI ] .
+    """
+    expected = parse_turtle(turtle_equiv)
+
+    def canon(triples):
+        """Rewrite bnode labels to a canonical form keyed by the
+        sh:path object the property node points at."""
+        SH = "http://www.w3.org/ns/shacl#"
+        label = {}
+        # path via plain IRI
+        for s, p, k, v, dt, lg in triples:
+            if p == SH + "path" and k == "iri":
+                label[s] = "b:" + v
+        # inverse paths: the inner bnode then the outer property node
+        for s, p, k, v, dt, lg in triples:
+            if p == SH + "inversePath":
+                label[s] = "inv:" + v
+        for s, p, k, v, dt, lg in triples:
+            if p == SH + "path" and k == "bnode":
+                label[s] = "b:" + label.get(v, v)
+        def ren(t, kind=None):
+            return label.get(t, t)
+        out = set()
+        for s, p, k, v, dt, lg in triples:
+            v2 = label.get(v, v) if k == "bnode" else v
+            # normalize integer decimals ("0" vs 0) and datatype nulls
+            out.add((label.get(s, s), p, k, v2, dt or "", lg or ""))
+        return out
+
+    got, want = canon(rows), canon(expected)
+    assert got == want
+
+
+def test_shaclc_dispatch_and_loud_corners(spark, tmp_path):
+    from abecto_spark.sources.shaclc import ShaclcUnsupported, parse_shaclc
+
+    f = tmp_path / "shapes.shaclc"
+    f.write_text(SHACLC_FIXTURE)
+    df = read_rdf_local(spark, str(f))
+    assert df.count() == len(parse_shaclc(SHACLC_FIXTURE))
+    with pytest.raises(ShaclcUnsupported):
+        parse_shaclc("shape ex:S { }")  # undeclared prefix
+    with pytest.raises(ShaclcUnsupported):
+        parse_shaclc("PREFIX ex: <http://e/> shape ex:S { ex:p (nested) . }")
 
 
 def test_parse_trig_accepts_nquads_graph_label(spark):

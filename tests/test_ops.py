@@ -282,6 +282,64 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert "fp" not in fp_cols  # internal fingerprint not leaked
 
 
+def test_streaming_exact_dedup_recovers_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart the streaming dedup against its checkpoint dir:
+    duplicates arriving AFTER the restart of content seen BEFORE it must
+    still be dropped (the dedup state lives in the checkpoint) — the
+    streaming analog of the batch resume test (VERDICT r4 #8)."""
+    import pyspark.sql.functions as F
+
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import stream_docs, streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            streaming_exact_dedup(stream_docs(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()  # the "kill": query goes away, checkpoint stays
+
+    base = synth_docs(spark, n_docs=40, n_entities=10, seed=7)
+    base.write.parquet(src)
+    run_once()
+
+    # after the restart: 10 re-emitted duplicates (new ids, same span
+    # content) plus genuinely new docs arrive in a second file
+    dupes = base.limit(10).withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    fresh = synth_docs(spark, n_docs=25, n_entities=10, seed=99).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+    )
+    dupes.unionByName(fresh).write.mode("append").parquet(src)
+    run_once()
+
+    content = F.concat_ws(
+        "\x1f",
+        F.transform("spans", lambda s: F.coalesce(s["text"], s["media_ref"])),
+    )
+    expected = (
+        spark.read.parquet(src)
+        .select(F.xxhash64(content).alias("fp"))
+        .distinct()
+        .count()
+    )
+    got = spark.read.parquet(out)
+    # exactly one survivor per distinct content across BOTH runs: if the
+    # restart had lost state, the 10 dup- docs would be re-admitted
+    assert got.count() == expected
+    assert got.where(F.col("doc_id").startswith("dup-")).count() == 0
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     import pandas as pd
 

@@ -31,11 +31,11 @@ text) —
     over predicates the rules don't later derive).
   * ``regex(?x, "pattern")`` compiles to an anchored ``rlike`` (Jena's
     Regex does a full ``matches()``); group binding is not supported.
-  * comparisons ``lessThan / greaterThan / le / ge`` — numeric
-    comparison of the two argument values (Jena compares numbers and
-    time instants; dates are a documented restriction here). A
-    non-numeric value fails the builtin, so the rule does not fire for
-    that binding — Jena's behavior for incomparable arguments.
+  * comparisons ``lessThan / greaterThan / le / ge`` — comparison of
+    the two argument values as numbers, or as time instants (epoch
+    seconds) when not numeric — Jena's "numbers or time instants". A
+    value that is neither fails the builtin, so the rule does not fire
+    for that binding — Jena's behavior for incomparable arguments.
   * ``equal / notEqual`` — term equality (kind, value, datatype, lang)
     or numeric value equality, mirroring Jena's sameValueAs semantics
     for typed numbers.
@@ -262,13 +262,19 @@ def _builtin_struct(t):
 
 
 def _builtin_num(t):
-    """Numeric view of a builtin argument's value; NULL when the value
-    is not a number (the builtin then fails for that binding, matching
-    Jena's incomparable-arguments behavior)."""
+    """Comparable view of a builtin argument's value: a number, or a
+    time instant as epoch seconds (Jena's lessThan family compares
+    "numbers or time instants"). NULL when the value is neither — the
+    builtin then fails for that binding, matching Jena's
+    incomparable-arguments behavior. try_cast keeps ANSI mode from
+    throwing on malformed input."""
     v = F.col(t.name)["value"] if isinstance(t, Var) else (
         F.lit(t.lex) if isinstance(t, Lit) else F.lit(t.value)
     )
-    return v.try_cast("double")  # NULL on malformed, even under ANSI
+    return F.coalesce(
+        v.try_cast("double"),
+        v.try_cast("timestamp").cast("double"),
+    )
 
 
 def _apply_builtins(

@@ -302,3 +302,26 @@ def test_rule_comparison_parse_errors():
         parse_jena_rules(
             f"[(?a <{EX}p> ?b) ge(?zz, 3) -> (?a <{EX}q> ?b)]"
         )
+
+
+def test_rule_comparison_time_instants(spark):
+    """Jena's lessThan family compares time instants too — date/dateTime
+    literal values compare as epoch instants."""
+    XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
+    rows = [
+        (EX + "old", EX + "when", "literal", "2001-05-15", XSD_DATE, ""),
+        (EX + "new", EX + "when", "literal", "2026-01-02", XSD_DATE, ""),
+        (EX + "exact", EX + "when", "literal",
+         "2026-01-02 00:00:00", XSD_DATE, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        t,
+        f'[old: (?s <{EX}when> ?d) lessThan(?d, "2010-01-01")'
+        f" -> (?s <{EX}flag> <{EX}Old>)]"
+        f'[eq: (?s <{EX}when> ?d) equal(?d, "2026-01-02")'
+        f" -> (?s <{EX}flag2> <{EX}Same>)]",
+    )
+    assert _flagged(out, "flag") == {EX + "old"}
+    # value equality via the instant view: midnight timestamp == date
+    assert _flagged(out, "flag2") == {EX + "new", EX + "exact"}

@@ -67,6 +67,7 @@ from ..sparql import (
     Var,
     _Compiler,
     _Parser,
+    _order_keys,
     parse_construct,
 )
 
@@ -475,6 +476,14 @@ def apply_construct(
         for tp in q.template:
             if not _triple_vars([tp]) <= bound:
                 raise SparqlUnsupported("template variable not bound in WHERE")
+        # ORDER BY/LIMIT/OFFSET slice the solution sequence before the
+        # template instantiates (orderBy+limit folds to TakeOrdered)
+        if q.order:
+            match = match.orderBy(*_order_keys(q.order, bound))
+        if q.offset:
+            match = match.offset(q.offset)
+        if q.limit is not None:
+            match = match.limit(q.limit)
         new = (
             _head_rows(match, bound, q.template)
             .distinct()

@@ -640,6 +640,57 @@ def q_aspect_algebra(spark, sf):
     )
 
 
+def q_sparql_corners(spark, sf):
+    """Round-5 expressiveness lifts as an oracle row: a repeated
+    variable within one triple pattern (``?x <peer> ?x`` — a same-term
+    filter on the scan, no extra join) composed with a disconnected
+    OPTIONAL (SPARQL 1.1 §18.5 LeftJoin over no shared variables — a
+    condition-true left join). Jena ARQ accepts both for the reference
+    (`Aspect.java:91-116`)."""
+    from ..sparql import sparql_select
+
+    ex = "http://example.org/"
+    nation = _t(spark, sf, "nation")
+    n = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+
+    def t(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(ex + p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"),
+            F.lit(dt).cast("string").alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    triples = (
+        nation.select(*t(n, "name", "literal", F.col("n_name"), XSD_STRING))
+        .unionByName(  # self-loop on every third nation
+            nation.where(F.col("n_nationkey") % 3 == 0)
+            .select(*t(n, "peer", "iri", n, None))
+        )
+        .unionByName(  # ring edges: never self, must NOT match ?x peer ?x
+            nation.select(*t(
+                n, "peer", "iri",
+                F.concat(
+                    F.lit("n"), ((F.col("n_nationkey") + 1) % 25).cast("string")
+                ),
+                None,
+            ))
+        )
+    )
+    out = sparql_select(
+        triples,
+        f"""SELECT ?x ?nm ?anchor WHERE {{
+              ?x <{ex}peer> ?x ; <{ex}name> ?nm .
+              OPTIONAL {{ <n0> <{ex}name> ?anchor }}
+            }}""",
+    )
+    return out.select(
+        F.col("x")["value"].alias("resource"),
+        F.col("nm")["value"].alias("name"),
+        F.col("anchor")["value"].alias("anchor"),
+    )
+
+
 def _nation_chain_triples(spark, sf):
     """Shared RDF graph for the property-path oracle rows: customers
     ``locatedIn`` nations, nations chained by ``next`` in nationkey
@@ -1323,6 +1374,7 @@ QUERIES = {
     "sparql_paths": q_sparql_paths,
     "sparql_paths_seeded": q_sparql_paths_seeded,
     "sparql_paths_ground": q_sparql_paths_ground,
+    "sparql_corners": q_sparql_corners,
     "sparql_graph": q_sparql_graph,
     "corpus_curation": q_corpus_curation,
     "sparql_subquery": q_sparql_subquery,
@@ -1463,6 +1515,14 @@ ORACLES = {
         SELECT DISTINCT 'n' || CAST(reach.b AS VARCHAR) AS node,
                'r' || CAST(m.n_regionkey AS VARCHAR) AS region
         FROM reach JOIN nation m ON m.n_nationkey = reach.b
+    """,
+    "sparql_corners": """
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS resource,
+               n_name AS name,
+               (SELECT n2.n_name FROM nation n2 WHERE n2.n_nationkey = 0)
+                 AS anchor
+        FROM nation
+        WHERE n_nationkey % 3 = 0
     """,
     "sparql_paths_ground": """
         WITH RECURSIVE nxt(a, b) AS (

@@ -78,12 +78,18 @@ federation (plain-triples patterns serialized back to a SELECT and sent
 through the crawl's HTTP transport; SILENT maps failure to the spec's
 single empty solution).
 
-Restrictions (documented, loud): no variable SERVICE endpoints or
-non-triple SERVICE patterns. Unsupported syntax raises
-``SparqlUnsupported``. (BASE, GRAPH, per-graph path closures, UNDEF,
-subqueries, negated property sets, AVG(DISTINCT), disconnected EXISTS,
-DESCRIBE *, SERVICE federation, and MINUS/EXISTS over possibly-unbound
-shared variables were all lifted in round 4.)
+Round 5 lifted the remaining structural corners: ground path probes
+``<a> p* <b>`` (seeded frontier with early exit), spec-exact zero-length
+paths, full group patterns and VALUES-bound variable endpoints in
+SERVICE, repeated variables within one triple pattern (``?x p ?x`` — a
+same-term filter on the scan), GRAPH labels reused inside their own
+pattern, OPTIONAL as the first operand of a group (§18.5
+LeftJoin(unit, P)), OPTIONAL sharing no variables (condition-true left
+join), and ORDER BY / LIMIT / OFFSET on CONSTRUCT.
+
+Unsupported syntax raises ``SparqlUnsupported`` — at this point that is
+malformed queries plus genuinely exotic forms (path modifiers on a
+variable predicate, GROUP BY/HAVING on CONSTRUCT).
 """
 
 from __future__ import annotations
@@ -228,6 +234,9 @@ class SelectQuery:
 class ConstructQuery:
     template: list  # list[Triple]
     where: Group
+    order: list = field(default_factory=list)  # [(expr, ascending)]
+    limit: int | None = None
+    offset: int | None = None
 
 
 @dataclass
@@ -504,9 +513,16 @@ class _Parser:
         if self.at_word("WHERE"):
             self.next()
         where = self.parse_group()
-        if self.at_word("LIMIT", "OFFSET", "ORDER", "GROUP", "HAVING", "VALUES"):
-            raise SparqlUnsupported("solution modifier on CONSTRUCT not supported")
-        return ConstructQuery(template.triples, where)
+        if self.at_word("GROUP", "HAVING"):
+            raise SparqlUnsupported("GROUP BY/HAVING on CONSTRUCT not supported")
+        # ORDER BY / LIMIT / OFFSET slice the solution sequence before
+        # template instantiation (SPARQL 1.1 grammar: ConstructQuery's
+        # SolutionModifier); trailing VALUES joins into the WHERE group
+        mods = SelectQuery([], where)
+        self.parse_solution_modifiers(mods)
+        return ConstructQuery(
+            template.triples, where, mods.order, mods.limit, mods.offset
+        )
 
     def parse_ask(self) -> AskQuery:
         self.parse_prologue()
@@ -1083,19 +1099,25 @@ class _Compiler:
             raise SparqlUnsupported("literal subject")
         # predicate
         if isinstance(tp.p, Var):
+            p_struct = _term_struct(F.lit("iri"), F.col("p"), F.lit(""), F.lit(""))
             if tp.p.name in cols:
-                raise SparqlUnsupported("repeated variable within one triple pattern")
-            cols[tp.p.name] = _term_struct(F.lit("iri"), F.col("p"), F.lit(""), F.lit(""))
+                # repeated variable (?x ?x ?o): both positions must hold
+                # the same term — a filter on the scan, no extra join
+                df = df.where(cols[tp.p.name] == p_struct)
+            else:
+                cols[tp.p.name] = p_struct
         else:
             df = df.where(F.col("p") == tp.p.value)
         # object
         if isinstance(tp.o, Var):
-            if tp.o.name in cols:
-                # e.g. ?x ?x ?x — join a fresh scan instead
-                raise SparqlUnsupported("repeated variable within one triple pattern")
-            cols[tp.o.name] = _term_struct(
+            o_struct = _term_struct(
                 F.col("o_kind"), F.col("o_value"), F.col("o_datatype"), F.col("o_lang")
             )
+            if tp.o.name in cols:
+                # repeated variable (?x ?p ?x / ?x ?x ?x): same-term filter
+                df = df.where(cols[tp.o.name] == o_struct)
+            else:
+                cols[tp.o.name] = o_struct
         elif isinstance(tp.o, Iri):
             df = df.where((F.col("o_kind") == "iri") & (F.col("o_value") == tp.o.value))
         else:
@@ -1106,14 +1128,13 @@ class _Compiler:
                 & (F.col("o_lang") == tp.o.lang)
             )
         if self.graph_var is not None:
+            g_struct = _term_struct(F.lit("iri"), F.col("graph"), F.lit(""), F.lit(""))
             if self.graph_var in cols:
-                raise SparqlUnsupported(
-                    "graph variable reused as subject/predicate/object"
-                    " inside one triple pattern"
-                )
-            cols[self.graph_var] = _term_struct(
-                F.lit("iri"), F.col("graph"), F.lit(""), F.lit("")
-            )
+                # GRAPH ?g { ... ?g ... }: the graph label must equal the
+                # term bound at the inner position — same-term filter
+                df = df.where(cols[self.graph_var] == g_struct)
+            else:
+                cols[self.graph_var] = g_struct
         out = df.select(*[c.alias(n) for n, c in cols.items()])
         return out, set(cols)
 
@@ -1130,8 +1151,13 @@ class _Compiler:
         """
         if acc is None:
             nm = set(df_maybe)
-            if how == "left":  # leftjoin with empty lhs cannot arise
-                raise SparqlUnsupported("OPTIONAL as the first operand")
+            if how == "left":
+                # SPARQL §18.5 LeftJoin(unit, P): all of P's solutions,
+                # or the single empty mapping when P is empty — a 1-row
+                # zero-column unit table left-joined on true (the unit
+                # side broadcasts; cost is one pass over P)
+                unit = df.sparkSession.range(1).select()
+                return unit.join(df, F.lit(True), "left"), set(vs), set(vs) | nm
             return df, set(vs), nm
         shared = sorted(bound & vs)
         risky = [v for v in shared if v in maybe or v in df_maybe]
@@ -1140,7 +1166,11 @@ class _Compiler:
             if shared:
                 acc = acc.join(df, on=shared, how=how)
             elif how == "left":
-                raise SparqlUnsupported("OPTIONAL sharing no variables")
+                # OPTIONAL sharing no variables: every lhs solution
+                # extends with every rhs solution (or stays bare when the
+                # rhs is empty) — a condition-true left join; inherently
+                # a product, bounded by the optional pattern's result
+                acc = acc.join(df, F.lit(True), "left")
             else:
                 acc = acc.crossJoin(df)
             new_maybe = set(maybe)
@@ -1616,6 +1646,7 @@ class _Compiler:
             and not g.values_blocks and not g.path_closures
             and not g.graph_blocks and not g.subqueries
             and not g.neg_triples and not g.services
+            and not g.optionals
         ):
             raise SparqlUnsupported("empty group pattern")
         acc: DataFrame | None = None

@@ -76,6 +76,7 @@ def main() -> None:
         "sparql_paths",
         "sparql_paths_seeded",
         "sparql_paths_ground",
+        "sparql_corners",
         "sparql_graph",
         "sparql_subquery",
         "rule_builtins",

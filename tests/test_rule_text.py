@@ -325,3 +325,36 @@ def test_rule_comparison_time_instants(spark):
     assert _flagged(out, "flag") == {EX + "old"}
     # value equality via the instant view: midnight timestamp == date
     assert _flagged(out, "flag2") == {EX + "new", EX + "exact"}
+
+
+def test_construct_solution_modifiers(spark):
+    """ORDER BY / LIMIT / OFFSET slice the solution sequence before the
+    template instantiates (SPARQL 1.1 ConstructQuery SolutionModifier)."""
+    from abecto_spark.operators.rule_text import apply_construct
+
+    ex = "http://example.org/"
+    rows = [
+        (ex + "a", ex + "v", "literal", "1",
+         "http://www.w3.org/2001/XMLSchema#integer", ""),
+        (ex + "b", ex + "v", "literal", "2",
+         "http://www.w3.org/2001/XMLSchema#integer", ""),
+        (ex + "c", ex + "v", "literal", "3",
+         "http://www.w3.org/2001/XMLSchema#integer", ""),
+    ]
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string")
+    t = spark.createDataFrame(rows, ddl)
+    top = apply_construct(
+        t,
+        f"CONSTRUCT {{ ?s <{ex}top> ?o }} WHERE {{ ?s <{ex}v> ?o }}"
+        " ORDER BY DESC(?o) LIMIT 1",
+    )
+    assert [r["s"] for r in
+            top.where(f"p = '{ex}top'").collect()] == [ex + "c"]
+    mid = apply_construct(
+        t,
+        f"CONSTRUCT {{ ?s <{ex}mid> ?o }} WHERE {{ ?s <{ex}v> ?o }}"
+        " ORDER BY ?o OFFSET 1 LIMIT 1",
+    )
+    assert [r["s"] for r in
+            mid.where(f"p = '{ex}mid'").collect()] == [ex + "b"]

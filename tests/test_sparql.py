@@ -1181,3 +1181,85 @@ def test_path_closure_inside_graph_var(spark, graph_chains):
         (EX + "g2", EX + "a"), (EX + "g2", EX + "x"),
         # NOT (g1, c): the b->c hop lives in g2
     }
+
+
+# -- round-5 expressiveness lifts -------------------------------------
+
+
+def test_repeated_variable_in_one_triple_pattern(spark):
+    """?x p ?x is a same-term filter on the scan, not an error."""
+    rows = [
+        (EX + "a", EX + "knows", "iri", EX + "a", None, None),
+        (EX + "a", EX + "knows", "iri", EX + "b", None, None),
+        (EX + "b", EX + "knows", "iri", EX + "b", None, None),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(t, f"SELECT ?x WHERE {{ ?x <{EX}knows> ?x }}")
+    assert {r["x"]["value"] for r in out.collect()} == {EX + "a", EX + "b"}
+    # all three positions shared: nothing here has s == p == o
+    assert sparql_select(t, "SELECT ?x WHERE { ?x ?x ?x }").count() == 0
+    # predicate/object shared, subject distinct
+    t2 = t.unionByName(
+        spark.createDataFrame(
+            [(EX + "z", EX + "knows", "iri", EX + "knows", None, None)],
+            TRIPLES_DDL,
+        )
+    )
+    out2 = sparql_select(t2, "SELECT ?s ?x WHERE { ?s ?x ?x }")
+    assert [(r["s"]["value"], r["x"]["value"]) for r in out2.collect()] == [
+        (EX + "z", EX + "knows")
+    ]
+
+
+def test_graph_variable_reused_inside_pattern(spark, quads):
+    """GRAPH ?g { ?g ... }: the label equals the inner term (self-
+    describing graphs) — a filter, not an error."""
+    meta = spark.createDataFrame(
+        [(EX + "g1", EX + "author", "literal", "Ann", XSD_STRING, "",
+          EX + "g1")],
+        TRIPLES_DDL + ", graph string",
+    )
+    out = sparql_select(
+        quads.unionByName(meta),
+        f"SELECT ?g ?who WHERE {{ GRAPH ?g {{ ?g <{EX}author> ?who }} }}",
+    ).collect()
+    assert [(r["g"]["value"], r["who"]["value"]) for r in out] == [
+        (EX + "g1", "Ann")
+    ]
+
+
+def test_optional_as_first_operand(spark, triples):
+    """§18.5 LeftJoin(unit, P): P's solutions, or the single empty
+    mapping when P is empty."""
+    out = sparql_select(
+        triples, f"SELECT ?x ?y WHERE {{ OPTIONAL {{ ?x <{EX}boss> ?y }} }}"
+    ).collect()
+    assert [(r["x"]["value"], r["y"]["value"]) for r in out] == [
+        (EX + "alice", EX + "bob")
+    ]
+    empty = sparql_select(
+        triples, f"SELECT ?x ?y WHERE {{ OPTIONAL {{ ?x <{EX}nope> ?y }} }}"
+    ).collect()
+    assert len(empty) == 1 and empty[0]["x"] is None and empty[0]["y"] is None
+
+
+def test_optional_sharing_no_variables(spark, triples):
+    """A disconnected OPTIONAL extends every lhs solution with every rhs
+    solution, or leaves it bare when the rhs is empty."""
+    out = sparql_select(
+        triples,
+        f"""SELECT ?who ?b WHERE {{
+              ?who <{EX}pnr> ?n .
+              OPTIONAL {{ <{EX}alice> <{EX}boss> ?b }} }}""",
+    ).collect()
+    got = {(r["who"]["value"], r["b"]["value"]) for r in out}
+    assert got == {(EX + "alice", EX + "bob"), (EX + "carol", EX + "bob")}
+    bare = sparql_select(
+        triples,
+        f"""SELECT ?who ?b WHERE {{
+              ?who <{EX}pnr> ?n .
+              OPTIONAL {{ <{EX}alice> <{EX}nope> ?b }} }}""",
+    ).collect()
+    assert {(r["who"]["value"], r["b"]) for r in bare} == {
+        (EX + "alice", None), (EX + "carol", None)
+    }

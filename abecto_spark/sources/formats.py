@@ -24,9 +24,6 @@ _EXT = {
     ".trix": "trix",
     ".jsonld": "jsonld", ".json": "jsonld",
     ".rj": "rdfjson",
-    # reference sniff-list formats with no parser in this container —
-    # mapped so they fail with a clear message instead of a confusing
-    # Turtle parse error (`Models.java:66-67`: RDFTHRIFT, SHACLC)
     ".rt": "rdfthrift", ".trdf": "rdfthrift",
     ".shaclc": "shaclc", ".shc": "shaclc",
 }
@@ -106,13 +103,9 @@ def read_rdf_local(spark: SparkSession, path: str, fmt: str | None = None) -> Da
 
         return read_shaclc_local(spark, path)
     if fmt == "rdfthrift":
-        raise ValueError(
-            "rdfthrift is recognized (reference sniff list,"
-            " Models.java:66-67) but not readable here: RDF-Thrift is a"
-            " binary format needing a thrift decoder, which is not"
-            " available in this environment — convert to"
-            " N-Triples/Turtle/TriG/RDF-XML/JSON-LD/TriX/RDF-JSON/SHACL-C"
-        )
+        from .rdfthrift import read_rdfthrift_local
+
+        return read_rdfthrift_local(spark, path).drop("graph")
     raise ValueError(f"unknown RDF format {fmt!r}")
 
 

@@ -398,14 +398,24 @@ def test_rdfjson_roundtrip_and_dispatch(spark, tmp_path):
             parse_rdfjson(bad)
 
 
-def test_thrift_fails_loudly(spark, tmp_path):
-    """The reference sniff list's binary format has no parser here — it
-    must fail with a clear conversion hint, not a confusing Turtle
-    error. (SHACL-C gained a real reader in round 5.)"""
+def test_thrift_reads_and_garbage_fails_loudly(spark, tmp_path):
+    """RDF-Thrift gained a real reader in round 5: both extensions
+    dispatch to it; garbage bytes fail with a thrift error, not a
+    confusing Turtle error."""
+    from abecto_spark.sources.rdfthrift import (
+        RdfThriftUnsupported,
+        write_rdfthrift,
+    )
+
+    rows = [("http://e/s", "http://e/p", "iri", "http://e/o", None, "",
+             None)]
     for fname in ("x.rt", "x.trdf"):
         f = tmp_path / fname
-        f.write_bytes(b"\x82binary-content")
-        with pytest.raises(ValueError, match="not readable here"):
+        f.write_bytes(write_rdfthrift(rows))
+        assert [tuple(r) for r in read_rdf_local(spark, str(f)).collect()] \
+            == [rows[0][:6]]
+        f.write_bytes(b"\x82binary-garbage")
+        with pytest.raises(RdfThriftUnsupported):
             read_rdf_local(spark, str(f))
 
 

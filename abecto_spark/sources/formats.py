@@ -38,8 +38,15 @@ def sniff_format(path: str, head: str | None = None) -> str:
         if low.endswith(ext):
             return fmt
     if head is None:
-        with open(path, encoding="utf-8-sig", errors="replace") as fh:
-            head = fh.read(8192)
+        with open(path, "rb") as fh:
+            raw = fh.read(8192)
+        # an RDF-Thrift stream opens with the RDF_StreamRow field header:
+        # 0x1C (prefixDecl) / 0x2C (triple) are bytes no RDF text format
+        # starts with (0x3C — a quad-first stream — is '<', which opens
+        # XML/N-Triples, so that case needs the extension/content type)
+        if raw[:1] in (b"\x1c", b"\x2c"):
+            return "rdfthrift"
+        head = raw.decode("utf-8", errors="replace").lstrip("﻿")
     stripped = head.lstrip("﻿ \t\r\n")
     if "<TriX" in head or "trix/trix-1" in head:
         return "trix"
@@ -127,6 +134,7 @@ CONTENT_TYPES = {
     "application/trig": "trig",
     "application/trix+xml": "trix",
     "application/rdf+json": "rdfjson",
+    "application/rdf+thrift": "rdfthrift",  # binary — handled pre-decode
 }
 
 

@@ -451,6 +451,38 @@ def _urllib_get(url: str, headers: dict) -> tuple[bytes, str]:
 URL_TRANSPORT = _urllib_get
 
 
+def _read_body(spark, body: bytes, fmt, read_rdf_text) -> DataFrame:
+    """Parse a fetched body: RDF-Thrift stays binary (parsed before any
+    text decode); everything else decodes to UTF-8 and goes through the
+    content-type parser / brute-force text detection. A body that is not
+    UTF-8 text at all gets one thrift attempt before failing loudly."""
+    from .rdfthrift import QUADS_DDL, RdfThriftUnsupported, parse_rdfthrift
+
+    def thrift_df(buf: bytes) -> DataFrame:
+        rows = parse_rdfthrift(buf)
+        df = spark.createDataFrame(rows, QUADS_DDL) if rows \
+            else spark.createDataFrame([], QUADS_DDL)
+        return df.drop("graph")
+
+    if fmt == "rdfthrift":
+        return thrift_df(body)
+    # unknown content type: an RDF-Thrift stream starts with the
+    # RDF_StreamRow field header 0x1C (prefixDecl) or 0x2C (triple) —
+    # bytes no RDF text format opens with (0x3C, a quad-first stream,
+    # is '<' and would shadow XML/N-Triples, so that case requires the
+    # declared content type), so one cheap thrift attempt comes first
+    if fmt is None and body[:1] in (b"\x1c", b"\x2c"):
+        try:
+            return thrift_df(body)
+        except RdfThriftUnsupported:
+            pass  # fall through to text brute-force
+    try:
+        text = body.decode("utf-8")
+    except UnicodeDecodeError:
+        return thrift_df(body)
+    return read_rdf_text(spark, text, fmt)
+
+
 def url_source(spark: SparkSession, urls: list[str]) -> DataFrame:
     """`UrlSourceProcessor.java:29-43`: read each URL into the primary
     model — the reference's driver-side `Models.read(model, uri)`
@@ -467,7 +499,7 @@ def url_source(spark: SparkSession, urls: list[str]) -> DataFrame:
             accept = ", ".join(sorted(CONTENT_TYPES)) + ", */*;q=0.8"
             body, ctype = URL_TRANSPORT(url, {"Accept": accept})
             fmt = CONTENT_TYPES.get(ctype.split(";")[0].strip().lower())
-            df = read_rdf_text(spark, body.decode("utf-8"), fmt)
+            df = _read_body(spark, body, fmt, read_rdf_text)
         else:
             path = url[len("file://"):] if url.startswith("file://") else url
             df = read_rdf_local(spark, path)

@@ -467,3 +467,29 @@ def test_http_endpoint_frontier_guard(spark):
     )
     with pytest.raises(CrawlError, match="max_frontier"):
         ep.describe(frontier, inverse=False)
+
+
+def test_url_source_rdf_thrift_binary(spark, monkeypatch):
+    """RDF-Thrift bodies are parsed as bytes — both when the server
+    declares application/rdf+thrift and when a binary body arrives with
+    no recognized content type (pre-decode fallback)."""
+    from abecto_spark.sources import sparql_source as mod
+    from abecto_spark.sources.rdfthrift import write_rdfthrift
+
+    body = write_rdfthrift(
+        [(NS + "s", NS + "p", "literal", "bin", XSD_STRING, "", None)]
+    )
+
+    monkeypatch.setattr(
+        mod, "URL_TRANSPORT",
+        lambda url, headers: (body, "application/rdf+thrift"),
+    )
+    rows = [tuple(r) for r in url_source(spark, ["http://mock/t"]).collect()]
+    assert rows == [(NS + "s", NS + "p", "literal", "bin", XSD_STRING, "")]
+
+    monkeypatch.setattr(
+        mod, "URL_TRANSPORT",
+        lambda url, headers: (body, "application/octet-stream"),
+    )
+    rows = [tuple(r) for r in url_source(spark, ["http://mock/t"]).collect()]
+    assert rows == [(NS + "s", NS + "p", "literal", "bin", XSD_STRING, "")]

@@ -42,13 +42,30 @@ text) —
   * tests ``bound(?x)``, ``isLiteral(?x)``, ``isIRI(?x)`` /
     ``isURI(?x)``, ``isBNode(?x)`` — column predicates on the bound
     term struct.
+  * binding builtins ``sum/difference/product/quotient/min/max(?a, ?b,
+    ?c)``, ``addOne(?a, ?c)``, ``strConcat(... ?out)``,
+    ``uriConcat(... ?out)``, ``makeTemp(?v ...)`` — evaluated in
+    written order like Jena's forward engine: the last argument binds
+    the computed value when unbound, otherwise the builtin acts as an
+    equality check (Jena ``BaseBuiltin.bind``). Arithmetic follows
+    Jena's promotion: integer results when both inputs are
+    integer-family typed with integral lexical forms, double otherwise
+    (we also promote fractional xsd:decimal instead of truncating);
+    ``quotient`` on integers truncates toward zero like Java long
+    division, and division by zero fails the builtin (row dropped)
+    rather than raising. ``makeTemp`` mints a blank node whose label is
+    a deterministic 128-bit hash of the rule id and the row's bindings,
+    so re-deriving the same match in a later semi-naive round
+    deduplicates instead of minting forever (Jena's RETE engine fires
+    once per token; this is the distributed equivalent).
 
-All builtins compile to column predicates (or one anti-join for
-noValue) over the matched body bindings — no new join shapes.
-Restrictions: other Jena builtins (``makeTemp``, ``sum``, ...),
-builtins in rule heads, and backward rules are unsupported; CONSTRUCT
-WHERE supports the aspect-pattern subset of sparql.py. Unsupported
-syntax raises ``SparqlUnsupported``.
+All builtins compile to column predicates or projections (plus one
+anti-join for noValue) over the matched body bindings — no new join
+shapes. Restrictions: the remaining Jena builtins (``table``,
+``hide``, print/drop side-effects, backward-only builtins), builtins
+in rule heads, and backward rules are unsupported; CONSTRUCT WHERE
+supports the aspect-pattern subset of sparql.py. Unsupported syntax
+raises ``SparqlUnsupported``.
 """
 
 from __future__ import annotations
@@ -58,7 +75,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model import XSD_STRING
+from ..model import XSD_DOUBLE, XSD_INTEGER, XSD_INTEGER_TYPES, XSD_STRING
 from ..sparql import (
     Iri,
     Lit,
@@ -68,6 +85,7 @@ from ..sparql import (
     _Compiler,
     _Parser,
     _order_keys,
+    _term_struct,
     parse_construct,
 )
 
@@ -78,7 +96,14 @@ TRIPLE_COLS = ("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
 _CMP_BUILTINS = ("lessThan", "greaterThan", "le", "ge", "equal", "notEqual")
 #: unary term tests
 _TEST_BUILTINS = ("bound", "isLiteral", "isIRI", "isURI", "isBNode")
-_ALL_BUILTINS = ("noValue", "regex") + _CMP_BUILTINS + _TEST_BUILTINS
+#: binding builtins: compute a value into the LAST argument (an unbound
+#: variable), evaluated in written order like Jena's forward engine
+_ARITH_BUILTINS = ("sum", "difference", "product", "quotient", "min", "max",
+                   "addOne")
+_BIND_BUILTINS = _ARITH_BUILTINS + ("strConcat", "uriConcat", "makeTemp")
+_ALL_BUILTINS = (
+    ("noValue", "regex") + _CMP_BUILTINS + _TEST_BUILTINS + _BIND_BUILTINS
+)
 
 
 @dataclass(frozen=True)
@@ -158,31 +183,52 @@ def _parse_rule(p: _Parser) -> Rule:
         p.next()
     if not body or not head:
         raise SparqlUnsupported("rule needs at least one body and head atom")
-    body_vars = _triple_vars(body)
-    for tp in head:
-        if not _triple_vars([tp]) <= body_vars:
-            raise SparqlUnsupported("head variable not bound in body")
+    # builtins see bindings in written order (Jena's forward engine);
+    # binding builtins extend the available set for later builtins and
+    # for the head
+    avail = _triple_vars(body)
     for b in builtins:
         if b.name == "regex":
             tgt = b.args[0]
-            if not (isinstance(tgt, Var) and tgt.name in body_vars):
+            if not (isinstance(tgt, Var) and tgt.name in avail):
                 raise SparqlUnsupported(
                     "regex target must be a variable bound in the body"
                 )
         elif b.name == "noValue":
             # needs ≥1 body variable to anchor the anti-join
             if not any(
-                isinstance(t, Var) and t.name in body_vars for t in b.args
+                isinstance(t, Var) and t.name in avail for t in b.args
             ):
                 raise SparqlUnsupported(
                     "noValue must share a variable with the rule body"
                 )
+        elif b.name == "makeTemp":
+            for t in b.args:
+                if not isinstance(t, Var) or t.name in avail:
+                    raise SparqlUnsupported(
+                        "makeTemp arguments must be unbound variables"
+                    )
+                avail.add(t.name)
+        elif b.name in _BIND_BUILTINS:
+            for t in b.args[:-1]:
+                if isinstance(t, Var) and t.name not in avail:
+                    raise SparqlUnsupported(
+                        f"{b.name} input ?{t.name} not bound in the body"
+                    )
+            out = b.args[-1]
+            if isinstance(out, Var) and out.name not in avail:
+                avail.add(out.name)
+            # else: check mode — the computed value is compared against
+            # the already-bound term (Jena BaseBuiltin.bind)
         else:  # comparison/test: every variable argument must be bound
             for t in b.args:
-                if isinstance(t, Var) and t.name not in body_vars:
+                if isinstance(t, Var) and t.name not in avail:
                     raise SparqlUnsupported(
                         f"{b.name} argument ?{t.name} not bound in the body"
                     )
+    for tp in head:
+        if not _triple_vars([tp]) <= avail:
+            raise SparqlUnsupported("head variable not bound in body")
     return Rule(name, tuple(body), tuple(head), tuple(builtins))
 
 
@@ -220,6 +266,15 @@ def _parse_builtin(p: _Parser) -> Builtin:
     elif name in _TEST_BUILTINS:
         if len(args) != 1:
             raise SparqlUnsupported(f"{name} builtin takes exactly 1 argument")
+    elif name in _ARITH_BUILTINS:
+        need = 2 if name == "addOne" else 3
+        if len(args) != need:
+            raise SparqlUnsupported(
+                f"{name} builtin takes exactly {need} arguments"
+            )
+    elif name in ("strConcat", "uriConcat", "makeTemp"):
+        if not args:
+            raise SparqlUnsupported(f"{name} builtin takes at least 1 argument")
     return Builtin(name, tuple(args))
 
 
@@ -278,15 +333,128 @@ def _builtin_num(t):
     )
 
 
+def _builtin_lex(t):
+    """Lexical view of a builtin argument (literal lex / IRI string /
+    bnode label)."""
+    if isinstance(t, Var):
+        return F.col(t.name)["value"]
+    return F.lit(t.lex) if isinstance(t, Lit) else F.lit(t.value)
+
+
+def _builtin_dt(t):
+    if isinstance(t, Var):
+        return F.col(t.name)["datatype"]
+    return F.lit(t.datatype) if isinstance(t, Lit) else F.lit("")
+
+
+def _arith_struct(name, ins):
+    """Result term of an arithmetic builtin, with Jena's numeric
+    promotion: integer arithmetic when every input is integer-family
+    typed with an integral lexical form, double otherwise (Jena
+    promotes on Float/Double instances; we additionally promote
+    fractional xsd:decimal instead of truncating). NULL value when an
+    input is non-numeric or a division hits zero — the builtin then
+    fails for that binding."""
+    dbls = [_builtin_lex(t).try_cast("double") for t in ins]
+    longs = [_builtin_lex(t).try_cast("long") for t in ins]
+    all_int = F.lit(True)
+    for t, lg in zip(ins, longs):
+        all_int = all_int & _builtin_dt(t).isin(*XSD_INTEGER_TYPES) & lg.isNotNull()
+
+    def combine(vals):
+        a = vals[0]
+        if name == "addOne":
+            return a + F.lit(1)
+        b = vals[1]
+        if name == "sum":
+            return a + b
+        if name == "difference":
+            return a - b
+        if name == "product":
+            return a * b
+        if name == "quotient":
+            return F.try_divide(a, b)
+        if name == "min":
+            return F.least(a, b)
+        return F.greatest(a, b)  # max
+
+    lval = combine(longs)
+    if name == "quotient":
+        # Java long division truncates toward zero (as does double→long)
+        lval = lval.cast("long")
+    # every input must be numeric (least/greatest would skip NULLs)
+    all_num = F.lit(True)
+    for d in dbls:
+        all_num = all_num & d.isNotNull()
+    value = F.when(
+        all_num,
+        F.when(all_int, lval.cast("string")).otherwise(
+            combine(dbls).cast("string")
+        ),
+    )
+    dt = F.when(all_int, F.lit(XSD_INTEGER)).otherwise(F.lit(XSD_DOUBLE))
+    return _term_struct(F.lit("literal"), value, dt, F.lit(""))
+
+
+def _bind_or_check(acc, bound, out, res):
+    """Jena BaseBuiltin.bind: bind the output variable when unbound;
+    when already bound (or a constant), check computed == bound term.
+    Rows where the computation failed (NULL value) are dropped — the
+    builtin fails for that binding."""
+    acc = acc.where(res["value"].isNotNull())
+    if isinstance(out, Var) and out.name not in bound:
+        return acc.withColumn(out.name, res), bound | {out.name}
+    return acc.where(_builtin_struct(out) == res), bound
+
+
 def _apply_builtins(
-    comp_all: _Compiler, acc: DataFrame, bound: set[str], builtins
-) -> DataFrame:
-    """Builtin filters over the matched body bindings: regex → anchored
-    rlike; comparisons/tests → column predicates; noValue → left-anti
-    join against the current statement relation (evaluated per round,
-    like Jena's forward engine)."""
+    comp_all: _Compiler, acc: DataFrame, bound: set[str], builtins, salt=""
+) -> tuple[DataFrame, set[str]]:
+    """Builtin evaluation over the matched body bindings, in written
+    order: regex → anchored rlike; comparisons/tests → column
+    predicates; noValue → left-anti join against the current statement
+    relation (evaluated per round, like Jena's forward engine); binding
+    builtins → projected columns. Returns the filtered/extended frame
+    and the updated bound-variable set."""
     fresh = 0
-    for b in builtins:
+    bound = set(bound)
+    for bi, b in enumerate(builtins):
+        if b.name == "makeTemp":
+            # deterministic per (rule, row bindings): the same match in
+            # a later round re-mints the same bnode, so the fixpoint's
+            # anti-join dedups instead of deriving forever. Two salted
+            # 64-bit hashes ≈ a 128-bit label.
+            row_cols = [F.col(v) for v in sorted(bound)]
+            for t in b.args:
+                tag = F.lit(f"{salt}/{bi}/{t.name}")
+                label = F.concat(
+                    F.lit("_:mt"),
+                    F.xxhash64(tag, F.lit(1), *row_cols).cast("string"),
+                    F.lit("x"),
+                    F.xxhash64(tag, F.lit(2), *row_cols).cast("string"),
+                )
+                acc = acc.withColumn(
+                    t.name,
+                    _term_struct(F.lit("bnode"), label, F.lit(""), F.lit("")),
+                )
+                bound.add(t.name)
+            continue
+        if b.name in ("strConcat", "uriConcat"):
+            ins, out = b.args[:-1], b.args[-1]
+            val = F.concat(*[_builtin_lex(t) for t in ins]) if ins else F.lit("")
+            if b.name == "strConcat":
+                res = _term_struct(
+                    F.lit("literal"), val, F.lit(XSD_STRING), F.lit("")
+                )
+            else:
+                res = _term_struct(F.lit("iri"), val, F.lit(""), F.lit(""))
+            acc, bound = _bind_or_check(acc, bound, out, res)
+            continue
+        if b.name in _ARITH_BUILTINS:
+            acc, bound = _bind_or_check(
+                acc, bound, b.args[-1], _arith_struct(b.name, b.args[:-1])
+            )
+            continue
         if b.name == "regex":
             tgt, pat = b.args
             acc = acc.where(
@@ -331,7 +499,7 @@ def _apply_builtins(
         shared = sorted(bound & vs)
         acc = acc.join(probe.select(*shared).distinct(), on=shared,
                        how="left_anti")
-    return acc
+    return acc, bound
 
 
 def _head_rows(match: DataFrame, bound: set[str], head) -> DataFrame:
@@ -419,10 +587,13 @@ def apply_jena_rules(
         comp_all = _Compiler(all_rows)
         comp_delta = _Compiler(delta)
         news = []
-        for r in rules:
+        for ri, r in enumerate(rules):
+            salt = f"{ri}:{r.name}"
             if first:
                 match, bound = _body_df(comp_all, None, r.body, None)
-                match = _apply_builtins(comp_all, match, bound, r.builtins)
+                match, bound = _apply_builtins(
+                    comp_all, match, bound, r.builtins, salt
+                )
                 news.append(_head_rows(match, bound, r.head))
             else:
                 # semi-naive: any new derivation uses ≥1 delta fact; cover
@@ -434,12 +605,16 @@ def apply_jena_rules(
                 # matching Jena's forward semantics)
                 if any(b.name == "noValue" for b in r.builtins):
                     match, bound = _body_df(comp_all, None, r.body, None)
-                    match = _apply_builtins(comp_all, match, bound, r.builtins)
+                    match, bound = _apply_builtins(
+                        comp_all, match, bound, r.builtins, salt
+                    )
                     news.append(_head_rows(match, bound, r.head))
                     continue
                 for i in range(len(r.body)):
                     match, bound = _body_df(comp_all, comp_delta, r.body, i)
-                    match = _apply_builtins(comp_all, match, bound, r.builtins)
+                    match, bound = _apply_builtins(
+                        comp_all, match, bound, r.builtins, salt
+                    )
                     news.append(_head_rows(match, bound, r.head))
         first = False
         cand = news[0]

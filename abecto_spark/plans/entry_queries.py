@@ -846,12 +846,15 @@ def q_sparql_subquery(spark, sf):
 def q_rule_builtins(spark, sf):
     """Jena rule builtins: ``noValue`` compiles to a left-anti join
     against the statement relation, ``regex`` to an anchored ``rlike``,
-    and the round-5 comparison/test builtins (``lessThan``,
-    ``isLiteral``) to column predicates over the matched bindings
+    the round-5 comparison/test builtins (``lessThan``, ``isLiteral``)
+    to column predicates, and the binding builtins (``sum``,
+    ``strConcat``) to projected columns over the matched bindings
     (GenericRuleReasoner grammar,
     `ForwardRuleReasoningProcessor.java:33-44`). Low-balance customers
     with no urgent orders whose name full-matches an even-digit suffix
-    get flagged."""
+    get flagged; a second rule chains off the *derived* flag in the
+    next semi-naive round and computes a tag from the customer key
+    (integer arithmetic → exact lexical forms for the oracle)."""
     from ..operators.rule_text import apply_jena_rules
 
     ex = "http://example.org/"
@@ -877,6 +880,10 @@ def q_rule_builtins(spark, sf):
             c, "bal", "literal", F.col("c_acctbal").cast("string"),
             "http://www.w3.org/2001/XMLSchema#decimal",
         )))
+        .unionByName(cust.select(*row(
+            c, "key", "literal", F.col("c_custkey").cast("string"),
+            "http://www.w3.org/2001/XMLSchema#integer",
+        )))
         .unionByName(orders.select(*row(
             F.concat(F.lit("o"), F.col("o_orderkey").cast("string")),
             "orderedBy", "iri",
@@ -889,10 +896,13 @@ def q_rule_builtins(spark, sf):
         f' noValue(?o <{ex}orderedBy> ?c) regex(?n, ".*[02468]")'
         f' lessThan(?b, 1000) isLiteral(?n)'
         f' -> (?c <{ex}flag> <{ex}NoOrders>)]'
+        f'[bb: (?c <{ex}flag> <{ex}NoOrders>) (?c <{ex}key> ?k)'
+        f' sum(?k, 7, ?d) strConcat("k", ?d, ?t)'
+        f' -> (?c <{ex}tag> ?t)]'
     )
     out = apply_jena_rules(triples, rules)
-    return out.where(F.col("p") == ex + "flag").select(
-        F.col("s").alias("customer")
+    return out.where(F.col("p") == ex + "tag").select(
+        F.col("s").alias("customer"), F.col("o_value").alias("tag")
     )
 
 
@@ -1562,7 +1572,8 @@ ORACLES = {
         WHERE cnt.n >= 5
     """,
     "rule_builtins": """
-        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS customer
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS customer,
+               'k' || CAST(c_custkey + 7 AS VARCHAR) AS tag
         FROM customer c
         WHERE c_custkey % 3 = 0
           AND NOT EXISTS (SELECT 1 FROM orders o

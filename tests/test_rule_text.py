@@ -358,3 +358,188 @@ def test_construct_solution_modifiers(spark):
     )
     assert [r["s"] for r in
             mid.where(f"p = '{ex}mid'").collect()] == [ex + "b"]
+
+
+# round-5 binding builtins (sum/difference/product/quotient/min/max/
+# addOne/strConcat/uriConcat/makeTemp) — Jena BaseBuiltin.bind: bind
+# the last argument when unbound, else act as an equality check
+
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DBL = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _obj(out, pred):
+    return sorted(
+        (r["s"], r["o_kind"], r["o_value"], r["o_datatype"])
+        for r in out.where(out.p == EX + pred).collect()
+    )
+
+
+def _xy_graph(spark):
+    rows = [
+        (EX + "a", EX + "x", "literal", "6", XSD_INT, ""),
+        (EX + "a", EX + "y", "literal", "4", XSD_INT, ""),
+        (EX + "b", EX + "x", "literal", "2.5", XSD_DBL, ""),
+        (EX + "b", EX + "y", "literal", "4", XSD_INT, ""),
+        (EX + "c", EX + "x", "literal", "oops", None, ""),
+        (EX + "c", EX + "y", "literal", "1", XSD_INT, ""),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+def test_rule_arith_builtins(spark):
+    t = _xy_graph(spark)
+    out = apply_jena_rules(
+        t,
+        f"[s: (?s <{EX}x> ?a) (?s <{EX}y> ?b) sum(?a, ?b, ?c)"
+        f" -> (?s <{EX}sum> ?c)]"
+        f"[d: (?s <{EX}x> ?a) (?s <{EX}y> ?b) difference(?a, ?b, ?c)"
+        f" -> (?s <{EX}diff> ?c)]"
+        f"[p: (?s <{EX}x> ?a) (?s <{EX}y> ?b) product(?a, ?b, ?c)"
+        f" -> (?s <{EX}prod> ?c)]"
+        f"[q: (?s <{EX}x> ?a) (?s <{EX}y> ?b) quotient(?a, ?b, ?c)"
+        f" -> (?s <{EX}quot> ?c)]"
+        f"[mn: (?s <{EX}x> ?a) (?s <{EX}y> ?b) min(?a, ?b, ?c)"
+        f" -> (?s <{EX}min> ?c)]"
+        f"[mx: (?s <{EX}x> ?a) (?s <{EX}y> ?b) max(?a, ?b, ?c)"
+        f" -> (?s <{EX}max> ?c)]"
+        f"[i: (?s <{EX}y> ?b) addOne(?b, ?c) -> (?s <{EX}inc> ?c)]",
+    )
+    # integer arithmetic when both inputs integral; double otherwise;
+    # non-numeric input ('oops') fails the builtin — no row for c
+    assert _obj(out, "sum") == [
+        (EX + "a", "literal", "10", XSD_INT),
+        (EX + "b", "literal", "6.5", XSD_DBL),
+    ]
+    assert _obj(out, "diff") == [
+        (EX + "a", "literal", "2", XSD_INT),
+        (EX + "b", "literal", "-1.5", XSD_DBL),
+    ]
+    assert _obj(out, "prod") == [
+        (EX + "a", "literal", "24", XSD_INT),
+        (EX + "b", "literal", "10.0", XSD_DBL),
+    ]
+    # integer quotient truncates toward zero (Java long division)
+    assert _obj(out, "quot") == [
+        (EX + "a", "literal", "1", XSD_INT),
+        (EX + "b", "literal", "0.625", XSD_DBL),
+    ]
+    assert _obj(out, "min") == [
+        (EX + "a", "literal", "4", XSD_INT),
+        (EX + "b", "literal", "2.5", XSD_DBL),
+    ]
+    assert _obj(out, "max") == [
+        (EX + "a", "literal", "6", XSD_INT),
+        (EX + "b", "literal", "4.0", XSD_DBL),
+    ]
+    assert _obj(out, "inc") == [
+        (EX + "a", "literal", "5", XSD_INT),
+        (EX + "b", "literal", "5", XSD_INT),
+        (EX + "c", "literal", "2", XSD_INT),
+    ]
+
+
+def test_rule_quotient_by_zero_fails_builtin(spark):
+    rows = [
+        (EX + "a", EX + "x", "literal", "6", XSD_INT, ""),
+        (EX + "a", EX + "y", "literal", "0", XSD_INT, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        t,
+        f"[q: (?s <{EX}x> ?a) (?s <{EX}y> ?b) quotient(?a, ?b, ?c)"
+        f" -> (?s <{EX}quot> ?c)]",
+    )
+    assert _obj(out, "quot") == []
+
+
+def test_rule_concat_builtins(spark):
+    t = _xy_graph(spark)
+    out = apply_jena_rules(
+        t,
+        f'[sc: (?s <{EX}x> ?a) strConcat("v=", ?a, ?c)'
+        f" -> (?s <{EX}tag> ?c)]"
+        f'[uc: (?s <{EX}x> ?a) uriConcat("{EX}u/", ?a, ?c)'
+        f" -> (?s <{EX}uri> ?c)]",
+    )
+    xsd_str = "http://www.w3.org/2001/XMLSchema#string"
+    assert _obj(out, "tag") == [
+        (EX + "a", "literal", "v=6", xsd_str),
+        (EX + "b", "literal", "v=2.5", xsd_str),
+        (EX + "c", "literal", "v=oops", xsd_str),
+    ]
+    assert _obj(out, "uri") == [
+        (EX + "a", "iri", EX + "u/6", None),
+        (EX + "b", "iri", EX + "u/2.5", None),
+        (EX + "c", "iri", EX + "u/oops", None),
+    ]
+
+
+def test_rule_binding_feeds_later_builtin_and_check_mode(spark):
+    t = _xy_graph(spark)
+    # sum binds ?c, then lessThan filters on it (written-order evaluation)
+    out = apply_jena_rules(
+        t,
+        f"[s: (?s <{EX}x> ?a) (?s <{EX}y> ?b) sum(?a, ?b, ?c)"
+        f" lessThan(?c, 8) -> (?s <{EX}small> ?c)]",
+    )
+    assert _obj(out, "small") == [(EX + "b", "literal", "6.5", XSD_DBL)]
+    # check mode: last argument a constant — equality check on the result
+    out2 = apply_jena_rules(
+        t,
+        f"[k: (?s <{EX}x> ?a) (?s <{EX}y> ?b) sum(?a, ?b, 10)"
+        f" -> (?s <{EX}ten> <{EX}Y>)]",
+    )
+    assert _obj(out2, "ten") == [(EX + "a", "iri", EX + "Y", None)]
+
+
+def test_rule_maketemp(spark):
+    rows = [
+        (EX + "a", EX + "x", "literal", "1", XSD_INT, ""),
+        (EX + "b", EX + "x", "literal", "2", XSD_INT, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        t,
+        f"[mt: (?s <{EX}x> ?v) makeTemp(?t)"
+        f" -> (?s <{EX}temp> ?t) (?t <{EX}of> ?s)]",
+    )
+    temps = {r["s"]: r["o_value"]
+             for r in out.where(out.p == EX + "temp").collect()}
+    # one fresh bnode per match, distinct across matches
+    assert set(temps) == {EX + "a", EX + "b"}
+    assert all(v.startswith("_:mt") for v in temps.values())
+    assert temps[EX + "a"] != temps[EX + "b"]
+    # the bnode is usable as a head subject
+    backs = {(r["s"], r["o_value"])
+             for r in out.where(out.p == EX + "of").collect()}
+    assert backs == {(temps[EX + "a"], EX + "a"), (temps[EX + "b"], EX + "b")}
+    # deterministic labels ⇒ the fixpoint terminated in one derivation
+    # round (re-derivation dedups instead of minting forever)
+    assert out.where(out.p == EX + "temp").count() == 2
+
+
+def test_rule_binding_builtin_parse_errors():
+    with pytest.raises(SparqlUnsupported, match="exactly 3"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) sum(?b, ?b) -> (?a <{EX}q> ?b)]"
+        )
+    with pytest.raises(SparqlUnsupported, match="not bound"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) sum(?zz, ?b, ?c) -> (?a <{EX}q> ?c)]"
+        )
+    with pytest.raises(SparqlUnsupported, match="unbound variables"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) makeTemp(?b) -> (?a <{EX}q> ?b)]"
+        )
+    # a builtin-bound variable satisfies the head-coverage check
+    rules = parse_jena_rules(
+        f"[(?a <{EX}p> ?b) addOne(?b, ?c) -> (?a <{EX}q> ?c)]"
+    )
+    assert len(rules) == 1
+    # ... but an unrelated unbound head variable still errors
+    with pytest.raises(SparqlUnsupported, match="head variable"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) addOne(?b, ?c) -> (?a <{EX}q> ?zz)]"
+        )

@@ -25,11 +25,38 @@ def get_spark(
         # match parallelism in local mode; cluster deployments override
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if n in ("*", "") else int(n)
+    return _tuned(
+        SparkSession.builder.master(master), app_name, shuffle_partitions,
+        extra_conf, local=True,
+    )
 
+
+def submit_spark(
+    app_name: str = "abecto_pipeline",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Session for ``spark-submit`` jobs: the same engine tuning as
+    :func:`get_spark`, but master / deploy-mode / resource sizing are
+    owned by the submitter (``spark-submit --master yarn --py-files
+    abecto_spark.zip ...``) — setting master in code would silently
+    override the CLI. Shuffle partitions are likewise left to
+    ``--conf spark.sql.shuffle.partitions`` unless given explicitly."""
+    return _tuned(
+        SparkSession.builder, app_name, shuffle_partitions, extra_conf,
+        local=False,
+    )
+
+
+def _tuned(
+    builder,
+    app_name: str,
+    shuffle_partitions: int | None,
+    extra_conf: dict[str, str] | None,
+    local: bool,
+) -> SparkSession:
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalesces shuffles by *input* bytes; similarity joins here
@@ -43,11 +70,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("ABECTO_SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local:
+        # test/bench harness knobs; a cluster submitter owns these
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("ABECTO_SPARK_DRIVER_MEM", "8g"),
+        ).config("spark.ui.enabled", "false")
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -136,3 +136,41 @@ def test_pipeline_property_measures(spark, tmp_path):
     }
     assert any(m == "count" for m, _ in per_var)
     assert any(m == "absoluteCoverage" for m, _ in per_var)
+
+
+def test_spark_submit_pyfiles_job(tmp_path):
+    """The north-rule deployment shape end-to-end: package the library as
+    a --py-files zip, run examples/submit_pipeline.py through a real
+    spark-submit from a cwd where the repo is NOT importable, and check
+    the triples table and per-stage metrics come out. Master is owned by
+    the CLI (session.submit_spark sets no master)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from make_pyfiles import build
+    finally:
+        sys.path.pop(0)
+    zip_path = build(str(tmp_path / "dist"))
+    submit = shutil.which("spark-submit")
+    assert submit, "spark-submit not on PATH"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_dir, snap_dir = str(tmp_path / "kg"), str(tmp_path / "snap")
+    proc = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", zip_path,
+         os.path.join(repo, "examples", "submit_pipeline.py"),
+         "--docs", "2000", "--output", out_dir, "--snapshots", snap_dir],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = [json.loads(l) for l in proc.stdout.splitlines()
+               if l.startswith("{")]
+    stages = {m["stage"] for m in metrics}
+    assert {"s1_mentions", "s2_edges", "s3_canonical", "s4_triples"} <= stages
+    assert any(f.endswith(".parquet") for f in os.listdir(out_dir))

@@ -81,7 +81,9 @@ single empty solution).
 Round 5 lifted the remaining structural corners: ground path probes
 ``<a> p* <b>`` (seeded frontier with early exit), spec-exact zero-length
 paths, full group patterns and VALUES-bound variable endpoints in
-SERVICE, repeated variables within one triple pattern (``?x p ?x`` — a
+SERVICE (incl. GRAPH, negated property sets, subqueries and nested
+SERVICE serialized back to wire text — only desugared path closures
+stay loud), repeated variables within one triple pattern (``?x p ?x`` — a
 same-term filter on the scan), GRAPH labels reused inside their own
 pattern, OPTIONAL as the first operand of a group (§18.5
 LeftJoin(unit, P)), OPTIONAL sharing no variables (condition-true left
@@ -968,6 +970,25 @@ def _group_var_order(g: Group) -> list[str]:
             for t in (s_term, o_term):
                 if isinstance(t, Var):
                     add(t.name)
+        for s_term, _nps, o_term in gr.neg_triples:
+            for t in (s_term, o_term):
+                if isinstance(t, Var):
+                    add(t.name)
+        for gterm, inner in gr.graph_blocks:
+            if isinstance(gterm, Var):
+                add(gterm.name)
+            walk(inner)
+        for sub in gr.subqueries:
+            # §12: only the subquery's projected variables are in scope
+            if sub.star:
+                for n in _group_var_order(sub.where):
+                    add(n)
+            for _e, n in sub.projections:
+                add(n)
+        for endpoint, _silent, inner in gr.services:
+            if isinstance(endpoint, Var):
+                add(endpoint.name)
+            walk(inner)
         for opt in gr.optionals:
             walk(opt)
 
@@ -1820,9 +1841,53 @@ def _expr_text(e) -> str:
         return f"({_expr_text(e.left)} {e.op} {_expr_text(e.right)})"
     if isinstance(e, Call):
         return f"{e.fn}({', '.join(_expr_text(a) for a in e.args)})"
+    if isinstance(e, Agg):
+        inner = "*" if e.arg is None else _expr_text(e.arg)
+        if e.distinct:
+            inner = "DISTINCT " + inner
+        if e.fn == "GROUP_CONCAT" and e.sep != " ":
+            sep = e.sep.replace("\\", "\\\\").replace('"', '\\"')
+            return f'{e.fn}({inner}; SEPARATOR="{sep}")'
+        return f"{e.fn}({inner})"
     raise SparqlUnsupported(
         f"cannot serialize expression {e!r} for a SERVICE request"
     )
+
+
+def _select_text(q: SelectQuery) -> str:
+    """Serialize a parsed SELECT (subquery shape) back to SPARQL text —
+    used when a §12 subquery appears inside a SERVICE body, where the
+    remote endpoint must evaluate it."""
+    head = ["SELECT"]
+    if q.distinct:
+        head.append("DISTINCT")
+    if q.star:
+        head.append("*")
+    for expr, name in q.projections:
+        if isinstance(expr, Var) and expr.name == name:
+            head.append(f"?{name}")
+        else:
+            head.append(f"({_expr_text(expr)} AS ?{name})")
+    parts = [" ".join(head), "WHERE {", _group_text(q.where), "}"]
+    if q.group_by:
+        keys = [
+            f"({_expr_text(g[0])} AS ?{g[1]})" if isinstance(g, tuple)
+            else f"?{g.name}"
+            for g in q.group_by
+        ]
+        parts.append("GROUP BY " + " ".join(keys))
+    for h in q.having:
+        parts.append(f"HAVING({_expr_text(h)})")
+    if q.order:
+        parts.append("ORDER BY " + " ".join(
+            _expr_text(e) if asc else f"DESC({_expr_text(e)})"
+            for e, asc in q.order
+        ))
+    if q.limit is not None:
+        parts.append(f"LIMIT {q.limit}")
+    if q.offset is not None:
+        parts.append(f"OFFSET {q.offset}")
+    return " ".join(parts)
 
 
 def _values_text(names: list[str], rows: list[tuple]) -> str:
@@ -1841,23 +1906,36 @@ def _group_text(g: Group) -> str:
     SERVICE federation wire format (SPARQL 1.1 Federated Query allows
     full group patterns inside SERVICE; the reference gets this from
     Jena ARQ, `Aspect.java:223`). Triples, FILTER, BIND, OPTIONAL,
-    UNION, MINUS, FILTER [NOT] EXISTS and VALUES round-trip; property-
-    path closures, GRAPH, subqueries, negated property sets and nested
-    SERVICE stay loud (their parsed form is already desugared past
-    faithful re-serialization)."""
-    if (
-        g.path_closures or g.graph_blocks or g.subqueries
-        or g.neg_triples or g.services
-    ):
+    UNION, MINUS, FILTER [NOT] EXISTS, VALUES, GRAPH, negated property
+    sets, subqueries and nested SERVICE all round-trip; property-path
+    closures stay loud — their parsed form (a desugared one-step edge
+    group plus a closure modifier) no longer carries the original path
+    expression, so a faithful re-serialization is impossible."""
+    if g.path_closures:
         raise SparqlUnsupported(
             "SERVICE pattern contains a non-serializable form (property-"
-            "path closure, GRAPH, subquery, negated property set, or"
-            " nested SERVICE)"
+            "path closure)"
         )
     parts: list[str] = []
     for tp in g.triples:
         parts.append(
             f"{_term_text(tp.s)} {_term_text(tp.p)} {_term_text(tp.o)} ."
+        )
+    for s, negset, o in g.neg_triples:
+        members = [f"<{p}>" for p in negset.fwd] + [
+            f"^<{p}>" for p in negset.inv
+        ]
+        parts.append(
+            f"{_term_text(s)} !({'|'.join(members)}) {_term_text(o)} ."
+        )
+    for gterm, inner in g.graph_blocks:
+        parts.append(f"GRAPH {_term_text(gterm)} {{ {_group_text(inner)} }}")
+    for sub in g.subqueries:
+        parts.append("{ " + _select_text(sub) + " }")
+    for endpoint, silent, inner in g.services:
+        kw = "SERVICE SILENT" if silent else "SERVICE"
+        parts.append(
+            f"{kw} {_term_text(endpoint)} {{ {_group_text(inner)} }}"
         )
     for names, rows in g.values_blocks:
         parts.append(_values_text(names, rows))

@@ -610,13 +610,129 @@ def test_service_loud_corners(spark, triples, monkeypatch):
             triples,
             f"SELECT ?s WHERE {{ SERVICE ?ep {{ ?s <{EX}pnr> ?o }} }}",
         )
-    # genuinely non-serializable body: GRAPH inside SERVICE
+    # genuinely non-serializable body: a desugared path closure inside
+    # SERVICE (the parsed form no longer carries the path expression)
     with pytest.raises(SparqlUnsupported, match="non-serializable"):
         sparql_select(
             triples,
             f"""SELECT ?s WHERE {{ SERVICE <http://r/sparql> {{
-                  GRAPH <{EX}g> {{ ?s <{EX}pnr> ?o }} }} }}""",
+                  ?s <{EX}knows>* ?o }} }}""",
         )
+
+
+def test_service_graph_subquery_negset_serialize(spark, triples, monkeypatch):
+    """Round-5 SERVICE breadth, part 2: GRAPH blocks, §12 subqueries and
+    negated property sets inside SERVICE serialize back to wire text and
+    run remotely — asserted on the wire query AND the joined bindings."""
+    from abecto_spark.sources import sparql_source as mod
+
+    remote = spark.createDataFrame(
+        [
+            (EX + "alice", EX + "pnr", "literal", "45678", XSD_INTEGER, "",
+             EX + "g1"),
+            (EX + "carol", EX + "pnr", "literal", "99999", XSD_INTEGER, "",
+             EX + "g2"),
+            (EX + "alice", EX + "nick", "literal", "Ali", None, "", EX + "g1"),
+        ],
+        TRIPLES_DDL + ", graph string",
+    )
+    wire: list[str] = []
+    base = _service_transport(spark, remote)
+
+    def transport(url, data, headers):
+        wire.append(data.decode())
+        return base(url, data, headers)
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", transport)
+    # GRAPH with a constant label inside SERVICE
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?pnr WHERE {{
+              ?s <{EX}pnr> ?lp .
+              SERVICE <http://remote/sparql> {{
+                GRAPH <{EX}g1> {{ ?s <{EX}pnr> ?pnr }}
+              }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["pnr"]["value"]) for r in out.collect()}
+    assert rows == {(EX + "alice", "45678")}
+    assert f"GRAPH <{EX}g1> {{" in wire[-1]
+    # GRAPH with a variable label: ?g comes back bound per named graph
+    out = sparql_select(
+        triples,
+        f"""SELECT ?g ?s WHERE {{
+              ?s <{EX}pnr> ?lp .
+              SERVICE <http://remote/sparql> {{
+                GRAPH ?g {{ ?s <{EX}pnr> ?pnr }}
+              }}
+            }}""",
+    )
+    rows = {(r["g"]["value"], r["s"]["value"]) for r in out.collect()}
+    assert rows == {(EX + "g1", EX + "alice"), (EX + "g2", EX + "carol")}
+    # a subquery with an aggregate inside SERVICE
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?n WHERE {{
+              ?s <{EX}pnr> ?lp .
+              SERVICE <http://remote/sparql> {{
+                {{ SELECT ?s (COUNT(?p) AS ?n) WHERE {{ ?s <{EX}pnr> ?p }}
+                   GROUP BY ?s }}
+              }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["n"]["value"]) for r in out.collect()}
+    assert rows == {(EX + "alice", "1"), (EX + "carol", "1")}
+    assert "{ SELECT" in wire[-1] and "COUNT(?p)" in wire[-1]
+    assert "GROUP BY ?s" in wire[-1]
+    # a negated property set inside SERVICE
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?v WHERE {{
+              ?s <{EX}pnr> ?lp .
+              SERVICE <http://remote/sparql> {{ ?s !(<{EX}pnr>) ?v }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["v"]["value"]) for r in out.collect()}
+    assert rows == {(EX + "alice", "Ali")}
+    assert f"!(<{EX}pnr>)" in wire[-1]
+
+
+def test_service_nested_service_serializes(spark, triples, monkeypatch):
+    """SERVICE inside SERVICE: the inner SERVICE survives serialization,
+    so the first remote endpoint federates on to the second."""
+    from abecto_spark.sources import sparql_source as mod
+
+    r1 = spark.createDataFrame(
+        [(EX + "alice", EX + "pnr", "literal", "45678", XSD_INTEGER, "")],
+        TRIPLES_DDL,
+    )
+    r2 = spark.createDataFrame(
+        [(EX + "alice", EX + "nick", "literal", "Ali", None, "")],
+        TRIPLES_DDL,
+    )
+    graphs = {"http://r1/sparql": r1, "http://r2/sparql": r2}
+    urls: list[str] = []
+
+    def transport(url, data, headers):
+        urls.append(url)
+        return _service_transport(spark, graphs[url])(url, data, headers)
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", transport)
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?pnr ?nick WHERE {{
+              ?s <{EX}pnr> ?lp .
+              SERVICE <http://r1/sparql> {{
+                ?s <{EX}pnr> ?pnr .
+                SERVICE <http://r2/sparql> {{ ?s <{EX}nick> ?nick }}
+              }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["pnr"]["value"], r["nick"]["value"])
+            for r in out.collect()}
+    assert rows == {(EX + "alice", "45678", "Ali")}
+    # r1's evaluation itself called out to r2 (recursive federation)
+    assert urls == ["http://r1/sparql", "http://r2/sparql"]
 
 
 def test_subquery_aggregate_and_limit(spark, triples):
@@ -789,6 +905,28 @@ def test_graph_variable_label_and_same_graph_join(spark, quads):
             for r in joined.collect()}
     # o1 is labeled only inside g1, so the g2 usage of o1 joins nothing
     assert rows == {(EX + "g1", EX + "s1", "One")}
+
+
+def test_star_covers_graph_and_subquery_vars(spark, quads):
+    """SELECT * in-scope variables include the GRAPH label variable and
+    a subquery's projected variables (previously only triple/OPTIONAL/
+    VALUES/BIND positions were walked)."""
+    wide = sparql_select(
+        quads, f"SELECT * WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
+    )
+    assert set(wide.columns) == {"g", "s", "o"}
+    assert wide.count() == 3
+    sub = sparql_select(
+        quads,
+        f"""SELECT * WHERE {{
+              {{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{EX}p> ?o }}
+                 GROUP BY ?s }}
+            }}""",
+    )
+    assert set(sub.columns) == {"s", "n"}
+    assert pattern_vars(
+        f"SELECT * WHERE {{ GRAPH ?g {{ ?s <{EX}p> ?o }} }}"
+    ) == ["g", "s", "o"]
 
 
 def test_graph_outer_pattern_still_unions_all_graphs(spark, quads):

@@ -632,6 +632,33 @@ def apply_jena_rules(
     return _denorm_triples(all_rows)
 
 
+def _construct_grouped(comp: _Compiler, q) -> tuple[DataFrame, set]:
+    """CONSTRUCT with GROUP BY / HAVING (SPARQL 1.1 grammar gives
+    CONSTRUCT the same SolutionModifier as SELECT; Jena evaluates it):
+    the template instantiates once per group, so every template variable
+    must be a group key — CONSTRUCT has no AS, so aggregate results
+    cannot be templated, only gate groups through HAVING. Compiled by
+    routing the WHERE + grouping through the shared SELECT machinery."""
+    from ..sparql import SelectQuery, _select_df
+
+    keys = {
+        g[1] if isinstance(g, tuple) else g.name for g in q.group_by
+    }
+    tvars = sorted(_triple_vars(q.template))
+    for v in tvars:
+        if v not in keys:
+            raise SparqlUnsupported(
+                f"CONSTRUCT template variable ?{v} is not a GROUP BY key"
+            )
+    sel = SelectQuery(
+        [(Var(v), v) for v in tvars], q.where,
+        order=list(q.order), limit=q.limit, offset=q.offset,
+        group_by=list(q.group_by), having=list(q.having),
+    )
+    match, names, _maybe = _select_df(comp, sel)
+    return match, set(names)
+
+
 def apply_construct(
     triples: DataFrame, query_text: str, max_iterations: int = 1
 ) -> DataFrame:
@@ -647,18 +674,23 @@ def apply_construct(
     all_rows = _norm_triples(triples).distinct().localCheckpoint(eager=True)
     for _ in range(max_iterations):
         comp = _Compiler(all_rows)
-        match, bound = comp.group_df(q.where)
-        for tp in q.template:
-            if not _triple_vars([tp]) <= bound:
-                raise SparqlUnsupported("template variable not bound in WHERE")
-        # ORDER BY/LIMIT/OFFSET slice the solution sequence before the
-        # template instantiates (orderBy+limit folds to TakeOrdered)
-        if q.order:
-            match = match.orderBy(*_order_keys(q.order, bound))
-        if q.offset:
-            match = match.offset(q.offset)
-        if q.limit is not None:
-            match = match.limit(q.limit)
+        if q.group_by or q.having:
+            match, bound = _construct_grouped(comp, q)
+        else:
+            match, bound = comp.group_df(q.where)
+            for tp in q.template:
+                if not _triple_vars([tp]) <= bound:
+                    raise SparqlUnsupported(
+                        "template variable not bound in WHERE"
+                    )
+            # ORDER BY/LIMIT/OFFSET slice the solution sequence before
+            # the template instantiates (orderBy+limit → TakeOrdered)
+            if q.order:
+                match = match.orderBy(*_order_keys(q.order, bound))
+            if q.offset:
+                match = match.offset(q.offset)
+            if q.limit is not None:
+                match = match.limit(q.limit)
         new = (
             _head_rows(match, bound, q.template)
             .distinct()

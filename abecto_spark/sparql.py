@@ -89,9 +89,15 @@ pattern, OPTIONAL as the first operand of a group (§18.5
 LeftJoin(unit, P)), OPTIONAL sharing no variables (condition-true left
 join), and ORDER BY / LIMIT / OFFSET on CONSTRUCT.
 
+CONSTRUCT takes the full SolutionModifier: ORDER BY / LIMIT / OFFSET
+slice the solution sequence, and GROUP BY / HAVING group it before the
+template instantiates (template variables must be group keys —
+CONSTRUCT has no AS, so aggregates can only gate groups via HAVING).
+
 Unsupported syntax raises ``SparqlUnsupported`` — at this point that is
-malformed queries plus genuinely exotic forms (path modifiers on a
-variable predicate, GROUP BY/HAVING on CONSTRUCT).
+malformed queries (including path modifiers on a variable predicate,
+which the SPARQL grammar itself rejects: property paths are built from
+IRIs only).
 """
 
 from __future__ import annotations
@@ -239,6 +245,8 @@ class ConstructQuery:
     order: list = field(default_factory=list)  # [(expr, ascending)]
     limit: int | None = None
     offset: int | None = None
+    group_by: list = field(default_factory=list)  # Var | (expr, name)
+    having: list = field(default_factory=list)  # exprs (may contain Agg)
 
 
 @dataclass
@@ -386,6 +394,16 @@ class _Parser:
             self.next()
         group = self.parse_group()
         q = SelectQuery(projections, group, distinct, star=star)
+        self.parse_group_having(q)
+        self.parse_solution_modifiers(q)
+        if not projections and not star:
+            raise SparqlUnsupported("empty projection")
+        return q
+
+    def parse_group_having(self, q) -> None:
+        """GROUP BY / HAVING clauses into ``q.group_by`` / ``q.having``
+        — shared by SELECT bodies and CONSTRUCT solution modifiers
+        (the SPARQL 1.1 grammar gives both the same SolutionModifier)."""
         if self.at_word("GROUP"):
             self.next()
             self.eat("BY")
@@ -413,10 +431,6 @@ class _Parser:
                 q.having.append(self.parse_expr())
             if not q.having:
                 raise SparqlUnsupported("empty HAVING")
-        self.parse_solution_modifiers(q)
-        if not projections and not star:
-            raise SparqlUnsupported("empty projection")
-        return q
 
     def parse_solution_modifiers(self, q: SelectQuery) -> None:
         """ORDER BY / LIMIT / OFFSET / trailing VALUES — preserved from
@@ -515,15 +529,16 @@ class _Parser:
         if self.at_word("WHERE"):
             self.next()
         where = self.parse_group()
-        if self.at_word("GROUP", "HAVING"):
-            raise SparqlUnsupported("GROUP BY/HAVING on CONSTRUCT not supported")
-        # ORDER BY / LIMIT / OFFSET slice the solution sequence before
-        # template instantiation (SPARQL 1.1 grammar: ConstructQuery's
-        # SolutionModifier); trailing VALUES joins into the WHERE group
+        # GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET slice and group
+        # the solution sequence before template instantiation (SPARQL
+        # 1.1 grammar: ConstructQuery's SolutionModifier); trailing
+        # VALUES joins into the WHERE group
         mods = SelectQuery([], where)
+        self.parse_group_having(mods)
         self.parse_solution_modifiers(mods)
         return ConstructQuery(
-            template.triples, where, mods.order, mods.limit, mods.offset
+            template.triples, where, mods.order, mods.limit, mods.offset,
+            mods.group_by, mods.having,
         )
 
     def parse_ask(self) -> AskQuery:

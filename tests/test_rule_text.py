@@ -360,6 +360,51 @@ def test_construct_solution_modifiers(spark):
             mid.where(f"p = '{ex}mid'").collect()] == [ex + "b"]
 
 
+def test_construct_group_by_having(spark):
+    """GROUP BY / HAVING on CONSTRUCT (the last SolutionModifier corner):
+    the template instantiates once per surviving group; template
+    variables must be group keys."""
+    ex = "http://example.org/"
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (ex + "a", ex + "v", "literal", "1", xsd_int, ""),
+        (ex + "a", ex + "v", "literal", "2", xsd_int, ""),
+        (ex + "b", ex + "v", "literal", "3", xsd_int, ""),
+        (ex + "b", ex + "v", "literal", "4", xsd_int, ""),
+        (ex + "b", ex + "v", "literal", "5", xsd_int, ""),
+        (ex + "c", ex + "v", "literal", "6", xsd_int, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_construct(
+        t,
+        f"CONSTRUCT {{ ?s <{ex}multi> \"yes\" }}"
+        f" WHERE {{ ?s <{ex}v> ?o }} GROUP BY ?s HAVING(COUNT(?o) >= 2)",
+    )
+    flagged = sorted(
+        r["s"] for r in out.where(out.p == ex + "multi").collect()
+    )
+    assert flagged == [ex + "a", ex + "b"]  # c has only one value
+    # the base triples survive untouched
+    assert out.where(out.p == ex + "v").count() == 6
+    # HAVING over SUM, plus ORDER/LIMIT after grouping
+    top = apply_construct(
+        t,
+        f"CONSTRUCT {{ ?s <{ex}big> \"yes\" }}"
+        f" WHERE {{ ?s <{ex}v> ?o }} GROUP BY ?s HAVING(SUM(?o) >= 3)"
+        f" ORDER BY DESC(?s) LIMIT 1",
+    )
+    assert [r["s"] for r in top.where(top.p == ex + "big").collect()] == [
+        ex + "c"
+    ]
+    # a template variable that is not a group key is loud
+    with pytest.raises(SparqlUnsupported, match="not a GROUP BY key"):
+        apply_construct(
+            t,
+            f"CONSTRUCT {{ ?s <{ex}x> ?o }}"
+            f" WHERE {{ ?s <{ex}v> ?o }} GROUP BY ?s",
+        )
+
+
 # round-5 binding builtins (sum/difference/product/quotient/min/max/
 # addOne/strConcat/uriConcat/makeTemp) — Jena BaseBuiltin.bind: bind
 # the last argument when unbound, else act as an equality check

@@ -275,6 +275,33 @@ def q_construct_rules(spark, sf):
     )
 
 
+def q_construct_grouped(spark, sf):
+    """CONSTRUCT with GROUP BY / HAVING (SPARQL 1.1 SolutionModifier on
+    ConstructQuery, round 5): one flag triple per customer with >= 12
+    orders — the template instantiates once per surviving group; the
+    oracle replays the grouping as plain SQL."""
+    from ..operators.rule_text import apply_construct
+
+    ex = "http://example.org/"
+    o = _t(spark, sf, "orders")
+    triples = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+        F.lit(ex + "ord").alias("p"),
+        F.lit("literal").alias("o_kind"),
+        F.col("o_orderkey").cast("string").alias("o_value"),
+        F.lit(XSD_INTEGER).alias("o_datatype"),
+        F.lit("").alias("o_lang"),
+    )
+    out = apply_construct(
+        triples,
+        f'CONSTRUCT {{ ?c <{ex}manyOrders> "yes" }}'
+        f" WHERE {{ ?c <{ex}ord> ?o }} GROUP BY ?c HAVING(COUNT(?o) >= 12)",
+    )
+    return out.where(F.col("p") == ex + "manyOrders").select(
+        F.col("s").alias("cust")
+    )
+
+
 def q_corr_groups(spark, sf):
     """Correspondence-group extraction (`Processor.java:211-222` via
     MappingGraph.groups): canonical cluster id + sorted member list."""
@@ -1405,6 +1432,7 @@ QUERIES = {
     "closure_cc": q_closure_cc,
     "rule_fixpoint": q_rule_fixpoint,
     "construct_rules": q_construct_rules,
+    "construct_grouped": q_construct_grouped,
     "corr_groups": q_corr_groups,
     "population_measures": q_population_measures,
     "property_value_coverage": q_property_value_coverage,
@@ -1791,6 +1819,10 @@ ORACLES = {
           FROM region JOIN m ON r_regionkey = n_regionkey)
         SELECT c AS canonical_id, string_agg(r, ',' ORDER BY r) AS members
         FROM members GROUP BY c
+    """,
+    "construct_grouped": """
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cust
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
     """,
     "construct_rules": """
         WITH RECURSIVE e AS (

@@ -80,6 +80,7 @@ def main() -> None:
         "sparql_graph",
         "sparql_subquery",
         "rule_builtins",
+        "construct_grouped",
         "sparql_agg",
         "sparql_describe",
         "sessionize",

@@ -403,6 +403,18 @@ def test_construct_group_by_having(spark):
             f"CONSTRUCT {{ ?s <{ex}x> ?o }}"
             f" WHERE {{ ?s <{ex}v> ?o }} GROUP BY ?s",
         )
+    # constant-only template + HAVING over the implicit group: the flag
+    # triple is emitted iff the whole solution set passes the gate
+    gate = (
+        f"CONSTRUCT {{ <{ex}flag> <{ex}is> \"set\" }}"
+        f" WHERE {{ ?s <{ex}v> ?o }} HAVING(COUNT(?o) > %d)"
+    )
+    assert apply_construct(t, gate % 5).where(
+        f"p = '{ex}is'"
+    ).count() == 1
+    assert apply_construct(t, gate % 6).where(
+        f"p = '{ex}is'"
+    ).count() == 0
 
 
 # round-5 binding builtins (sum/difference/product/quotient/min/max/

@@ -94,6 +94,15 @@ slice the solution sequence, and GROUP BY / HAVING group it before the
 template instantiates (template variables must be group keys —
 CONSTRUCT has no AS, so aggregates can only gate groups via HAVING).
 
+The final round-5 breadth pass added the §4.2.1 blank-node node forms
+(``[]``, ``[ p o ; ... ]``, ``_:label`` — all fresh non-projectable
+variables), ``IN`` / ``NOT IN`` (desugared to the spec's ``=``-chain),
+effective boolean value (§17.2.2) at every filter site, and the
+expression-function batch ``IF COALESCE REPLACE STRBEFORE STRAFTER
+ENCODE_FOR_URI isIRI/isURI/isBlank/isLiteral/isNumeric YEAR MONTH DAY
+HOURS MINUTES SECONDS`` plus the term constructors ``IRI/URI STRDT
+STRLANG`` in BIND.
+
 Unsupported syntax raises ``SparqlUnsupported`` — at this point that is
 malformed queries (including path modifiers on a variable predicate,
 which the SPARQL grammar itself rejects: property paths are built from
@@ -305,6 +314,9 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
         self._fresh = 0  # counter for path-desugaring variables
+        # query blank nodes act as non-projectable variables (§5.1.1);
+        # same label = same variable, scoped to the whole query
+        self._bnode_vars: dict[str, Var] = {}
 
     def peek(self):
         return self.toks[self.i]
@@ -662,11 +674,22 @@ class _Parser:
         return g
 
     def parse_triples_block(self, g: Group) -> None:
-        s = self.parse_term(position="subject")
+        bracket = self.peek()[1] == "["
+        s = self.parse_term_node(g, position="subject")
+        # `[ p o ] .` — a bracketed subject may stand alone (§4.2.1)
+        if not (bracket and self.peek()[1] in (".", "}")):
+            self.parse_po_list(g, s)
+        if self.peek()[1] == ".":
+            self.next()
+
+    def parse_po_list(self, g: Group, s, closer: str = "") -> None:
+        """predicate-object list ``p1 o1, o2 ; p2 o3 ...`` for subject
+        ``s`` — shared by top-level triple blocks and bracketed blank
+        node property lists (``closer = ']'``)."""
         while True:
             path = self.parse_path()
             while True:
-                o = self.parse_term(position="object")
+                o = self.parse_term_node(g, position="object")
                 self.desugar_path(g, s, path, o)
                 if self.peek()[1] == ",":
                     self.next()
@@ -674,12 +697,26 @@ class _Parser:
                 break
             if self.peek()[1] == ";":
                 self.next()
-                if self.peek()[1] in (".", "}"):  # trailing ;
+                if self.peek()[1] in (".", "}", closer or "}"):  # trailing ;
                     break
                 continue
             break
-        if self.peek()[1] == ".":
+
+    def parse_term_node(self, g: Group, position: str):
+        """A term in a triple pattern, including the blank-node node
+        forms (§4.2.1): ``[]`` is a fresh non-projectable variable,
+        ``[ p o ; ... ]`` additionally contributes its property list as
+        triples of the enclosing group."""
+        if self.peek()[1] == "[" and position in ("subject", "object"):
             self.next()
+            v = self.fresh_var("bn")
+            if self.peek()[1] == "]":
+                self.next()
+                return v
+            self.parse_po_list(g, v, closer="]")
+            self.eat("]")
+            return v
+        return self.parse_term(position=position)
 
     # -- property paths (SPARQL 1.1 §9) ---------------------------------
 
@@ -801,6 +838,14 @@ class _Parser:
             return Iri(self._resolve(v[1:-1]))
         if k == "pname":
             pfx, local = v.split(":", 1)
+            if pfx == "_":
+                # query blank node label (§5.1.1): a non-projectable
+                # variable, one per label across the query
+                if position == "predicate":
+                    raise SparqlUnsupported("blank node as predicate")
+                if v not in self._bnode_vars:
+                    self._bnode_vars[v] = self.fresh_var("bn")
+                return self._bnode_vars[v]
             if pfx not in self.prefixes:
                 raise SparqlUnsupported(f"undeclared prefix {pfx!r}")
             return Iri(self.prefixes[pfx] + local)
@@ -855,7 +900,32 @@ class _Parser:
         if self.peek()[1] in ("=", "!=", "<", "<=", ">", ">="):
             op = self.next()[1]
             return Op(op, left, self.parse_add())
-        return left
+        negated = False
+        if self.at_word("NOT"):
+            self.next()
+            self.eat("IN")
+            negated = True
+        elif self.at_word("IN"):
+            self.next()
+        else:
+            return left
+        # §17.4.1.9: `e IN (a, b)` ≡ `e = a || e = b`; empty list = false
+        self.eat("(")
+        items = []
+        if self.peek()[1] != ")":
+            items.append(self.parse_expr())
+            while self.peek()[1] == ",":
+                self.next()
+                items.append(self.parse_expr())
+        self.eat(")")
+        if not items:
+            lit = Lit("false" if not negated else "true", XSD + "boolean")
+            return lit
+        out = None
+        for it in items:
+            eq = Op("=", left, it)
+            out = eq if out is None else Op("||", out, eq)
+        return Op("!", out) if negated else out
 
     def parse_add(self):
         left = self.parse_mul()
@@ -1998,7 +2068,9 @@ def _is_numeric_expr(e) -> bool:
     if isinstance(e, Op):
         return e.op in ("+", "-", "*", "/", "neg")
     if isinstance(e, Call):
-        return e.fn in ("STRLEN", "ABS", "ROUND", "CEIL", "FLOOR")
+        return e.fn in ("STRLEN", "ABS", "ROUND", "CEIL", "FLOOR",
+                        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                        "SECONDS")
     return False
 
 
@@ -2026,11 +2098,11 @@ def _compile(e, bound: set[str]) -> Column:
     """Compile to a plain Spark column (boolean/number/string)."""
     if isinstance(e, Op):
         if e.op == "||":
-            return _compile(e.left, bound) | _compile(e.right, bound)
+            return _ebv(e.left, bound) | _ebv(e.right, bound)
         if e.op == "&&":
-            return _compile(e.left, bound) & _compile(e.right, bound)
+            return _ebv(e.left, bound) & _ebv(e.right, bound)
         if e.op == "!":
-            return ~_compile(e.left, bound)
+            return ~_ebv(e.left, bound)
         if e.op == "neg":
             return -_num(e.left, bound)
         if e.op in ("=", "!=", "<", "<=", ">", ">="):
@@ -2125,7 +2197,101 @@ def _compile_call(e: Call, bound: set[str]) -> Column:
         lt = _term_of(a[0], bound)
         rt = _term_of(a[1], bound)
         return lt == rt
+    if fn in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL"):
+        t = _term_of(a[0], bound)
+        want = {"ISIRI": "iri", "ISURI": "iri", "ISBLANK": "bnode",
+                "ISLITERAL": "literal"}[fn]
+        return F.coalesce(t["kind"] == want, F.lit(False))
+    if fn == "ISNUMERIC":
+        t = _term_of(a[0], bound)
+        return F.coalesce(
+            (t["kind"] == "literal")
+            & t["datatype"].isin(list(_NUMERIC_DTS))
+            & t["value"].try_cast("double").isNotNull(),
+            F.lit(False),
+        )
+    if fn == "IF":
+        if len(a) != 3:
+            raise SparqlUnsupported("IF takes exactly 3 arguments")
+        return F.when(_ebv(a[0], bound), _compile(a[1], bound)).otherwise(
+            _compile(a[2], bound)
+        )
+    if fn == "COALESCE":
+        return F.coalesce(*[_compile(x, bound) for x in a])
+    if fn == "REPLACE":
+        if not isinstance(a[1], Lit) or not isinstance(a[2], Lit):
+            raise SparqlUnsupported(
+                "REPLACE pattern/replacement must be literals"
+            )
+        pat = a[1].lex
+        if len(a) > 3:
+            if not isinstance(a[3], Lit) or not re.fullmatch(r"[ims]*", a[3].lex):
+                raise SparqlUnsupported("unsupported REPLACE flags")
+            if a[3].lex:
+                pat = f"(?{a[3].lex}){pat}"
+        return F.regexp_replace(_val(a[0], bound), pat, a[2].lex)
+    if fn in ("STRBEFORE", "STRAFTER"):
+        v, sub = _val(a[0], bound), _val(a[1], bound)
+        pos = F.instr(v, sub)
+        if fn == "STRBEFORE":
+            # §17.4.3.4: "" when there is no match; empty needle → ""
+            return F.when(
+                (pos > 0) & (F.length(sub) > 0), F.substring(v, F.lit(1), pos - 1)
+            ).otherwise(F.lit(""))
+        # STRAFTER: empty needle → the whole string (it matches at 0)
+        return F.when(F.length(sub) == 0, v).otherwise(
+            F.when(
+                pos > 0,
+                F.substring(v, pos + F.length(sub), F.length(v)),
+            ).otherwise(F.lit(""))
+        )
+    if fn == "ENCODE_FOR_URI":
+        # url_encode is application/x-www-form-urlencoded; convert to
+        # RFC 3986 percent-encoding (§17.4.3.10): space %20, '*'
+        # encoded, '~' unreserved
+        enc = F.url_encode(_val(a[0], bound))
+        enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+        enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+        return F.replace(enc, F.lit("%7E"), F.lit("~"))
+    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+        ts = _val(a[0], bound).try_cast("timestamp")
+        return {
+            "YEAR": F.year(ts), "MONTH": F.month(ts), "DAY": F.dayofmonth(ts),
+            "HOURS": F.hour(ts), "MINUTES": F.minute(ts),
+            "SECONDS": F.second(ts),
+        }[fn]
+    if fn in ("IRI", "URI", "STRDT", "STRLANG"):
+        # value-level view (e.g. inside STR()/comparisons); the term-
+        # level result shape is built by compile_expr_term
+        return _val(a[0], bound)
     raise SparqlUnsupported(f"function {fn} not supported")
+
+
+def _ebv(e, bound: set[str]) -> Column:
+    """Effective boolean value (§17.2.2) of an expression used as a
+    boolean: boolean literals/terms by their value, numerics by != 0,
+    strings by length > 0; operator/function results are already
+    boolean or numeric columns."""
+    if isinstance(e, Lit):
+        if e.datatype == XSD + "boolean":
+            return F.lit(e.lex == "true")
+        if e.datatype in _NUMERIC_DTS:
+            return F.lit(float(e.lex) != 0)
+        return F.lit(len(e.lex) > 0)
+    if isinstance(e, Var):
+        t = _term_of(e, bound)
+        return F.when(
+            t["datatype"] == XSD + "boolean", t["value"] == "true"
+        ).when(
+            t["datatype"].isin(list(_NUMERIC_DTS)),
+            F.coalesce(t["value"].try_cast("double") != 0, F.lit(False)),
+        ).otherwise(F.length(t["value"]) > 0)
+    if isinstance(e, Op) and e.op in ("||", "&&", "!"):
+        if e.op == "!":
+            return ~_ebv(e.left, bound)
+        l, r = _ebv(e.left, bound), _ebv(e.right, bound)
+        return (l | r) if e.op == "||" else (l & r)
+    return _compile(e, bound)
 
 
 def _term_eq(left, right, bound: set[str]) -> Column:
@@ -2152,7 +2318,7 @@ def _term_of(e, bound: set[str]) -> Column:
 
 
 def compile_expr_bool(e, bound: set[str]) -> Column:
-    return _compile(e, bound)
+    return _ebv(e, bound)
 
 
 # -- aggregate compilation ---------------------------------------------
@@ -2310,13 +2476,46 @@ def _aggregate(df: DataFrame, bound: set[str], q: SelectQuery):
 def compile_expr_term(e, bound: set[str]) -> Column:
     """BIND/projection expression → term struct. String-valued functions
     yield xsd:string literals, numeric ones xsd:double (documented
-    restriction; the reference patterns only bind string digests)."""
+    restriction; the reference patterns only bind string digests).
+    Term-constructor functions build their spec shape: IRI/URI an iri
+    term, STRDT a typed literal, STRLANG a language-tagged literal, IF/
+    COALESCE pass their branch/argument terms through unchanged."""
     if isinstance(e, (Var,)):
         if e.name not in bound:
             return F.lit(None)
         return F.col(e.name)
     if isinstance(e, (Iri, Lit)):
         return _const_struct(e)
+    if isinstance(e, Call) and e.fn in ("IRI", "URI"):
+        v = _val(e.args[0], bound)
+        return F.when(
+            v.isNotNull(), _term_struct(F.lit("iri"), v, F.lit(""), F.lit(""))
+        )
+    if isinstance(e, Call) and e.fn == "STRDT":
+        if not isinstance(e.args[1], Iri):
+            raise SparqlUnsupported("STRDT datatype must be a constant IRI")
+        v = _val(e.args[0], bound)
+        return F.when(
+            v.isNotNull(),
+            _term_struct(F.lit("literal"), v, F.lit(e.args[1].value), F.lit("")),
+        )
+    if isinstance(e, Call) and e.fn == "STRLANG":
+        if not isinstance(e.args[1], Lit):
+            raise SparqlUnsupported("STRLANG tag must be a constant literal")
+        v = _val(e.args[0], bound)
+        return F.when(
+            v.isNotNull(),
+            _term_struct(
+                F.lit("literal"), v, F.lit(RDF_LANG_STRING),
+                F.lit(e.args[1].lex.lower()),
+            ),
+        )
+    if isinstance(e, Call) and e.fn == "IF":
+        return F.when(
+            _ebv(e.args[0], bound), compile_expr_term(e.args[1], bound)
+        ).otherwise(compile_expr_term(e.args[2], bound))
+    if isinstance(e, Call) and e.fn == "COALESCE":
+        return F.coalesce(*[compile_expr_term(x, bound) for x in e.args])
     c = _compile(e, bound)
     numeric = _is_numeric_expr(e)
     dt = XSD + "double" if numeric else XSD_STRING

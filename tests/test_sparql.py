@@ -1401,3 +1401,134 @@ def test_optional_sharing_no_variables(spark, triples):
     assert {(r["who"]["value"], r["b"]) for r in bare} == {
         (EX + "alice", None), (EX + "carol", None)
     }
+
+
+# round-5 final-session breadth: blank-node patterns, IN/NOT IN,
+# expression-function batch, effective boolean value
+
+
+@pytest.fixture(scope="module")
+def breadth(spark):
+    XS = "http://www.w3.org/2001/XMLSchema#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        (EX + "i1", RDF + "type", "iri", EX + "T", None, None),
+        (EX + "i1", EX + "name", "literal", "Zed", XS + "string", ""),
+        (EX + "i1", EX + "n", "literal", "5", XS + "integer", ""),
+        (EX + "i1", EX + "addr", "bnode", "_:a1", None, None),
+        ("_:a1", EX + "city", "literal", "Jena", XS + "string", ""),
+        (EX + "i2", EX + "name", "literal", "Ann", XS + "string", ""),
+        (EX + "i1", EX + "when", "literal", "2020-03-05T10:20:30",
+         XS + "dateTime", ""),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_DDL)
+
+
+def _count(t, q):
+    return sparql_select(t, q).count()
+
+
+def test_blank_node_patterns(spark, breadth):
+    """§4.2.1 node forms: [], [ p o ], and _:label all act as fresh
+    non-projectable variables; same label = same variable."""
+    assert _count(breadth, f"SELECT ?v WHERE {{ [ <{EX}city> ?v ] }}") == 1
+    assert _count(
+        breadth,
+        f"SELECT ?s WHERE {{ ?s <{EX}addr> [ <{EX}city> \"Jena\" ] }}",
+    ) == 1
+    assert _count(breadth, f"SELECT ?v WHERE {{ [] <{EX}name> ?v }}") == 2
+    assert _count(
+        breadth,
+        f"SELECT ?s WHERE {{ ?s <{EX}addr> _:x . _:x <{EX}city> \"Jena\" }}",
+    ) == 1
+    # a nested property list both contributes triples and stands alone
+    assert _count(
+        breadth,
+        f"SELECT ?s WHERE {{ ?s <{EX}addr> [ <{EX}city> ?c ] ;"
+        f" <{EX}name> \"Zed\" }}",
+    ) == 1
+    # bnode labels do not appear in SELECT * projections
+    out = sparql_select(
+        breadth, f"SELECT * WHERE {{ ?s <{EX}addr> _:x }}"
+    )
+    assert out.columns == ["s"]
+
+
+def test_in_operator(spark, breadth):
+    """§17.4.1.9/.10: IN as =-chain, NOT IN as its negation, empty
+    lists constant false/true."""
+    q = f"SELECT ?s WHERE {{ ?s <{EX}name> ?v . FILTER(?v %s) }}"
+    assert _count(breadth, q % 'IN ("Zed", "Q")') == 1
+    assert _count(breadth, q % 'NOT IN ("Zed", "Q")') == 1
+    assert _count(breadth, q % "IN ()") == 0
+    assert _count(breadth, q % "NOT IN ()") == 2
+    # numeric value equality applies per item
+    assert _count(
+        breadth, f"SELECT ?s WHERE {{ ?s <{EX}n> ?v . FILTER(?v IN (5)) }}"
+    ) == 1
+
+
+def test_function_batch(spark, breadth):
+    """IF / COALESCE / REPLACE / STRBEFORE / STRAFTER / ENCODE_FOR_URI /
+    isIRI-isBlank-isLiteral-isNumeric / date-time accessors."""
+    q = f"SELECT ?s WHERE {{ ?s <{EX}name> ?v . FILTER(%s) }}"
+    assert _count(breadth, q % 'IF(BOUND(?v), COALESCE(?v, "x") = "Zed", false)') == 1
+    assert _count(breadth, q % 'REPLACE(?v, "Z", "Y") = "Yed"') == 1
+    assert _count(breadth, q % 'REPLACE(?v, "z", "Y", "i") = "Yed"') == 1
+    assert _count(
+        breadth, q % 'STRBEFORE(?v, "e") = "Z" && STRAFTER(?v, "Z") = "ed"'
+    ) == 1
+    assert _count(breadth, q % 'STRAFTER(?v, "") = ?v && STRBEFORE(?v, "") = ""') == 2
+    assert _count(
+        breadth,
+        q % 'ENCODE_FOR_URI(CONCAT(?v, " b*~")) = "Zed%20b%2A~"',
+    ) == 1
+    assert _count(
+        breadth,
+        f"SELECT ?o WHERE {{ ?s <{EX}addr> ?o ."
+        f" FILTER(ISBLANK(?o) && !ISIRI(?o) && !ISLITERAL(?o)) }}",
+    ) == 1
+    assert _count(
+        breadth,
+        f"SELECT ?s WHERE {{ ?s a ?t . FILTER(ISIRI(?t) && !ISNUMERIC(?t)) }}",
+    ) == 1
+    assert _count(
+        breadth, f"SELECT ?s WHERE {{ ?s <{EX}n> ?v . FILTER(ISNUMERIC(?v)) }}"
+    ) == 1
+    assert _count(
+        breadth,
+        f"SELECT ?s WHERE {{ ?s <{EX}when> ?d . FILTER(YEAR(?d) = 2020"
+        f" && MONTH(?d) = 3 && DAY(?d) = 5 && HOURS(?d) = 10"
+        f" && MINUTES(?d) = 20 && SECONDS(?d) = 30) }}",
+    ) == 1
+
+
+def test_term_constructors_in_bind(spark, breadth):
+    """IRI()/STRDT()/STRLANG() build real term shapes in BIND."""
+    XS = "http://www.w3.org/2001/XMLSchema#"
+    out = sparql_select(
+        breadth,
+        f"""SELECT ?u ?d ?l WHERE {{
+              ?s <{EX}name> "Zed" .
+              BIND(IRI(CONCAT(STR(?s), "/x")) AS ?u)
+              BIND(STRDT("7", <{XS}integer>) AS ?d)
+              BIND(STRLANG("hi", "EN") AS ?l) }}""",
+    ).collect()
+    r = out[0]
+    assert (r["u"]["kind"], r["u"]["value"]) == ("iri", EX + "i1/x")
+    assert (r["d"]["kind"], r["d"]["datatype"]) == ("literal", XS + "integer")
+    assert (r["l"]["lang"], r["l"]["value"]) == ("en", "hi")
+
+
+def test_effective_boolean_value(spark, breadth):
+    """§17.2.2 EBV at filter sites: boolean literals by value, numeric
+    terms by != 0, strings by length."""
+    assert _count(breadth, f"SELECT ?s WHERE {{ ?s <{EX}n> ?v . FILTER(true) }}") == 1
+    assert _count(breadth, f"SELECT ?s WHERE {{ ?s <{EX}n> ?v . FILTER(false) }}") == 0
+    assert _count(breadth, f"SELECT ?s WHERE {{ ?s <{EX}n> ?v . FILTER(?v) }}") == 1
+    assert _count(
+        breadth, f"SELECT ?s WHERE {{ ?s <{EX}name> ?v . FILTER(?v && true) }}"
+    ) == 2
+    assert _count(
+        breadth, f"SELECT ?s WHERE {{ ?s <{EX}name> ?v . FILTER(!?v) }}"
+    ) == 0

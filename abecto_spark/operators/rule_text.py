@@ -678,13 +678,38 @@ def apply_construct(
             match, bound = _construct_grouped(comp, q)
         else:
             match, bound = comp.group_df(q.where)
-            for tp in q.template:
-                if not _triple_vars([tp]) <= bound:
-                    raise SparqlUnsupported(
-                        "template variable not bound in WHERE"
-                    )
+        # template blank nodes ([ ... ] / _:b → __bn vars, unbound in
+        # the WHERE) mint one fresh bnode per solution (§16.2.1) —
+        # deterministic per (var, row bindings), so a fixpoint's
+        # anti-join dedups re-derivations instead of minting forever
+        mint = sorted(
+            v for v in _triple_vars(q.template)
+            if v not in bound and v.startswith("__bn")
+        )
+        if mint:
+            row_cols = [F.col(v) for v in sorted(bound)]
+            for v in mint:
+                tag = F.lit(f"cbn/{v}")
+                label = F.concat(
+                    F.lit("_:c"),
+                    F.xxhash64(tag, F.lit(1), *row_cols).cast("string"),
+                    F.lit("x"),
+                    F.xxhash64(tag, F.lit(2), *row_cols).cast("string"),
+                )
+                match = match.withColumn(
+                    v,
+                    _term_struct(F.lit("bnode"), label, F.lit(""), F.lit("")),
+                )
+                bound = bound | {v}
+        for tp in q.template:
+            if not _triple_vars([tp]) <= bound:
+                raise SparqlUnsupported(
+                    "template variable not bound in WHERE"
+                )
+        if not (q.group_by or q.having):
             # ORDER BY/LIMIT/OFFSET slice the solution sequence before
-            # the template instantiates (orderBy+limit → TakeOrdered)
+            # the template instantiates (orderBy+limit → TakeOrdered);
+            # the grouped path applies them inside _select_df
             if q.order:
                 match = match.orderBy(*_order_keys(q.order, bound))
             if q.offset:

@@ -120,6 +120,9 @@ from pyspark.sql import functions as F
 from .model import RDF_LANG_STRING, XSD, XSD_STRING
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 
 class SparqlUnsupported(ValueError):
@@ -716,6 +719,28 @@ class _Parser:
             self.parse_po_list(g, v, closer="]")
             self.eat("]")
             return v
+        if self.peek()[1] == "(" and position in ("subject", "object"):
+            # collection ``( e1 e2 ... )`` (§4.2.2): rdf:first/rdf:rest
+            # chain through fresh non-projectable variables; ``()`` is
+            # rdf:nil
+            self.next()
+            items = []
+            while self.peek()[1] != ")":
+                items.append(self.parse_term_node(g, position="object"))
+            self.next()  # ')'
+            if not items:
+                return Iri(RDF_NIL)
+            head = self.fresh_var("bn")
+            node = head
+            for i, it in enumerate(items):
+                g.triples.append(Triple(node, Iri(RDF_FIRST), it))
+                rest = (
+                    Iri(RDF_NIL) if i == len(items) - 1
+                    else self.fresh_var("bn")
+                )
+                g.triples.append(Triple(node, Iri(RDF_REST), rest))
+                node = rest
+            return head
         return self.parse_term(position=position)
 
     # -- property paths (SPARQL 1.1 §9) ---------------------------------

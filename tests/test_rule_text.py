@@ -600,3 +600,28 @@ def test_rule_binding_builtin_parse_errors():
         parse_jena_rules(
             f"[(?a <{EX}p> ?b) addOne(?b, ?c) -> (?a <{EX}q> ?zz)]"
         )
+
+
+def test_construct_template_mints_bnodes(spark):
+    """§16.2.1: blank nodes in a CONSTRUCT template ([ ... ] / _:b)
+    mint one fresh bnode per solution, deterministic per bindings so a
+    maxIterations fixpoint terminates."""
+    ex = "http://example.org/"
+    xs = "http://www.w3.org/2001/XMLSchema#"
+    rows = [(ex + "a", ex + "name", "literal", "A", xs + "string", ""),
+            (ex + "b", ex + "name", "literal", "B", xs + "string", "")]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    q = (f"CONSTRUCT {{ ?s <{ex}card> [ <{ex}label> ?n ] }}"
+         f" WHERE {{ ?s <{ex}name> ?n }}")
+    out = apply_construct(t, q)
+    cards = {(r["s"], r["o_value"]) for r in
+             out.where(out.p == ex + "card").collect()}
+    labels = {(r["s"], r["o_value"]) for r in
+              out.where(out.p == ex + "label").collect()}
+    # one distinct bnode per solution, linked subject -> bnode -> label
+    assert len(cards) == 2 and len({b for _, b in cards}) == 2
+    assert {(b, n) for _, b in cards for bb, n in labels if bb == b} == {
+        (b, {"a": "A", "b": "B"}[s.rsplit("/", 1)[-1]]) for s, b in cards
+    }
+    # fixpoint: re-running mints identical bnodes, so nothing new
+    assert apply_construct(t, q, max_iterations=4).count() == out.count()

@@ -1532,3 +1532,33 @@ def test_effective_boolean_value(spark, breadth):
     assert _count(
         breadth, f"SELECT ?s WHERE {{ ?s <{EX}name> ?v . FILTER(!?v) }}"
     ) == 0
+
+
+def test_collection_patterns(spark):
+    """§4.2.2 collections: ( e1 e2 ) desugars to an rdf:first/rdf:rest
+    chain through fresh variables; () is rdf:nil."""
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XS = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "i1", EX + "tags", "bnode", "_:l1", None, None),
+        ("_:l1", RDF + "first", "literal", "red", XS + "string", ""),
+        ("_:l1", RDF + "rest", "bnode", "_:l2", None, None),
+        ("_:l2", RDF + "first", "literal", "blue", XS + "string", ""),
+        ("_:l2", RDF + "rest", "iri", RDF + "nil", None, None),
+        (EX + "i2", EX + "tags", "iri", RDF + "nil", None, None),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    hit = sparql_select(t, f'SELECT ?s WHERE {{ ?s <{EX}tags> ("red" "blue") }}')
+    assert [r["s"]["value"] for r in hit.collect()] == [EX + "i1"]
+    # order matters: the reversed list matches nothing
+    assert sparql_select(
+        t, f'SELECT ?s WHERE {{ ?s <{EX}tags> ("blue" "red") }}'
+    ).count() == 0
+    nil = sparql_select(t, f"SELECT ?s WHERE {{ ?s <{EX}tags> () }}")
+    assert [r["s"]["value"] for r in nil.collect()] == [EX + "i2"]
+    var = sparql_select(
+        t, f'SELECT ?s ?x WHERE {{ ?s <{EX}tags> (?x "blue") }}'
+    ).collect()
+    assert [(r["s"]["value"], r["x"]["value"]) for r in var] == [
+        (EX + "i1", "red")
+    ]

@@ -101,7 +101,10 @@ effective boolean value (§17.2.2) at every filter site, and the
 expression-function batch ``IF COALESCE REPLACE STRBEFORE STRAFTER
 ENCODE_FOR_URI isIRI/isURI/isBlank/isLiteral/isNumeric YEAR MONTH DAY
 HOURS MINUTES SECONDS`` plus the term constructors ``IRI/URI STRDT
-STRLANG`` in BIND.
+STRLANG`` in BIND, ``( e1 e2 )`` collection nodes, blank-node-minting
+CONSTRUCT templates, and ``[NOT] EXISTS`` as an expression operand
+(resolved to boolean marker columns via one distinct-keyed left join
+per occurrence, so it composes with any boolean operator).
 
 Unsupported syntax raises ``SparqlUnsupported`` — at this point that is
 malformed queries (including path modifiers on a variable predicate,
@@ -205,6 +208,24 @@ class Op:
     op: str
     left: object
     right: object = None  # None => unary
+
+
+@dataclass
+class ExistsExpr:
+    """``[NOT] EXISTS { group }`` used inside a FILTER expression
+    (§17.4.1.4; the bare statement forms ``FILTER [NOT] EXISTS {}`` have
+    their own semi/anti-join fast path). Resolved to a boolean marker
+    column before expression compilation."""
+
+    group: object  # Group
+
+
+@dataclass(frozen=True)
+class _Marker:
+    """Internal reference to a plain boolean column (an EXISTS marker
+    joined onto the solution frame)."""
+
+    name: str
 
 
 @dataclass(frozen=True)
@@ -993,6 +1014,13 @@ class _Parser:
             return self.parse_term(position="subject")
         if k == "word" and v.upper() in _AGG_FNS:
             return self.parse_aggregate(v.upper())
+        if k == "word" and v.upper() == "EXISTS":
+            self.next()
+            return ExistsExpr(self.parse_group())
+        if k == "word" and v.upper() == "NOT":
+            self.next()
+            self.eat("EXISTS")
+            return Op("!", ExistsExpr(self.parse_group()))
         if k == "word":
             self.next()
             self.eat("(")
@@ -1914,8 +1942,59 @@ class _Compiler:
                     require_dom_overlap=False, anti=False,
                 )
         for fexpr in g.filters:
+            acc, fexpr, marks = self._resolve_exists(acc, bound, maybe, fexpr)
             acc = acc.where(compile_expr_bool(fexpr, bound))
+            if marks:
+                acc = acc.drop(*marks)
         return acc, bound, maybe
+
+    def _resolve_exists(self, acc, bound, maybe, e, marks=None):
+        """Resolve ``EXISTS { group }`` nodes inside a filter expression
+        to boolean marker columns (§17.4.1.4): compile the inner group,
+        left-join its shared-variable keys onto the solution frame with
+        a TRUE marker, and substitute a marker reference — so EXISTS
+        composes with any boolean operator. Disconnected EXISTS folds to
+        a constant via one eager emptiness probe (same as the statement
+        form). Returns (frame, rewritten expr, marker column names)."""
+        if marks is None:
+            marks = []
+        if isinstance(e, ExistsExpr):
+            edf, evs, emaybe = self._group_df3(e.group)
+            shared = sorted(bound & evs)
+            if not shared:
+                val = "false" if edf.isEmpty() else "true"
+                return acc, Lit(val, XSD + "boolean"), marks
+            risky = [v for v in shared if v in maybe or v in emaybe]
+            if risky:
+                raise SparqlUnsupported(
+                    "EXISTS inside an expression over possibly-unbound"
+                    f" shared variables ({', '.join(risky)}) — use the"
+                    " statement form FILTER [NOT] EXISTS"
+                )
+            mk = f"__ex{len(marks)}_{self._fresh_mark()}"
+            probe = edf.select(*shared).distinct().withColumn(mk, F.lit(True))
+            acc = acc.join(probe, on=shared, how="left")
+            marks.append(mk)
+            return acc, _Marker(mk), marks
+        if isinstance(e, Op):
+            acc, left, marks = self._resolve_exists(acc, bound, maybe, e.left, marks)
+            right = e.right
+            if right is not None:
+                acc, right, marks = self._resolve_exists(
+                    acc, bound, maybe, right, marks
+                )
+            return acc, Op(e.op, left, right), marks
+        if isinstance(e, Call):
+            args = []
+            for x in e.args:
+                acc, nx, marks = self._resolve_exists(acc, bound, maybe, x, marks)
+                args.append(nx)
+            return acc, Call(e.fn, tuple(args)), marks
+        return acc, e, marks
+
+    def _fresh_mark(self) -> int:
+        self._mark = getattr(self, "_mark", 0) + 1
+        return self._mark
 
 
 _TERM_DDL = "struct<kind:string,value:string,datatype:string,lang:string>"
@@ -1959,6 +2038,8 @@ def _expr_text(e) -> str:
             sep = e.sep.replace("\\", "\\\\").replace('"', '\\"')
             return f'{e.fn}({inner}; SEPARATOR="{sep}")'
         return f"{e.fn}({inner})"
+    if isinstance(e, ExistsExpr):
+        return "EXISTS { " + _group_text(e.group) + " }"
     raise SparqlUnsupported(
         f"cannot serialize expression {e!r} for a SERVICE request"
     )
@@ -2153,6 +2234,8 @@ def _compile(e, bound: set[str]) -> Column:
         return {"+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv}[e.op]
     if isinstance(e, Call):
         return _compile_call(e, bound)
+    if isinstance(e, _Marker):
+        return F.coalesce(F.col(e.name), F.lit(False))
     if isinstance(e, (Var, Lit, Iri)):
         return _val(e, bound)
     raise SparqlUnsupported(f"bad expression {e!r}")

@@ -1562,3 +1562,38 @@ def test_collection_patterns(spark):
     assert [(r["s"]["value"], r["x"]["value"]) for r in var] == [
         (EX + "i1", "red")
     ]
+
+
+def test_exists_inside_expressions(spark):
+    """§17.4.1.4 EXISTS as an expression operand: composes with
+    ||/&&/!, parenthesized NOT EXISTS, constants for disconnected
+    groups, several EXISTS per filter."""
+    XS = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "a", EX + "name", "literal", "A", XS + "string", ""),
+        (EX + "a", EX + "vip", "literal", "true", XS + "boolean", ""),
+        (EX + "b", EX + "name", "literal", "B", XS + "string", ""),
+        (EX + "c", EX + "name", "literal", "C", XS + "string", ""),
+        (EX + "c", EX + "vip", "literal", "true", XS + "boolean", ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+
+    def names(q):
+        return sorted(
+            r["s"]["value"].rsplit("/", 1)[-1]
+            for r in sparql_select(t, q).collect()
+        )
+
+    base = f"SELECT ?s WHERE {{ ?s <{EX}name> ?n . FILTER(%s) }}"
+    vip = f"EXISTS {{ ?s <{EX}vip> ?v }}"
+    assert names(base % f'{vip} || ?n = "B"') == ["a", "b", "c"]
+    assert names(base % f"NOT EXISTS {{ ?s <{EX}vip> ?v }}") == ["b"]
+    assert names(base % f"!{vip}") == ["b"]
+    assert names(base % f'{vip} && ?n != "A"') == ["c"]
+    # disconnected EXISTS folds to a constant gate
+    assert names(base % f'EXISTS {{ ?x <{EX}vip> ?v }} && ?n = "B"') == ["b"]
+    assert names(base % f'EXISTS {{ ?x <{EX}nope> ?v }} || ?n = "B"') == ["b"]
+    # several EXISTS in one expression
+    assert names(
+        base % f'{vip} || EXISTS {{ ?s <{EX}name> "B" }}'
+    ) == ["a", "b", "c"]

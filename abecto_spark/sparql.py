@@ -102,9 +102,11 @@ expression-function batch ``IF COALESCE REPLACE STRBEFORE STRAFTER
 ENCODE_FOR_URI isIRI/isURI/isBlank/isLiteral/isNumeric YEAR MONTH DAY
 HOURS MINUTES SECONDS`` plus the term constructors ``IRI/URI STRDT
 STRLANG`` in BIND, ``( e1 e2 )`` collection nodes, blank-node-minting
-CONSTRUCT templates, and ``[NOT] EXISTS`` as an expression operand
+CONSTRUCT templates, ``[NOT] EXISTS`` as an expression operand
 (resolved to boolean marker columns via one distinct-keyed left join
-per occurrence, so it composes with any boolean operator).
+per occurrence, so it composes with any boolean operator), and the
+``xsd:`` constructor casts as functions by IRI (§17.5; cast errors
+drop the row / leave the BIND unbound).
 
 Unsupported syntax raises ``SparqlUnsupported`` — at this point that is
 malformed queries (including path modifiers on a variable predicate,
@@ -126,6 +128,11 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
 RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+#: XPath constructor casts usable as functions by IRI (§17.5)
+_XSD_CASTS = (
+    "integer", "decimal", "float", "double", "string", "boolean", "dateTime",
+)
 
 
 class SparqlUnsupported(ValueError):
@@ -1010,7 +1017,23 @@ class _Parser:
         if k in ("str", "num") or (k == "word" and v in ("true", "false")):
             return self.parse_term(position="object")
         if k == "iri" or k == "pname":
-            # could be a constant IRI or (not supported) a function by IRI
+            if self.toks[self.i + 1][1] == "(":
+                # function by IRI — the XSD constructor casts (§17.5)
+                fn = self.parse_term(position="subject")
+                if not isinstance(fn, Iri) or not fn.value.startswith(XSD):
+                    raise SparqlUnsupported(
+                        f"function by IRI {fn!r} not supported (only the"
+                        " xsd: constructor casts)"
+                    )
+                if fn.value[len(XSD):] not in _XSD_CASTS:
+                    raise SparqlUnsupported(
+                        f"unsupported xsd constructor {fn.value!r}"
+                    )
+                self.eat("(")
+                arg = self.parse_expr()
+                self.eat(")")
+                return Call(fn.value, (arg,))
+            # a constant IRI
             return self.parse_term(position="subject")
         if k == "word" and v.upper() in _AGG_FNS:
             return self.parse_aggregate(v.upper())
@@ -2029,7 +2052,8 @@ def _expr_text(e) -> str:
             return f"({sym}{_expr_text(e.left)})"
         return f"({_expr_text(e.left)} {e.op} {_expr_text(e.right)})"
     if isinstance(e, Call):
-        return f"{e.fn}({', '.join(_expr_text(a) for a in e.args)})"
+        name = f"<{e.fn}>" if e.fn.startswith("http") else e.fn
+        return f"{name}({', '.join(_expr_text(a) for a in e.args)})"
     if isinstance(e, Agg):
         inner = "*" if e.arg is None else _expr_text(e.arg)
         if e.distinct:
@@ -2176,7 +2200,10 @@ def _is_numeric_expr(e) -> bool:
     if isinstance(e, Call):
         return e.fn in ("STRLEN", "ABS", "ROUND", "CEIL", "FLOOR",
                         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-                        "SECONDS")
+                        "SECONDS") or (
+            e.fn.startswith(XSD)
+            and e.fn[len(XSD):] in ("integer", "decimal", "float", "double")
+        )
     return False
 
 
@@ -2372,6 +2399,22 @@ def _compile_call(e: Call, bound: set[str]) -> Column:
         # value-level view (e.g. inside STR()/comparisons); the term-
         # level result shape is built by compile_expr_term
         return _val(a[0], bound)
+    if fn.startswith(XSD) and fn[len(XSD):] in _XSD_CASTS:
+        cast = fn[len(XSD):]
+        v = _val(a[0], bound)
+        if cast == "string":
+            return v
+        if cast == "boolean":
+            # invalid lexical forms are a cast error → NULL (row dropped
+            # in a filter, variable unbound in a BIND)
+            return F.when(v.isin("true", "1"), F.lit(True)).when(
+                v.isin("false", "0"), F.lit(False)
+            )
+        if cast == "integer":
+            return v.try_cast("long")
+        if cast == "dateTime":
+            return v.try_cast("timestamp")
+        return v.try_cast("double")  # decimal / double / float
     raise SparqlUnsupported(f"function {fn} not supported")
 
 
@@ -2624,6 +2667,21 @@ def compile_expr_term(e, bound: set[str]) -> Column:
         ).otherwise(compile_expr_term(e.args[2], bound))
     if isinstance(e, Call) and e.fn == "COALESCE":
         return F.coalesce(*[compile_expr_term(x, bound) for x in e.args])
+    if isinstance(e, Call) and e.fn.startswith(XSD) and (
+        e.fn[len(XSD):] in _XSD_CASTS
+    ):
+        cast = e.fn[len(XSD):]
+        c = _compile(e, bound)
+        if cast == "dateTime":
+            lex = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+        elif cast == "boolean":
+            lex = F.when(c.isNotNull(), F.when(c, "true").otherwise("false"))
+        else:
+            lex = c.cast("string")
+        return F.when(
+            lex.isNotNull(),
+            _term_struct(F.lit("literal"), lex, F.lit(e.fn), F.lit("")),
+        )
     c = _compile(e, bound)
     numeric = _is_numeric_expr(e)
     dt = XSD + "double" if numeric else XSD_STRING

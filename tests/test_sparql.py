@@ -1597,3 +1597,48 @@ def test_exists_inside_expressions(spark):
     assert names(
         base % f'{vip} || EXISTS {{ ?s <{EX}name> "B" }}'
     ) == ["a", "b", "c"]
+
+
+def test_xsd_constructor_casts(spark):
+    """§17.5 XPath constructors as functions by IRI: numeric comparison
+    through a cast, cast errors drop rows, BIND builds typed literals."""
+    XS = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        (EX + "a", EX + "v", "literal", "10", XS + "string", ""),
+        (EX + "b", EX + "v", "literal", "9", XS + "string", ""),
+        (EX + "c", EX + "v", "literal", "oops", XS + "string", ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    pre = f"PREFIX xsd: <{XS}> "
+    # "10" < "9" lexically; the cast compares numerically
+    hit = sparql_select(
+        t,
+        pre + f"SELECT ?s WHERE {{ ?s <{EX}v> ?v ."
+        f" FILTER(xsd:integer(?v) >= 10) }}",
+    )
+    assert [r["s"]["value"] for r in hit.collect()] == [EX + "a"]
+    # an invalid lexical form is a cast error: the row drops silently
+    ok = sparql_select(
+        t,
+        pre + f"SELECT ?s WHERE {{ ?s <{EX}v> ?v ."
+        f" FILTER(xsd:double(?v) > 0) }}",
+    )
+    assert sorted(r["s"]["value"] for r in ok.collect()) == [
+        EX + "a", EX + "b",
+    ]
+    out = sparql_select(
+        t,
+        pre + f"SELECT ?n ?b ?d WHERE {{ <{EX}a> <{EX}v> ?v ."
+        f" BIND(xsd:integer(?v) AS ?n) BIND(xsd:boolean(\"1\") AS ?b)"
+        f" BIND(xsd:dateTime(\"2020-03-05 10:00:00\") AS ?d) }}",
+    ).collect()[0]
+    assert (out["n"]["value"], out["n"]["datatype"]) == ("10", XS + "integer")
+    assert (out["b"]["value"], out["b"]["datatype"]) == ("true", XS + "boolean")
+    assert (out["d"]["value"], out["d"]["datatype"]) == (
+        "2020-03-05T10:00:00", XS + "dateTime",
+    )
+    # a non-xsd function by IRI stays loud
+    with pytest.raises(SparqlUnsupported, match="function by IRI"):
+        sparql_select(
+            t, f"SELECT ?s WHERE {{ ?s <{EX}v> ?v . FILTER(<{EX}f>(?v)) }}"
+        )

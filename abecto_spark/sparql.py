@@ -100,8 +100,8 @@ variables), ``IN`` / ``NOT IN`` (desugared to the spec's ``=``-chain),
 effective boolean value (§17.2.2) at every filter site, and the
 expression-function batch ``IF COALESCE REPLACE STRBEFORE STRAFTER
 ENCODE_FOR_URI isIRI/isURI/isBlank/isLiteral/isNumeric YEAR MONTH DAY
-HOURS MINUTES SECONDS`` plus the term constructors ``IRI/URI STRDT
-STRLANG`` in BIND, ``( e1 e2 )`` collection nodes, blank-node-minting
+HOURS MINUTES SECONDS TZ TIMEZONE SHA1 SHA384`` plus the term
+constructors ``IRI/URI STRDT STRLANG`` in BIND, ``( e1 e2 )`` collection nodes, blank-node-minting
 CONSTRUCT templates, ``[NOT] EXISTS`` as an expression operand
 (resolved to boolean marker columns via one distinct-keyed left join
 per occurrence, so it composes with any boolean operator), and the
@@ -1988,13 +1988,32 @@ class _Compiler:
                 val = "false" if edf.isEmpty() else "true"
                 return acc, Lit(val, XSD + "boolean"), marks
             risky = [v for v in shared if v in maybe or v in emaybe]
-            if risky:
-                raise SparqlUnsupported(
-                    "EXISTS inside an expression over possibly-unbound"
-                    f" shared variables ({', '.join(risky)}) — use the"
-                    " statement form FILTER [NOT] EXISTS"
-                )
             mk = f"__ex{len(marks)}_{self._fresh_mark()}"
+            if risky:
+                # possibly-unbound shared variables: the marker depends
+                # only on μ1 restricted to the shared variables, so
+                # compute compatibility (same null-tolerant semantics as
+                # the statement form) once per DISTINCT shared tuple,
+                # then stitch the boolean back with a null-safe equi
+                # join — hashable keys, no per-row condition join on acc
+                keys = acc.select(*shared).distinct()
+                matched = self._compat_anti(
+                    keys, edf.select(*shared).distinct(), shared,
+                    require_dom_overlap=False, anti=False,
+                )
+                matched = matched.select(
+                    *[F.col(v).alias(f"{mk}_{v}") for v in shared],
+                    F.lit(True).alias(mk),
+                )
+                cond = None
+                for v in shared:
+                    c = F.col(v).eqNullSafe(F.col(f"{mk}_{v}"))
+                    cond = c if cond is None else cond & c
+                acc = acc.join(matched, on=cond, how="left").drop(
+                    *[f"{mk}_{v}" for v in shared]
+                )
+                marks.append(mk)
+                return acc, _Marker(mk), marks
             probe = edf.select(*shared).distinct().withColumn(mk, F.lit(True))
             acc = acc.join(probe, on=shared, how="left")
             marks.append(mk)
@@ -2319,10 +2338,38 @@ def _compile_call(e: Call, bound: set[str]) -> Column:
         v, pos = _val(a[0], bound), _num(a[1], bound).cast("int")
         length = _num(a[2], bound).cast("int") if len(a) > 2 else F.lit(2**31 - 1)
         return F.substring(v, pos, length)
-    if fn in ("SHA256", "SHA512"):
-        return F.sha2(_val(a[0], bound), 256 if fn == "SHA256" else 512)
+    if fn in ("SHA256", "SHA384", "SHA512"):
+        return F.sha2(_val(a[0], bound), int(fn[3:]))
+    if fn == "SHA1":
+        return F.sha1(_val(a[0], bound))
     if fn == "MD5":
         return F.md5(_val(a[0], bound))
+    if fn in ("TZ", "TIMEZONE"):
+        # §17.4.5.7/8 over the stored lexical form of the dateTime:
+        # TZ is the literal timezone text ("" when absent); TIMEZONE is
+        # the canonical xsd:dayTimeDuration (NULL/error when absent)
+        tz = F.regexp_extract(
+            _val(a[0], bound), r"(Z|[+-]\d{2}:\d{2})$", 1
+        )
+        if fn == "TZ":
+            return tz
+        h = F.substring(tz, 2, 2).cast("int")
+        m = F.substring(tz, 5, 2).cast("int")
+        return (
+            F.when(tz == "", F.lit(None).cast("string"))
+            .when((tz == "Z") | ((h == 0) & (m == 0)), F.lit("PT0S"))
+            .otherwise(
+                F.concat(
+                    F.when(F.substring(tz, 1, 1) == "-", F.lit("-"))
+                    .otherwise(F.lit("")),
+                    F.lit("PT"),
+                    F.when(h > 0, F.concat(h.cast("string"), F.lit("H")))
+                    .otherwise(F.lit("")),
+                    F.when(m > 0, F.concat(m.cast("string"), F.lit("M")))
+                    .otherwise(F.lit("")),
+                )
+            )
+        )
     if fn == "ABS":
         return F.abs(_num(a[0], bound))
     if fn in ("CEIL", "FLOOR", "ROUND"):
@@ -2667,6 +2714,14 @@ def compile_expr_term(e, bound: set[str]) -> Column:
         ).otherwise(compile_expr_term(e.args[2], bound))
     if isinstance(e, Call) and e.fn == "COALESCE":
         return F.coalesce(*[compile_expr_term(x, bound) for x in e.args])
+    if isinstance(e, Call) and e.fn == "TIMEZONE":
+        c = _compile(e, bound)
+        return F.when(
+            c.isNotNull(),
+            _term_struct(
+                F.lit("literal"), c, F.lit(XSD + "dayTimeDuration"), F.lit("")
+            ),
+        )
     if isinstance(e, Call) and e.fn.startswith(XSD) and (
         e.fn[len(XSD):] in _XSD_CASTS
     ):

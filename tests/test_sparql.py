@@ -1642,3 +1642,83 @@ def test_xsd_constructor_casts(spark):
         sparql_select(
             t, f"SELECT ?s WHERE {{ ?s <{EX}v> ?v . FILTER(<{EX}f>(?v)) }}"
         )
+
+
+def test_exists_expr_over_possibly_unbound_vars(spark, triples):
+    """§17.4.1.4 EXISTS as an expression operand when a shared variable
+    is only possibly bound (here via UNION): same null-tolerant
+    compatibility as the statement form — an unbound outer variable
+    stays free inside the pattern — computed per distinct shared tuple
+    and stitched back with a null-safe equi join."""
+    q = f"""SELECT ?s ?y WHERE {{
+          {{ ?s <{EX}label> "Alice" }}
+          UNION
+          {{ ?s <{EX}boss> ?y }}
+          FILTER(EXISTS {{ ?y <{EX}label> "Bob" }} || ?s = <{EX}nobody>)
+        }}"""
+    rows = {
+        (r["s"]["value"], r["y"] and r["y"]["value"])
+        for r in sparql_select(triples, q).collect()
+    }
+    # bound row: y=bob has label "Bob" → kept; y-unbound row: ?y free →
+    # pattern has a solution → kept (matches the statement-form test)
+    assert rows == {(EX + "alice", None), (EX + "alice", EX + "bob")}
+    # negated through the expression operator (marker coalesces to
+    # false): nothing survives, matching FILTER NOT EXISTS
+    neg = q.replace("EXISTS", "NOT EXISTS")
+    assert sparql_select(triples, neg).count() == 0
+    # no match anywhere → only the || escape hatch could keep rows
+    dead = q.replace('"Bob"', '"Zilch"')
+    assert sparql_select(triples, dead).count() == 0
+
+
+def test_sha1_sha384_digests(spark, triples):
+    """§17.4.4.3-8 hash functions over the lexical form."""
+    import hashlib
+
+    out = sparql_select(
+        triples,
+        f"""SELECT ?h1 ?h384 WHERE {{
+              <{EX}alice> <{EX}label> ?l .
+              BIND(SHA1(?l) AS ?h1) BIND(SHA384(?l) AS ?h384)
+            }}""",
+    ).collect()[0]
+    assert out["h1"]["value"] == hashlib.sha1(b"Alice").hexdigest()
+    assert out["h384"]["value"] == hashlib.sha384(b"Alice").hexdigest()
+
+
+def test_tz_and_timezone(spark):
+    """§17.4.5.7/8: TZ returns the lexical timezone text ("" when
+    absent); TIMEZONE the canonical xsd:dayTimeDuration (error/unbound
+    when absent)."""
+    XS = "http://www.w3.org/2001/XMLSchema#"
+    dt = XS + "dateTime"
+    rows = [
+        (EX + "z", EX + "at", "literal", "2011-01-10T14:45:13.815Z", dt, ""),
+        (EX + "p", EX + "at", "literal", "2011-01-10T14:45:13+05:30", dt, ""),
+        (EX + "m", EX + "at", "literal", "2011-01-10T14:45:13-05:00", dt, ""),
+        (EX + "z0", EX + "at", "literal", "2011-01-10T14:45:13+00:00", dt, ""),
+        (EX + "n", EX + "at", "literal", "2011-01-10T14:45:13", dt, ""),
+        (EX + "h", EX + "at", "literal", "2011-01-10T14:45:13+00:30", dt, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = sparql_select(
+        t,
+        f"""SELECT ?s ?tz ?d WHERE {{
+              ?s <{EX}at> ?v . BIND(TZ(?v) AS ?tz) BIND(TIMEZONE(?v) AS ?d)
+            }}""",
+    ).collect()
+    got = {
+        r["s"]["value"].rsplit("/", 1)[-1]: (
+            r["tz"]["value"],
+            r["d"] and (r["d"]["value"], r["d"]["datatype"]),
+        )
+        for r in out
+    }
+    dur = XS + "dayTimeDuration"
+    assert got["z"] == ("Z", ("PT0S", dur))
+    assert got["p"] == ("+05:30", ("PT5H30M", dur))
+    assert got["m"] == ("-05:00", ("-PT5H", dur))
+    assert got["z0"] == ("+00:00", ("PT0S", dur))
+    assert got["h"] == ("+00:30", ("PT30M", dur))
+    assert got["n"] == ("", None)  # TIMEZONE is an error → unbound

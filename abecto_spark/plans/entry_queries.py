@@ -521,6 +521,19 @@ def q_doc_quality(spark, sf):
                     lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition filters (operators/repetition.py):
+    duplicate-line fractions, top-bigram char coverage, duplicated
+    5-gram char coverage — all per-document sorted-array run-length
+    passes inside Catalyst ``aggregate`` HOFs, zero shuffle. The DuckDB
+    oracle replays the same definitions the classical way (unnest +
+    GROUP BY + window)."""
+    from ..operators.repetition import repetition_signals
+
+    d = _t(spark, sf, "documents")
+    return repetition_signals(d, top_ngram=2, dup_ngram=5)
+
+
 def q_corpus_curation(spark, sf):
     """Round-4 composed training-data curation pass: exact dedup
     (first-id-wins on the token-normalized content), quality floor,
@@ -1446,6 +1459,7 @@ QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "neardup_dedup": q_neardup_dedup,
     "doc_quality": q_doc_quality,
+    "repetition_signals": q_repetition_signals,
     "ann_top1": q_ann_top1,
     "sessionize": q_sessionize,
     "windowed_agg": q_windowed_agg,
@@ -2215,6 +2229,63 @@ ORACLES = {
                                     ORDER BY quality DESC, doc_id) AS rank
           FROM k)
         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
+    """,
+    "repetition_signals": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS nc,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g2 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> array_to_string(toks[i:i+1], ' '))) AS ng
+          FROM t),
+        c2 AS (SELECT doc_id, ng, count(*) AS cnt FROM g2 GROUP BY doc_id, ng),
+        top2 AS (
+          SELECT doc_id, ng, cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, length(ng) DESC, ng DESC)
+                   AS r
+          FROM c2),
+        g5 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(toks[i:i+4], ' '))) AS ng
+          FROM t),
+        c5 AS (SELECT doc_id, ng, count(*) AS cnt FROM g5 GROUP BY doc_id, ng),
+        d5 AS (SELECT doc_id,
+                      SUM(CASE WHEN cnt > 1 THEN cnt * length(ng) ELSE 0 END)
+                        AS dupc
+               FROM c5 GROUP BY doc_id),
+        l AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                                        x -> x <> '')) AS line
+              FROM documents),
+        lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+               FROM l GROUP BY doc_id, line),
+        la AS (SELECT doc_id,
+                      CAST(SUM(cnt) AS DOUBLE) AS nl,
+                      CAST(COUNT(*) AS DOUBLE) AS dl,
+                      CAST(SUM(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END)
+                           AS DOUBLE) AS dlc,
+                      CAST(SUM(cnt * ln) AS DOUBLE) AS tlc
+               FROM lc GROUP BY doc_id)
+        SELECT t.doc_id,
+               ROUND(COALESCE((la.nl - la.dl) / greatest(la.nl, 1), 0), 6)
+                 AS dup_line_frac,
+               ROUND(COALESCE(la.dlc / greatest(la.tlc, 1), 0), 6)
+                 AS dup_line_char_frac,
+               COALESCE(tp.ng, '') AS top_ngram,
+               ROUND(COALESCE(tp.cnt * length(tp.ng), 0) / greatest(t.nc, 1), 6)
+                 AS top_ngram_char_frac,
+               ROUND(COALESCE(d5.dupc, 0) / greatest(t.nc, 1), 6)
+                 AS dup_ngram_char_frac
+        FROM t
+        LEFT JOIN la ON la.doc_id = t.doc_id
+        LEFT JOIN (SELECT * FROM top2 WHERE r = 1) tp ON tp.doc_id = t.doc_id
+        LEFT JOIN d5 ON d5.doc_id = t.doc_id
     """,
     "doc_quality": """
         WITH b AS (

@@ -63,6 +63,7 @@ def main() -> None:
         "text_stats",
         "bpe_token_count",
         "doc_quality",
+        "repetition_signals",
         "corpus_curation",
         "doc_fingerprint",
         "ann_top1",

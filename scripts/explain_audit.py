@@ -110,6 +110,22 @@ def main() -> int:
         len(re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)) <= 1,
     )
 
+    # ---- 5b. repetition signals: per-doc HOF pass, zero shuffle --------
+    rep = q.q_repetition_signals(spark, SF_DIR)
+    p = plan_of(rep)
+    sections.append(("repetition_signals (shuffle-free per-document pass)", p))
+    check(
+        "repetition_signals: zero exchanges (per-document aggregate HOFs,"
+        " no explode/groupBy)",
+        "Exchange" not in p,
+    )
+    check(
+        "repetition_signals: column pruning (doc_id + text only)",
+        (lambda m: m and set(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == {"doc_id", "text"})(re.search(r"ReadSchema: struct<([^>]*)>", p)),
+    )
+
     # ---- 6. ANN: brute-force top-k broadcasts the query side ----------
     ann = q.q_ann_top1(spark, SF_DIR)
     p = plan_of(ann)

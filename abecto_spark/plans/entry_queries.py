@@ -534,6 +534,33 @@ def q_repetition_signals(spark, sf):
     return repetition_signals(d, top_ngram=2, dup_ngram=5)
 
 
+def q_redact_pii(spark, sf):
+    """PII redaction (functions/pii.py). The synthetic corpus carries no
+    PII, so the query plants deterministic doc_id-derived PII into the
+    first 50 documents — the same transformation the DuckDB oracle
+    replays — making every count and replacement oracle-checkable."""
+    from ..functions.pii import redact_pii
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 50,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0"),
+                F.lpad(F.col("doc_id").cast("string"), 2, "0"),
+                F.lit("-0199 at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(planted)
+
+
 def q_corpus_curation(spark, sf):
     """Round-4 composed training-data curation pass: exact dedup
     (first-id-wins on the token-normalized content), quality floor,
@@ -1460,6 +1487,7 @@ QUERIES = {
     "neardup_dedup": q_neardup_dedup,
     "doc_quality": q_doc_quality,
     "repetition_signals": q_repetition_signals,
+    "redact_pii": q_redact_pii,
     "ann_top1": q_ann_top1,
     "sessionize": q_sessionize,
     "windowed_agg": q_windowed_agg,
@@ -2286,6 +2314,35 @@ ORACLES = {
         LEFT JOIN la ON la.doc_id = t.doc_id
         LEFT JOIN (SELECT * FROM top2 WHERE r = 1) tp ON tp.doc_id = t.doc_id
         LEFT JOIN d5 ON d5.doc_id = t.doc_id
+    """,
+    "redact_pii": """
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id < 50 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-0'
+                        || lpad(CAST(doc_id AS VARCHAR), 2, '0')
+                        || '-0199 at 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+                 '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g')
+                 AS redacted,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                 AS n_email,
+               len(regexp_extract_all(text,
+                   '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS n_phone,
+               len(regexp_extract_all(text,
+                   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4
+        FROM planted
     """,
     "doc_quality": """
         WITH b AS (

@@ -64,6 +64,7 @@ def main() -> None:
         "bpe_token_count",
         "doc_quality",
         "repetition_signals",
+        "redact_pii",
         "corpus_curation",
         "doc_fingerprint",
         "ann_top1",

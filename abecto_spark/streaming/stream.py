@@ -159,3 +159,50 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_curate(
+    docs_stream: DataFrame,
+    quality_min: float = 0.3,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus curation over interleaved docs: exact dedup
+    (first-occurrence wins across micro-batches) → quality floor on the
+    concatenated text spans → PII redaction inside each text span. The
+    quality and redaction stages reuse the exact batch implementations
+    (``functions/text.quality_score``, ``functions/pii.redact_text``) as
+    stateless projections, so batch and streaming curation cannot
+    drift; the only state is the dedup fingerprint set (watermark-
+    bounded when ``ts_col`` is given). Media spans pass through
+    untouched and the span sequence (kind, media_ref, offset, order) is
+    preserved — only text content is rewritten."""
+    from ..functions.pii import redact_text
+    from ..functions.text import quality_score
+
+    deduped = streaming_exact_dedup(docs_stream, ts_col, watermark)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    redacted_spans = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", redact_text(s["text"]))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return (
+        deduped.withColumn("__q", quality_score(text))
+        .where(F.col("__q") >= quality_min)
+        .withColumn("spans", redacted_spans)
+        .withColumn("quality", F.round("__q", 6))
+        .drop("__q")
+    )

@@ -504,3 +504,86 @@ def test_corpus_curation(spark):
     out2 = curate_corpus(docs, quality_min=0.35, per_lang_top_n=5)
     ids2 = {r["doc_id"] for r in out2.collect()}
     assert ids2 == {"d1", "d2", "d4"} or ids2 == {"d2", "d1", "d4"}
+
+
+def test_streaming_curate(spark, tmp_path):
+    """Streaming curation pass (dedup → quality floor → span-level PII
+    redaction): duplicates dropped, low-quality docs filtered, PII
+    rewritten inside text spans only, span sequence preserved, media
+    spans untouched — and the quality values equal the batch
+    quality_score on the same text."""
+    import pyspark.sql.functions as F
+
+    from abecto_spark.functions.text import quality_score
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_docs,
+        streaming_curate,
+    )
+
+    path = str(tmp_path / "docs_curate")
+    base = synth_docs(spark, n_docs=40, n_entities=8, seed=3)
+    target = base.select(F.min("doc_id")).collect()[0][0]
+    # plant PII into the first text span of one known doc
+    planted = base.withColumn(
+        "spans",
+        F.when(
+            F.col("doc_id") == target,
+            F.transform(
+                "spans",
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(
+                        (i == 0) & (s["kind"] == "text"),
+                        F.concat(s["text"], F.lit(" mail bob@example.com")),
+                    ).otherwise(s["text"]).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    planted.write.parquet(path)
+    # duplicate content under new ids: must not survive the dedup stage
+    planted.limit(5).withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    ).write.mode("append").parquet(path)
+
+    run_stream_to_memory(
+        streaming_curate(stream_docs(spark, path), quality_min=0.0),
+        "curate_out",
+    )
+    out = spark.table("curate_out")
+    assert out.where(F.col("doc_id").startswith("dup-")).count() == 0
+    got = out.where(F.col("doc_id") == target).collect()[0]
+    texts = [s["text"] for s in got["spans"] if s["kind"] == "text"]
+    assert any("<EMAIL>" in t for t in texts)
+    assert all("bob@example.com" not in (t or "") for t in texts)
+    # span sequence invariant: kind/media_ref/offset order unchanged
+    src = planted.where(F.col("doc_id") == target).collect()[0]
+    assert [(s["kind"], s["media_ref"], s["offset"]) for s in got["spans"]] \
+        == [(s["kind"], s["media_ref"], s["offset"]) for s in src["spans"]]
+    # quality equals the batch quality_score over the redacted text spans
+    batch_q = (
+        out.withColumn(
+            "__t",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+            ),
+        )
+        .where(F.round(quality_score(F.col("__t")), 6) != F.col("quality"))
+    )
+    # note: streaming quality is computed BEFORE redaction; redaction can
+    # only change punct/alpha ratios for the planted doc
+    assert batch_q.where(F.col("doc_id") != target).count() == 0
+    # a prohibitive floor filters everything
+    run_stream_to_memory(
+        streaming_curate(stream_docs(spark, path), quality_min=1.1),
+        "curate_none",
+    )
+    assert spark.sql("SELECT count(*) FROM curate_none").collect()[0][0] == 0

@@ -561,6 +561,24 @@ def q_redact_pii(spark, sf):
     return redact_pii(planted)
 
 
+def q_mixture_sample(spark, sf):
+    """Deterministic corpus-mixture sampling (operators/mixture.py):
+    per-language keep fractions applied through a key-hash criterion —
+    plain integer arithmetic the DuckDB oracle replays exactly (zh is
+    deliberately absent from the mixture and must vanish)."""
+    from ..operators.mixture import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    out = mixture_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 1.0},
+        "doc_id",
+        salt=7,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q_corpus_curation(spark, sf):
     """Round-4 composed training-data curation pass: exact dedup
     (first-id-wins on the token-normalized content), quality floor,
@@ -1488,6 +1506,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "repetition_signals": q_repetition_signals,
     "redact_pii": q_redact_pii,
+    "mixture_sample": q_mixture_sample,
     "ann_top1": q_ann_top1,
     "sessionize": q_sessionize,
     "windowed_agg": q_windowed_agg,
@@ -2343,6 +2362,15 @@ ORACLES = {
                len(regexp_extract_all(text,
                    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4
         FROM planted
+    """,
+    "mixture_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(((doc_id + 7) * 2654435761) % 4294967296 AS DOUBLE)
+              / 4294967296
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'fr' THEN 0.125 WHEN 'es' THEN 1.0
+                          ELSE 0.0 END
     """,
     "doc_quality": """
         WITH b AS (

@@ -65,6 +65,7 @@ def main() -> None:
         "doc_quality",
         "repetition_signals",
         "redact_pii",
+        "mixture_sample",
         "corpus_curation",
         "doc_fingerprint",
         "ann_top1",

@@ -579,6 +579,20 @@ def q_mixture_sample(spark, sf):
     return out.select("doc_id", "lang", "source")
 
 
+def q_ngram_contamination(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py): the first
+    20 documents act as the benchmark; the corpus additionally carries
+    planted exact copies of them (ids +1,000,000), which must each be
+    flagged with ALL the benchmark doc's distinct 13-grams shared. The
+    oracle replays the overlap with a plain string join."""
+    from ..operators.decontaminate import ngram_contamination
+
+    d = _t(spark, sf, "documents")
+    corpus = _with_planted_dups(d, n=20)
+    bench = d.where(F.col("doc_id") < 20).select("doc_id", "text")
+    return ngram_contamination(corpus, bench, n=13)
+
+
 def q_corpus_curation(spark, sf):
     """Round-4 composed training-data curation pass: exact dedup
     (first-id-wins on the token-normalized content), quality floor,
@@ -1507,6 +1521,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "redact_pii": q_redact_pii,
     "mixture_sample": q_mixture_sample,
+    "ngram_contamination": q_ngram_contamination,
     "ann_top1": q_ann_top1,
     "sessionize": q_sessionize,
     "windowed_agg": q_windowed_agg,
@@ -2371,6 +2386,33 @@ ORACLES = {
               < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                           WHEN 'fr' THEN 0.125 WHEN 'es' THEN 1.0
                           ELSE 0.0 END
+    """,
+    "ngram_contamination": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        corpus AS (
+          SELECT doc_id, toks FROM t
+          UNION ALL
+          SELECT doc_id + 1000000, toks FROM t WHERE doc_id < 20),
+        cg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 12, 0) + 1),
+                   i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+          FROM corpus),
+        bg AS (
+          SELECT doc_id AS bench_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 12, 0) + 1),
+                   i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+          FROM t WHERE doc_id < 20)
+        SELECT cg.doc_id, bg.bench_id,
+               COUNT(DISTINCT cg.gram) AS n_shared
+        FROM cg JOIN bg USING (gram)
+        GROUP BY cg.doc_id, bg.bench_id
     """,
     "doc_quality": """
         WITH b AS (

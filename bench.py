@@ -66,6 +66,7 @@ def main() -> None:
         "repetition_signals",
         "redact_pii",
         "mixture_sample",
+        "ngram_contamination",
         "corpus_curation",
         "doc_fingerprint",
         "ann_top1",

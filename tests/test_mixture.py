@@ -67,3 +67,39 @@ def test_salt_redraws(spark):
     assert s0 != s1
     # both draws still hit the configured fraction
     assert abs(len(s0) - len(s1)) < 0.1 * len(s0)
+
+
+# ---------------------------------------------------------------------------
+# decontamination (operators/decontaminate.py)
+
+
+def test_ngram_contamination(spark):
+    from abecto_spark.operators.decontaminate import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four"),
+         (3, "tiny")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the two 3-grams of bench 1 (verbatim copy + tail)
+            (10, "alpha beta gamma delta epsilon"),
+            # shares exactly one 3-gram with bench 2
+            (11, "zero one two three five"),
+            # no overlap
+            (12, "совершенно other words here entirely"),
+            # shorter than n: cannot be flagged
+            (13, "one two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(corpus, bench, n=3)
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"] for r in out.collect()
+    }
+    assert got == {(10, 1): 2, (11, 2): 1}
+
+    # documents shorter than n on the bench side are invisible too
+    out2 = ngram_contamination(corpus, bench.where("doc_id = 3"), n=3)
+    assert out2.count() == 0

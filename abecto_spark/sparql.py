@@ -339,7 +339,7 @@ _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, now=None):
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -348,6 +348,15 @@ class _Parser:
         # query blank nodes act as non-projectable variables (§5.1.1);
         # same label = same variable, scoped to the whole query
         self._bnode_vars: dict[str, Var] = {}
+        # §17.4.5.1: every NOW() in one query execution is the same
+        # instant. The engine keeps its determinism contract by taking
+        # that instant from the caller (a datetime or xsd:dateTime
+        # lexical string) and substituting it as a constant at parse
+        # time — one parse = one execution = one value, subqueries
+        # included. Without an injected clock NOW() stays loud.
+        if now is not None and not isinstance(now, str):
+            now = now.isoformat()
+        self.now: str | None = now
 
     def peek(self):
         return self.toks[self.i]
@@ -1054,6 +1063,17 @@ class _Parser:
                     self.next()
                     args.append(self.parse_expr())
             self.eat(")")
+            if v.upper() == "NOW":
+                if args:
+                    raise SparqlUnsupported("NOW takes no arguments")
+                if self.now is None:
+                    raise SparqlUnsupported(
+                        "NOW() needs an injected query-execution instant"
+                        " (pass now=... to the query entry point) — an"
+                        " ambient clock would break the engine's"
+                        " deterministic-replay contract"
+                    )
+                return Lit(self.now, XSD + "dateTime")
             return Call(v.upper(), tuple(args))
         raise SparqlUnsupported(f"bad expression at {v!r}")
 
@@ -1095,12 +1115,12 @@ def _unquote(v: str) -> str:
     )
 
 
-def parse_select(text: str) -> SelectQuery:
-    return _Parser(text).parse_query()
+def parse_select(text: str, now=None) -> SelectQuery:
+    return _Parser(text, now=now).parse_query()
 
 
-def parse_construct(text: str) -> ConstructQuery:
-    return _Parser(text).parse_construct()
+def parse_construct(text: str, now=None) -> ConstructQuery:
+    return _Parser(text, now=now).parse_construct()
 
 
 def _group_var_order(g: Group) -> list[str]:
@@ -2832,23 +2852,23 @@ def _select_df(
     return out, [n for _, n in projections], maybe_out
 
 
-def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
+def sparql_select(triples: DataFrame, query_text: str, now=None) -> DataFrame:
     """Run a restricted SPARQL SELECT over the triples DataFrame. Output:
     one struct column (kind, value, datatype, lang) per projected
     variable; unbound optionals are NULL structs. Solution modifiers
     (ORDER BY / LIMIT / OFFSET) are honored — the reference preserves
     them from aspect patterns (`ComparisonProcessor.java:57-75`)."""
-    q = parse_select(query_text)
+    q = parse_select(query_text, now=now)
     out, _names, _maybe = _select_df(_Compiler(triples), q)
     return out
 
 
-def sparql_ask(triples: DataFrame, query_text: str) -> bool:
+def sparql_ask(triples: DataFrame, query_text: str, now=None) -> bool:
     """Run a restricted SPARQL ASK: true iff the WHERE group has at least
     one solution. The reference issues ASK probes through Jena
     (`Processor.java:124-161` membership checks); here the probe is a
     one-row existence action on the compiled group plan."""
-    q = _Parser(query_text).parse_ask()
+    q = _Parser(query_text, now=now).parse_ask()
     df, _bound = _Compiler(triples).group_df(q.where)
     return not df.isEmpty()
 

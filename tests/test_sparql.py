@@ -1722,3 +1722,58 @@ def test_tz_and_timezone(spark):
     assert got["z0"] == ("+00:00", ("PT0S", dur))
     assert got["h"] == ("+00:30", ("PT30M", dur))
     assert got["n"] == ("", None)  # TIMEZONE is an error → unbound
+
+
+# -- NOW() with an injected query-execution instant ----------------------
+
+
+def test_now_injected_constant(spark, triples):
+    """§17.4.5.1: NOW() is one fixed instant per query execution; the
+    engine takes that instant from the caller so replays stay
+    deterministic."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 3, 1, 12, 30, 15)
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k ?t WHERE {{
+              ?k <{EX}pnr> ?pnr .
+              BIND(NOW() AS ?t)
+            }}""",
+        now=t0,
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["t"]["value"] == "2026-03-01T12:30:15"
+        assert r["t"]["datatype"].endswith("dateTime")
+
+
+def test_now_same_instant_everywhere(spark, triples):
+    """Two NOW() calls in one execution compare equal, and the date-time
+    accessors apply to the injected instant."""
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k WHERE {{
+              ?k <{EX}pnr> ?pnr .
+              FILTER(NOW() = NOW() && YEAR(NOW()) = 2026)
+            }}""",
+        now="2026-03-01T12:30:15",
+    ).collect()
+    assert len(out) == 2
+
+
+def test_now_without_clock_is_loud(spark, triples):
+    with pytest.raises(SparqlUnsupported, match="NOW"):
+        sparql_select(
+            triples,
+            f"SELECT ?k WHERE {{ ?k <{EX}pnr> ?pnr . BIND(NOW() AS ?t) }}",
+        )
+
+
+def test_now_takes_no_arguments(spark, triples):
+    with pytest.raises(SparqlUnsupported, match="no arguments"):
+        sparql_select(
+            triples,
+            f"SELECT ?k WHERE {{ ?k <{EX}pnr> ?p . BIND(NOW(?p) AS ?t) }}",
+            now="2026-03-01T12:30:15",
+        )

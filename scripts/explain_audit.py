@@ -110,6 +110,37 @@ def main() -> int:
         len(re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)) <= 1,
     )
 
+    # ---- 5b2. mixture sampling: pure filter, no shuffle, no Python -----
+    mx = q.q_mixture_sample(spark, SF_DIR)
+    p = plan_of(mx)
+    sections.append(("mixture_sample (deterministic key-hash filter)", p))
+    check("mixture_sample: zero exchanges (stateless filter)", "Exchange" not in p)
+    check(
+        "mixture_sample: JVM-side only (no Python eval)",
+        "EvalPython" not in p,
+    )
+
+    # ---- 5b3. decontamination: benchmark side broadcast, hash join key -
+    dc = q.q_ngram_contamination(spark, SF_DIR)
+    p = plan_of(dc)
+    sections.append(("ngram_contamination (broadcast benchmark, hash-key join)", p))
+    check(
+        "ngram_contamination: benchmark grams joined via broadcast",
+        "BroadcastHashJoin" in p,
+    )
+    check("ngram_contamination: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "ngram_contamination: map-side partial aggregation on the pair counts",
+        "partial_count" in p,
+    )
+
+    # ---- 5b4. PII redaction: pure Catalyst regex chain ------------------
+    pii = q.q_redact_pii(spark, SF_DIR)
+    p = plan_of(pii)
+    sections.append(("redact_pii (regexp chain, no shuffle)", p))
+    check("redact_pii: JVM-side only (no Python eval)", "EvalPython" not in p)
+    check("redact_pii: zero exchanges (stateless per-row pass)", "Exchange" not in p)
+
     # ---- 5b. repetition signals: per-doc HOF pass, zero shuffle --------
     rep = q.q_repetition_signals(spark, SF_DIR)
     p = plan_of(rep)

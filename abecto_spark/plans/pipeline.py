@@ -15,7 +15,7 @@ import hashlib
 import json
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import XSD_STRING
@@ -203,31 +203,59 @@ class DocsPipeline:
         contributes a sameAs triple and a label triple, with (doc_id,
         span_idx) provenance so span-sequence equality vs the source table
         stays checkable per row."""
-        m = mentions.join(canonical, "resource", "left").withColumn(
-            "canonical_id", F.coalesce("canonical_id", F.col("resource"))
-        )
-        subj = F.concat(F.lit("urn:entity:"), F.col("canonical_id"))
-        labels = m.select(
-            subj.alias("s"),
-            F.col("variable").alias("p"),
-            F.lit("literal").alias("o_kind"),
-            F.col("value").alias("o_value"),
-            F.lit(XSD_STRING).alias("o_datatype"),
-            F.lit("").alias("o_lang"),
-            "doc_id",
-            F.col("span_idx").cast("int").alias("span_idx"),
-        )
-        same_as = m.select(
-            subj.alias("s"),
-            F.lit("sameAs").alias("p"),
-            F.lit("iri").alias("o_kind"),
-            F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("o_value"),
-            F.lit(None).cast("string").alias("o_datatype"),
-            F.lit("").alias("o_lang"),
-            "doc_id",
-            F.col("span_idx").cast("int").alias("span_idx"),
-        ).distinct()
-        return labels.unionByName(same_as)
+        m = link_canonical(mentions, canonical)
+        return label_triples(m).unionByName(same_as_triples(m).distinct())
+
+
+def link_canonical(
+    mentions: DataFrame, canonical: DataFrame, broadcast: bool = False
+) -> DataFrame:
+    """Mentions joined to the canonical entity map; resources absent from
+    the map keep their own id (they become their own canonical entity
+    until a later re-canonicalization supersedes them). ``broadcast=True``
+    for the streaming stream-static join, where the map is a bounded
+    bootstrap snapshot."""
+    c = F.broadcast(canonical) if broadcast else canonical
+    return mentions.join(c, "resource", "left").withColumn(
+        "canonical_id", F.coalesce("canonical_id", F.col("resource"))
+    )
+
+
+def _subj() -> Column:
+    return F.concat(F.lit("urn:entity:"), F.col("canonical_id"))
+
+
+def label_triples(linked: DataFrame) -> DataFrame:
+    """One label triple per mention (S4's value rows). Shared by the batch
+    pipeline and ``streaming.stream.streaming_triples`` so the two
+    surfaces cannot drift."""
+    return linked.select(
+        _subj().alias("s"),
+        F.col("variable").alias("p"),
+        F.lit("literal").alias("o_kind"),
+        F.col("value").alias("o_value"),
+        F.lit(XSD_STRING).alias("o_datatype"),
+        F.lit("").alias("o_lang"),
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+    )
+
+
+def same_as_triples(linked: DataFrame) -> DataFrame:
+    """Per-mention sameAs rows (pre-dedup): the batch path applies
+    ``.distinct()``; the streaming path instead derives one row per
+    (doc, matching span) statelessly — equivalent because resource =
+    doc_id, so duplicates only ever arise within a single document row."""
+    return linked.select(
+        _subj().alias("s"),
+        F.lit("sameAs").alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit("").alias("o_lang"),
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+    )
 
 
 def verify_span_invariant(docs: DataFrame, triples: DataFrame) -> int:

@@ -206,3 +206,70 @@ def streaming_curate(
         .withColumn("quality", F.round("__q", 6))
         .drop("__q")
     )
+
+
+def streaming_triples(
+    docs_stream: DataFrame,
+    canonical: DataFrame,
+    rules: tuple = DEFAULT_RULES,
+) -> DataFrame:
+    """Incremental KG ingest — the streaming analog of batch S4: documents
+    arriving on the stream are scanned for mentions (the S1 stateless
+    regex pass), linked against the *existing* canonical entity map (the
+    batch pipeline's ``s3_canonical`` snapshot, a bounded stream-static
+    broadcast join), and emitted as the exact (s, p, o_kind, o_value,
+    o_datatype, o_lang, doc_id, span_idx) rows batch S4 materializes —
+    the standard bootstrap-then-stream shape: the batch build assigns
+    canonical ids; the stream keeps the graph current between rebuilds.
+
+    No streaming state anywhere. Label triples are per-mention
+    projections shared verbatim with the batch stage
+    (``plans.pipeline.label_triples``). Batch S4's only set operation —
+    ``same_as_triples(...).distinct()`` — is re-expressed statelessly:
+    since ``resource = doc_id``, sameAs duplicates can only arise within
+    a single document row (two rules or two matches hitting one span),
+    so one row per (doc, text span with ≥1 rule match) is exactly the
+    batch distinct, and a document row is atomic within a micro-batch.
+    Resources absent from the map keep their own id (the batch coalesce
+    fallback); the next batch re-canonicalization supersedes them.
+    """
+    from ..plans.pipeline import label_triples, link_canonical
+
+    mentions = extract_mentions(docs_stream, rules)
+    labels = label_triples(link_canonical(mentions, canonical, broadcast=True))
+
+    spans = docs_stream.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).where(F.col("span.kind") == "text")
+    matched = F.lit(False)
+    for r in rules:
+        matched = matched | (
+            F.size(
+                F.regexp_extract_all(
+                    F.col("span.text"), F.lit(r.pattern), F.lit(r.group)
+                )
+            )
+            > 0
+        )
+    sa = (
+        spans.where(matched)
+        .select(
+            F.col("doc_id").alias("resource"),
+            F.col("span_idx").cast("int").alias("span_idx"),
+        )
+        .join(F.broadcast(canonical), "resource", "left")
+        .withColumn(
+            "canonical_id", F.coalesce("canonical_id", F.col("resource"))
+        )
+    )
+    same_as = sa.select(
+        F.concat(F.lit("urn:entity:"), F.col("canonical_id")).alias("s"),
+        F.lit("sameAs").alias("p"),
+        F.lit("iri").alias("o_kind"),
+        F.concat(F.lit("urn:doc:"), F.col("resource")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit("").alias("o_lang"),
+        F.col("resource").alias("doc_id"),
+        "span_idx",
+    )
+    return labels.unionByName(same_as)

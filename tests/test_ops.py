@@ -587,3 +587,77 @@ def test_streaming_curate(spark, tmp_path):
         "curate_none",
     )
     assert spark.sql("SELECT count(*) FROM curate_none").collect()[0][0] == 0
+
+
+def test_streaming_triples_matches_batch_s4(spark, tmp_path):
+    """Incremental KG ingest: stream the same docs batch S4 materialized,
+    linked against the batch s3_canonical snapshot — the emitted triple
+    multiset must equal the batch s4_triples snapshot exactly (labels,
+    sameAs dedup, provenance columns)."""
+    import pyspark.sql.functions as F
+
+    from abecto_spark.plans.pipeline import DocsPipeline, PipelineConfig
+    from abecto_spark.sources.checkpoint import SnapshotStore
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_docs,
+        streaming_triples,
+    )
+
+    docs = synth_docs(spark, n_docs=120, n_entities=15, seed=9)
+    path = str(tmp_path / "docs_kg")
+    docs.write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    store = SnapshotStore(spark, str(tmp_path / "snap"))
+    res = DocsPipeline(spark, store, PipelineConfig()).run(docs, resume=False)
+    batch = {tuple(r) for r in res.triples.collect()}
+
+    run_stream_to_memory(
+        streaming_triples(stream_docs(spark, path), res.canonical),
+        "stream_triples_out",
+    )
+    streamed = {
+        tuple(r) for r in spark.table("stream_triples_out").collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+    # sameAs rows deduplicated identically (no stateless-path double emit)
+    sa = (
+        spark.table("stream_triples_out")
+        .where(F.col("p") == "sameAs")
+        .groupBy("s", "o_value", "span_idx")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert sa == 0
+
+
+def test_streaming_triples_unknown_entity_keeps_own_id(spark, tmp_path):
+    """A streamed doc whose resource is absent from the canonical map
+    becomes its own canonical entity (the batch coalesce fallback), so
+    the graph stays complete between batch rebuilds."""
+    from abecto_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_docs,
+        streaming_triples,
+    )
+
+    path = str(tmp_path / "docs_new")
+    spark.createDataFrame(
+        [("d1-new7", [("text", "see [[Zelda]] here", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).write.parquet(path)
+    canonical = spark.createDataFrame(
+        [("other-doc", "canon-1")], "resource string, canonical_id string"
+    )
+    run_stream_to_memory(
+        streaming_triples(stream_docs(spark, path), canonical),
+        "stream_triples_new",
+    )
+    rows = spark.table("stream_triples_new").collect()
+    assert {r["s"] for r in rows} == {"urn:entity:d1-new7"}
+    assert {r["p"] for r in rows} == {"label", "sameAs"}

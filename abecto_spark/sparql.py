@@ -339,12 +339,13 @@ _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
 
 class _Parser:
-    def __init__(self, text: str, now=None):
+    def __init__(self, text: str, now=None, entropy=None):
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
         self._fresh = 0  # counter for path-desugaring variables
+        self._site = 0  # per-call-site counter for RAND/UUID/BNODE
         # query blank nodes act as non-projectable variables (§5.1.1);
         # same label = same variable, scoped to the whole query
         self._bnode_vars: dict[str, Var] = {}
@@ -357,6 +358,14 @@ class _Parser:
         if now is not None and not isinstance(now, str):
             now = now.isoformat()
         self.now: str | None = now
+        # §17.4.5.2-4 / §17.4.2.9: RAND/UUID/STRUUID/BNODE are the
+        # other nondeterministic builtins. Same contract as NOW(): the
+        # caller injects an entropy seed; each call site gets a parse-
+        # time index and the value is derived per solution as
+        # xxhash64(seed, site, bound columns) — one seed = one
+        # execution, replays are bit-identical. Without a seed they
+        # stay loud.
+        self.entropy: str | None = entropy
 
     def peek(self):
         return self.toks[self.i]
@@ -1074,6 +1083,23 @@ class _Parser:
                         " deterministic-replay contract"
                     )
                 return Lit(self.now, XSD + "dateTime")
+            if v.upper() in ("RAND", "UUID", "STRUUID", "BNODE"):
+                fn = v.upper()
+                if fn != "BNODE" and args:
+                    raise SparqlUnsupported(f"{fn} takes no arguments")
+                if fn == "BNODE" and len(args) > 1:
+                    raise SparqlUnsupported("BNODE takes at most 1 argument")
+                if self.entropy is None:
+                    raise SparqlUnsupported(
+                        f"{fn}() needs an injected entropy seed (pass"
+                        " entropy=... to the query entry point) — ambient"
+                        " randomness would break the engine's"
+                        " deterministic-replay contract"
+                    )
+                site = self._site
+                self._site += 1
+                hidden = (Lit(self.entropy), Lit(str(site), XSD + "integer"))
+                return Call(fn, tuple(args) + hidden)
             return Call(v.upper(), tuple(args))
         raise SparqlUnsupported(f"bad expression at {v!r}")
 
@@ -1115,12 +1141,12 @@ def _unquote(v: str) -> str:
     )
 
 
-def parse_select(text: str, now=None) -> SelectQuery:
-    return _Parser(text, now=now).parse_query()
+def parse_select(text: str, now=None, entropy=None) -> SelectQuery:
+    return _Parser(text, now=now, entropy=entropy).parse_query()
 
 
-def parse_construct(text: str, now=None) -> ConstructQuery:
-    return _Parser(text, now=now).parse_construct()
+def parse_construct(text: str, now=None, entropy=None) -> ConstructQuery:
+    return _Parser(text, now=now, entropy=entropy).parse_construct()
 
 
 def _group_var_order(g: Group) -> list[str]:
@@ -2091,8 +2117,13 @@ def _expr_text(e) -> str:
             return f"({sym}{_expr_text(e.left)})"
         return f"({_expr_text(e.left)} {e.op} {_expr_text(e.right)})"
     if isinstance(e, Call):
+        # entropy builtins carry hidden (seed, site) args — strip them
+        # so the federated endpoint rolls its own randomness
+        if e.fn in ("RAND", "UUID", "STRUUID"):
+            return f"{e.fn}()"
+        args = e.args[:-2] if e.fn == "BNODE" else e.args
         name = f"<{e.fn}>" if e.fn.startswith("http") else e.fn
-        return f"{name}({', '.join(_expr_text(a) for a in e.args)})"
+        return f"{name}({', '.join(_expr_text(a) for a in args)})"
     if isinstance(e, Agg):
         inner = "*" if e.arg is None else _expr_text(e.arg)
         if e.distinct:
@@ -2239,7 +2270,7 @@ def _is_numeric_expr(e) -> bool:
     if isinstance(e, Call):
         return e.fn in ("STRLEN", "ABS", "ROUND", "CEIL", "FLOOR",
                         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
-                        "SECONDS") or (
+                        "SECONDS", "RAND") or (
             e.fn.startswith(XSD)
             and e.fn[len(XSD):] in ("integer", "decimal", "float", "double")
         )
@@ -2307,8 +2338,86 @@ def _compile(e, bound: set[str]) -> Column:
     raise SparqlUnsupported(f"bad expression {e!r}")
 
 
+def _regex_pat(pat: str, flags) -> str:
+    """Apply XPath F&O regex flags (§17.4.3.14: i m s x q) to a pattern
+    for the JVM regex engine. i/m/s/x embed directly; q quotes the
+    whole pattern (\\Q…\\E, any literal \\E split-escaped), and per the
+    spec only i retains an effect alongside q."""
+    if flags is None:
+        return pat
+    if not isinstance(flags, Lit) or not re.fullmatch(r"[imsxq]*", flags.lex):
+        raise SparqlUnsupported("unsupported regex flags")
+    fl = flags.lex
+    if "q" in fl:
+        pat = "\\Q" + pat.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        fl = "i" if "i" in fl else ""
+    if fl:
+        pat = f"(?{fl}){pat}"
+    return pat
+
+
+def _entropy_hash(seed: str, salt: str, bound: set[str]) -> Column:
+    """Deterministic per-solution entropy for RAND/UUID/BNODE: xxhash64
+    of (injected seed, call-site salt, every bound column). Identical
+    solutions at the same call site share a value — the documented
+    trade for bit-identical replays (same contract NOW() makes for the
+    clock)."""
+    cols = [F.col(n) for n in sorted(bound)] or [F.lit(0)]
+    return F.xxhash64(F.lit(seed), F.lit(salt), *cols)
+
+
+def _uuid_lex(seed: str, site: str, bound: set[str]) -> Column:
+    """RFC 4122 version-4-shaped lexical form from two 64-bit entropy
+    hashes (version nibble 4, variant nibble 8-b)."""
+    h2c = _entropy_hash(seed, site + "b", bound)
+    hx = F.concat(
+        F.lower(F.lpad(F.hex(_entropy_hash(seed, site + "a", bound)), 16, "0")),
+        F.lower(F.lpad(F.hex(h2c), 16, "0")),
+    )
+    variant = F.substring(
+        F.lit("89ab"), (F.pmod(h2c, F.lit(4)) + 1).cast("int"), F.lit(1)
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.concat(F.lit("4"), F.substring(hx, 13, 3)),
+        F.concat(variant, F.substring(hx, 16, 3)),
+        F.substring(hx, 19, 12),
+    )
+
+
+def _bnode_label(e: Call, bound: set[str]) -> Column:
+    """BNODE() label (with the '_:' prefix, matching parsed-bnode term
+    values). §17.4.2.9: the one-argument form maps the same argument
+    value to the same blank node across solutions in one execution, so
+    it hashes only (seed, argument); the zero-argument form is fresh
+    per solution per call site. The 'be' label prefix keeps minted
+    nodes disjoint from any document's own labels."""
+    a = e.args
+    if len(a) == 3:
+        v = _val(a[0], bound)
+        h = F.xxhash64(F.lit(a[1].lex), F.lit("bnode-arg"), v)
+        return F.when(
+            v.isNotNull(),
+            F.concat(F.lit("_:be"), F.lower(F.lpad(F.hex(h), 16, "0"))),
+        )
+    h = _entropy_hash(a[0].lex, a[1].lex + "n", bound)
+    return F.concat(F.lit("_:be"), F.lower(F.lpad(F.hex(h), 16, "0")))
+
+
 def _compile_call(e: Call, bound: set[str]) -> Column:
     fn, a = e.fn, e.args
+    if fn == "RAND":
+        # xsd:double in [0, 1): 53 bits of the entropy hash (the widest
+        # exactly-representable double range)
+        h = _entropy_hash(a[-2].lex, a[-1].lex + "r", bound)
+        return F.pmod(h, F.lit(2 ** 53)) / F.lit(float(2 ** 53))
+    if fn in ("UUID", "STRUUID"):
+        u = _uuid_lex(a[-2].lex, a[-1].lex, bound)
+        return F.concat(F.lit("urn:uuid:"), u) if fn == "UUID" else u
+    if fn == "BNODE":
+        return _bnode_label(e, bound)
     if fn == "BOUND":
         if not isinstance(a[0], Var):
             raise SparqlUnsupported("BOUND needs a variable")
@@ -2334,12 +2443,7 @@ def _compile_call(e: Call, bound: set[str]) -> Column:
     if fn == "REGEX":
         if not isinstance(a[1], Lit):
             raise SparqlUnsupported("regex pattern must be a literal")
-        pat = a[1].lex
-        if len(a) > 2:
-            if not isinstance(a[2], Lit) or not re.fullmatch(r"[ims]*", a[2].lex):
-                raise SparqlUnsupported("unsupported regex flags")
-            if a[2].lex:
-                pat = f"(?{a[2].lex}){pat}"
+        pat = _regex_pat(a[1].lex, a[2] if len(a) > 2 else None)
         return _val(a[0], bound).rlike(pat)
     if fn in ("LCASE", "UCASE"):
         v = _val(a[0], bound)
@@ -2425,12 +2529,7 @@ def _compile_call(e: Call, bound: set[str]) -> Column:
             raise SparqlUnsupported(
                 "REPLACE pattern/replacement must be literals"
             )
-        pat = a[1].lex
-        if len(a) > 3:
-            if not isinstance(a[3], Lit) or not re.fullmatch(r"[ims]*", a[3].lex):
-                raise SparqlUnsupported("unsupported REPLACE flags")
-            if a[3].lex:
-                pat = f"(?{a[3].lex}){pat}"
+        pat = _regex_pat(a[1].lex, a[3] if len(a) > 3 else None)
         return F.regexp_replace(_val(a[0], bound), pat, a[2].lex)
     if fn in ("STRBEFORE", "STRAFTER"):
         v, sub = _val(a[0], bound), _val(a[1], bound)
@@ -2532,7 +2631,9 @@ def _term_of(e, bound: set[str]) -> Column:
         return F.col(e.name)
     if isinstance(e, (Iri, Lit)):
         return _const_struct(e)
-    raise SparqlUnsupported("sameTerm over expressions not supported")
+    # expression operand (e.g. sameTerm(STRLANG(...), ?x)): its term is
+    # whatever a BIND of the expression would produce
+    return compile_expr_term(e, bound)
 
 
 def compile_expr_bool(e, bound: set[str]) -> Column:
@@ -2709,6 +2810,16 @@ def compile_expr_term(e, bound: set[str]) -> Column:
         return F.when(
             v.isNotNull(), _term_struct(F.lit("iri"), v, F.lit(""), F.lit(""))
         )
+    if isinstance(e, Call) and e.fn == "UUID":
+        return _term_struct(
+            F.lit("iri"), _compile_call(e, bound), F.lit(""), F.lit("")
+        )
+    if isinstance(e, Call) and e.fn == "BNODE":
+        lbl = _compile_call(e, bound)
+        return F.when(
+            lbl.isNotNull(),
+            _term_struct(F.lit("bnode"), lbl, F.lit(""), F.lit("")),
+        )
     if isinstance(e, Call) and e.fn == "STRDT":
         if not isinstance(e.args[1], Iri):
             raise SparqlUnsupported("STRDT datatype must be a constant IRI")
@@ -2852,23 +2963,27 @@ def _select_df(
     return out, [n for _, n in projections], maybe_out
 
 
-def sparql_select(triples: DataFrame, query_text: str, now=None) -> DataFrame:
+def sparql_select(
+    triples: DataFrame, query_text: str, now=None, entropy=None
+) -> DataFrame:
     """Run a restricted SPARQL SELECT over the triples DataFrame. Output:
     one struct column (kind, value, datatype, lang) per projected
     variable; unbound optionals are NULL structs. Solution modifiers
     (ORDER BY / LIMIT / OFFSET) are honored — the reference preserves
     them from aspect patterns (`ComparisonProcessor.java:57-75`)."""
-    q = parse_select(query_text, now=now)
+    q = parse_select(query_text, now=now, entropy=entropy)
     out, _names, _maybe = _select_df(_Compiler(triples), q)
     return out
 
 
-def sparql_ask(triples: DataFrame, query_text: str, now=None) -> bool:
+def sparql_ask(
+    triples: DataFrame, query_text: str, now=None, entropy=None
+) -> bool:
     """Run a restricted SPARQL ASK: true iff the WHERE group has at least
     one solution. The reference issues ASK probes through Jena
     (`Processor.java:124-161` membership checks); here the probe is a
     one-row existence action on the compiled group plan."""
-    q = _Parser(query_text, now=now).parse_ask()
+    q = _Parser(query_text, now=now, entropy=entropy).parse_ask()
     df, _bound = _Compiler(triples).group_df(q.where)
     return not df.isEmpty()
 

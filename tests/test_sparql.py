@@ -1777,3 +1777,156 @@ def test_now_takes_no_arguments(spark, triples):
             f"SELECT ?k WHERE {{ ?k <{EX}pnr> ?p . BIND(NOW(?p) AS ?t) }}",
             now="2026-03-01T12:30:15",
         )
+
+
+# ---------------------------------------------------------------------------
+# entropy builtins (RAND / UUID / STRUUID / BNODE, §17.4.5.2-4, §17.4.2.9)
+
+
+def test_rand_injected_entropy(spark, triples):
+    """RAND() with an injected seed: xsd:double in [0,1), different per
+    solution, bit-identical on replay with the same seed, different
+    under a different seed."""
+    q = f"SELECT ?k ?r WHERE {{ ?k <{EX}pnr> ?pnr . BIND(RAND() AS ?r) }}"
+    out1 = sparql_select(triples, q, entropy="seed-1").collect()
+    vals1 = sorted((r["k"]["value"], r["r"]["value"]) for r in out1)
+    vals2 = sorted(
+        (r["k"]["value"], r["r"]["value"])
+        for r in sparql_select(triples, q, entropy="seed-1").collect()
+    )
+    assert vals1 == vals2
+    rs = [float(v) for _, v in vals1]
+    assert all(0.0 <= x < 1.0 for x in rs)
+    assert rs[0] != rs[1]
+    assert out1[0]["r"]["datatype"].endswith("double")
+    vals3 = sorted(
+        (r["k"]["value"], r["r"]["value"])
+        for r in sparql_select(triples, q, entropy="seed-2").collect()
+    )
+    assert vals3 != vals1
+
+
+def test_rand_without_entropy_is_loud(spark, triples):
+    with pytest.raises(SparqlUnsupported, match="entropy"):
+        sparql_select(
+            triples,
+            f"SELECT ?k WHERE {{ ?k <{EX}pnr> ?p . BIND(RAND() AS ?r) }}",
+        )
+
+
+def test_uuid_and_struuid_shapes(spark, triples):
+    """UUID() is an urn:uuid: IRI, STRUUID() a simple literal; both are
+    RFC-4122-v4-shaped, distinct per solution and per call site."""
+    import re as _re
+
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k ?u ?s WHERE {{
+              ?k <{EX}pnr> ?pnr .
+              BIND(UUID() AS ?u) BIND(STRUUID() AS ?s)
+            }}""",
+        entropy="seed-1",
+    ).collect()
+    assert len(out) == 2
+    pat = _re.compile(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"
+    )
+    for r in out:
+        assert r["u"]["kind"] == "iri"
+        assert r["u"]["value"].startswith("urn:uuid:")
+        assert pat.fullmatch(r["u"]["value"][len("urn:uuid:"):])
+        assert r["s"]["kind"] == "literal"
+        assert pat.fullmatch(r["s"]["value"])
+        # two call sites in one solution → two different uuids
+        assert r["u"]["value"][len("urn:uuid:"):] != r["s"]["value"]
+    assert out[0]["u"]["value"] != out[1]["u"]["value"]
+
+
+def test_bnode_arg_stable_across_solutions(spark, triples):
+    """§17.4.2.9: BNODE(expr) maps the same argument value to the same
+    blank node across solutions in one execution."""
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k ?b ?c WHERE {{
+              ?k <{EX}pnr> ?pnr .
+              BIND(BNODE("x") AS ?b) BIND(BNODE(STR(?pnr)) AS ?c)
+            }}""",
+        entropy="seed-1",
+    ).collect()
+    assert len(out) == 2
+    labels_b = {r["b"]["value"] for r in out}
+    assert len(labels_b) == 1  # same argument → same bnode everywhere
+    for r in out:
+        assert r["b"]["kind"] == "bnode"
+        assert r["b"]["value"].startswith("_:be")
+    # different argument values → different bnodes
+    assert out[0]["c"]["value"] != out[1]["c"]["value"]
+
+
+def test_bnode_fresh_per_solution_and_site(spark, triples):
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k ?b1 ?b2 WHERE {{
+              ?k <{EX}pnr> ?pnr .
+              BIND(BNODE() AS ?b1) BIND(BNODE() AS ?b2)
+            }}""",
+        entropy="seed-1",
+    ).collect()
+    assert len(out) == 2
+    all_labels = {r[c]["value"] for r in out for c in ("b1", "b2")}
+    assert len(all_labels) == 4  # fresh per solution AND per call site
+
+
+def test_regex_flags_q_and_x(spark, triples):
+    """XPath regex flags: q treats the pattern as a literal string, x
+    strips unescaped whitespace from the pattern."""
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k WHERE {{
+              ?k <{EX}label> ?l .
+              FILTER(REGEX(?l, "A.i", "q"))
+            }}""",
+    ).collect()
+    assert out == []  # 'A.i' is not a literal substring of any label
+    out = sparql_select(
+        triples,
+        f"""SELECT ?l WHERE {{
+              ?k <{EX}label> ?l .
+              FILTER(REGEX(?l, "A l i", "x"))
+            }}""",
+    ).collect()
+    assert [r["l"]["value"] for r in out] == ["Alice"]
+    out = sparql_select(
+        triples,
+        f"""SELECT ?l WHERE {{
+              ?k <{EX}label> ?l .
+              FILTER(REGEX(?l, "BOB", "iq"))
+            }}""",
+    ).collect()
+    assert sorted(r["l"]["value"] for r in out) == ["Bob", "Bobby"]
+
+
+def test_replace_flag_q(spark, triples):
+    out = sparql_select(
+        triples,
+        f"""SELECT ?r WHERE {{
+              ?k <{EX}label> ?l .
+              FILTER(?l = "Alice")
+              BIND(REPLACE(?l, "l.c", "-", "q") AS ?r)
+            }}""",
+    ).collect()
+    assert out[0]["r"]["value"] == "Alice"  # no literal 'l.c' → unchanged
+
+
+def test_sameterm_over_expressions(spark, triples):
+    """sameTerm accepts constructed-term operands: STRLANG rebuilds
+    bob's language-tagged label and only that row compares same."""
+    out = sparql_select(
+        triples,
+        f"""SELECT ?k ?l WHERE {{
+              ?k <{EX}label> ?l .
+              FILTER(sameTerm(STRLANG(STR(?l), "en"), ?l))
+            }}""",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["l"]["value"] == "Bobby"

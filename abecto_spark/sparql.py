@@ -889,7 +889,9 @@ class _Parser:
             a, b = self.fresh_var("pa"), self.fresh_var("pb")
             inner = Group()
             self.desugar_path(inner, a, path.inner, b)
-            g.path_closures.append((s, a.name, inner, b.name, path.mod, o))
+            # the original PMod AST rides along (entry[6]) so SERVICE
+            # federation can re-serialize the path it desugared
+            g.path_closures.append((s, a.name, inner, b.name, path.mod, o, path))
         elif isinstance(path, PNegSet):
             g.neg_triples.append((s, path, o))
         else:  # pragma: no cover
@@ -1173,8 +1175,8 @@ def _group_var_order(g: Group) -> list[str]:
                 add(n)
         for _e, n in gr.binds:
             add(n)
-        for s_term, _a, _inner, _b, _mod, o_term in gr.path_closures:
-            for t in (s_term, o_term):
+        for entry in gr.path_closures:
+            for t in (entry[0], entry[5]):
                 if isinstance(t, Var):
                     add(t.name)
         for s_term, _nps, o_term in gr.neg_triples:
@@ -1513,7 +1515,7 @@ class _Compiler:
         key, lineage cut by eager localCheckpoint)."""
         from .operators.rules import fixpoint
 
-        s_term, a_name, inner, b_name, mod, o_term = entry
+        s_term, a_name, inner, b_name, mod, o_term = entry[:6]
         gv = self.graph_var  # inside GRAPH ?var the closure is per graph
         edges, _ = self.group_df(inner)
         sel = [F.col(a_name).alias("a"), F.col(b_name).alias("b")]
@@ -2105,6 +2107,29 @@ def _term_text(t) -> str:
     raise SparqlUnsupported(f"cannot serialize term {t!r}")
 
 
+def _path_text(p) -> str:
+    """Serialize a property-path AST back to SPARQL text (for SERVICE
+    federation requests). Sub-paths are parenthesized conservatively —
+    redundant parentheses are grammatically harmless (§9, PathPrimary
+    ::= ... | '(' Path ')')."""
+    if isinstance(p, Iri):
+        return f"<{p.value}>"
+    if isinstance(p, Var):  # pragma: no cover — parser rejects modified vars
+        return f"?{p.name}"
+    if isinstance(p, PInv):
+        return f"^({_path_text(p.inner)})"
+    if isinstance(p, PSeq):
+        return "(" + "/".join(_path_text(e) for e in p.elts) + ")"
+    if isinstance(p, PAlt):
+        return "(" + "|".join(_path_text(b) for b in p.branches) + ")"
+    if isinstance(p, PMod):
+        return f"({_path_text(p.inner)}){p.mod}"
+    if isinstance(p, PNegSet):
+        members = [f"<{i}>" for i in p.fwd] + [f"^<{i}>" for i in p.inv]
+        return "!(" + "|".join(members) + ")"
+    raise SparqlUnsupported(f"cannot serialize path {p!r}")
+
+
 def _expr_text(e) -> str:
     """Serialize a parsed filter/BIND expression back to SPARQL text
     (for SERVICE federation requests). Fully parenthesized, so operator
@@ -2192,16 +2217,16 @@ def _group_text(g: Group) -> str:
     full group patterns inside SERVICE; the reference gets this from
     Jena ARQ, `Aspect.java:223`). Triples, FILTER, BIND, OPTIONAL,
     UNION, MINUS, FILTER [NOT] EXISTS, VALUES, GRAPH, negated property
-    sets, subqueries and nested SERVICE all round-trip; property-path
-    closures stay loud — their parsed form (a desugared one-step edge
-    group plus a closure modifier) no longer carries the original path
-    expression, so a faithful re-serialization is impossible."""
-    if g.path_closures:
-        raise SparqlUnsupported(
-            "SERVICE pattern contains a non-serializable form (property-"
-            "path closure)"
-        )
+    sets, subqueries, nested SERVICE and property-path closures all
+    round-trip — closure entries carry the original path AST
+    (``entry[6]``) so the path text the remote endpoint sees is the
+    path the user wrote, not the desugared edge group."""
     parts: list[str] = []
+    for entry in g.path_closures:
+        parts.append(
+            f"{_term_text(entry[0])} {_path_text(entry[6])}"
+            f" {_term_text(entry[5])} ."
+        )
     for tp in g.triples:
         parts.append(
             f"{_term_text(tp.s)} {_term_text(tp.p)} {_term_text(tp.o)} ."

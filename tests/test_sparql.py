@@ -610,14 +610,70 @@ def test_service_loud_corners(spark, triples, monkeypatch):
             triples,
             f"SELECT ?s WHERE {{ SERVICE ?ep {{ ?s <{EX}pnr> ?o }} }}",
         )
-    # genuinely non-serializable body: a desugared path closure inside
-    # SERVICE (the parsed form no longer carries the path expression)
-    with pytest.raises(SparqlUnsupported, match="non-serializable"):
-        sparql_select(
-            triples,
-            f"""SELECT ?s WHERE {{ SERVICE <http://r/sparql> {{
-                  ?s <{EX}knows>* ?o }} }}""",
-        )
+
+
+def test_path_text_serializer():
+    """_path_text round-trips every path AST form (conservative parens)."""
+    from abecto_spark.sparql import (
+        Iri,
+        PAlt,
+        PInv,
+        PMod,
+        PNegSet,
+        PSeq,
+        _path_text,
+    )
+
+    p, q, r, s = (Iri(f"http://e/{n}") for n in "pqrs")
+    assert _path_text(PMod(p, "*")) == "(<http://e/p>)*"
+    assert _path_text(PInv(p)) == "^(<http://e/p>)"
+    assert _path_text(PSeq((p, q))) == "(<http://e/p>/<http://e/q>)"
+    assert _path_text(PAlt((p, q))) == "(<http://e/p>|<http://e/q>)"
+    assert (
+        _path_text(PNegSet((r.value,), (s.value,), True, True))
+        == "!(<http://e/r>|^<http://e/s>)"
+    )
+    nested = PMod(PSeq((p, PInv(PAlt((q, r))))), "+")
+    assert _path_text(nested) == (
+        "((<http://e/p>/^((<http://e/q>|<http://e/r>))))+"
+    )
+
+
+def test_service_path_closure_serializes(spark, triples, monkeypatch):
+    """A property-path closure inside SERVICE round-trips: the closure
+    entry carries the original path AST (sparql.py ``entry[6]``), so the
+    wire query re-states the path the user wrote and the remote endpoint
+    evaluates it — asserted on the wire text AND the joined bindings."""
+    from abecto_spark.sources import sparql_source as mod
+
+    remote = spark.createDataFrame(
+        [
+            (EX + "alice", EX + "knows", "iri", EX + "bob", None, None),
+            (EX + "bob", EX + "knows", "iri", EX + "carol", None, None),
+        ],
+        TRIPLES_DDL,
+    )
+    wire: list[str] = []
+    base = _service_transport(spark, remote)
+
+    def transport(url, data, headers):
+        wire.append(data.decode())
+        return base(url, data, headers)
+
+    monkeypatch.setattr(mod, "HTTP_TRANSPORT", transport)
+    out = sparql_select(
+        triples,
+        f"""SELECT ?s ?who WHERE {{
+              ?s <{EX}pnr> ?pnr .
+              SERVICE <http://remote/sparql> {{ ?s <{EX}knows>+ ?who }}
+            }}""",
+    )
+    rows = {(r["s"]["value"], r["who"]["value"]) for r in out.collect()}
+    assert rows == {
+        (EX + "alice", EX + "bob"),
+        (EX + "alice", EX + "carol"),
+    }
+    assert len(wire) == 1 and f"(<{EX}knows>)+" in wire[0]
 
 
 def test_service_graph_subquery_negset_serialize(spark, triples, monkeypatch):

@@ -75,7 +75,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model import XSD_DOUBLE, XSD_INTEGER, XSD_INTEGER_TYPES, XSD_STRING
+from ..model import (
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_FLOAT,
+    XSD_INTEGER,
+    XSD_INTEGER_TYPES,
+    XSD_STRING,
+)
 from ..sparql import (
     Iri,
     Lit,
@@ -101,8 +108,16 @@ _TEST_BUILTINS = ("bound", "isLiteral", "isIRI", "isURI", "isBNode")
 _ARITH_BUILTINS = ("sum", "difference", "product", "quotient", "min", "max",
                    "addOne")
 _BIND_BUILTINS = _ARITH_BUILTINS + ("strConcat", "uriConcat", "makeTemp")
+#: binary datatype tests: (term, <datatype-IRI>)
+_DTYPE_BUILTINS = ("isDType", "notDType")
+#: trace/engine-hint builtins accepted and ignored — Jena's print is a
+#: per-match trace side effect and table/tableAll/hide are backward-
+#: engine tabling hints, none of which affect a set-at-a-time forward
+#: pass; accepting them lets real-world Jena rule files run unchanged
+_NOOP_BUILTINS = ("print", "table", "tableAll", "hide")
 _ALL_BUILTINS = (
     ("noValue", "regex") + _CMP_BUILTINS + _TEST_BUILTINS + _BIND_BUILTINS
+    + _DTYPE_BUILTINS + _NOOP_BUILTINS
 )
 
 
@@ -275,6 +290,11 @@ def _parse_builtin(p: _Parser) -> Builtin:
     elif name in ("strConcat", "uriConcat", "makeTemp"):
         if not args:
             raise SparqlUnsupported(f"{name} builtin takes at least 1 argument")
+    elif name in _DTYPE_BUILTINS:
+        if len(args) != 2 or not isinstance(args[1], Iri):
+            raise SparqlUnsupported(
+                f"{name} builtin takes (term, <datatype-IRI>)"
+            )
     return Builtin(name, tuple(args))
 
 
@@ -477,6 +497,25 @@ def _apply_builtins(
                 }[b.name]
                 # NULL (non-numeric) comparisons filter the row out
                 acc = acc.where(getattr(_builtin_num(x), op)(_builtin_num(y)))
+            continue
+        if b.name in _NOOP_BUILTINS:
+            continue  # trace / tabling hints: no forward-pass effect
+        if b.name in _DTYPE_BUILTINS:
+            # Jena isDType = dt.isValidLiteral(node): datatype tag match
+            # plus lexical validity; validity is checked for the numeric
+            # family (try_cast), other datatypes trust the tag
+            t, dt = b.args
+            valid = F.lit(True)
+            if dt.value in XSD_INTEGER_TYPES:
+                valid = _builtin_lex(t).try_cast("long").isNotNull()
+            elif dt.value in (XSD_DOUBLE, XSD_FLOAT, XSD_DECIMAL):
+                valid = _builtin_lex(t).try_cast("double").isNotNull()
+            is_t = (
+                (_builtin_struct(t)["kind"] == "literal")
+                & _builtin_dt(t).eqNullSafe(F.lit(dt.value))
+                & valid
+            )
+            acc = acc.where(is_t if b.name == "isDType" else ~is_t)
             continue
         if b.name in _TEST_BUILTINS:
             (t,) = b.args

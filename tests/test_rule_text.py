@@ -289,6 +289,35 @@ def test_rule_term_test_builtins(spark):
     assert _flagged(out, "bnd") == lits | {EX + "d", EX + "f"}
 
 
+def test_rule_dtype_and_noop_builtins(spark):
+    """isDType/notDType follow Jena's dt.isValidLiteral (tag match plus
+    numeric lexical validity); print/table/tableAll/hide are accepted
+    trace/tabling hints with no forward-pass effect."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    t = _num_graph(spark)
+    out = apply_jena_rules(
+        t,
+        f"[d: (?s <{EX}val> ?v) isDType(?v, <{XSD_INT}>)"
+        f" -> (?s <{EX}int> <{EX}Y>)]"
+        f"[n: (?s <{EX}val> ?v) notDType(?v, <{XSD_INT}>)"
+        f" -> (?s <{EX}ni> <{EX}Y>)]"
+        f"[p: (?s <{EX}val> ?v) print(?s, ?v) table(<{EX}val>) tableAll()"
+        f" hide(<{EX}val>) -> (?s <{EX}pr> <{EX}Y>)]",
+    )
+    # c carries "07.0"^^xsd:integer — tagged integer but lexically
+    # invalid, so isDType rejects it (Jena: ill-typed literal)
+    assert _flagged(out, "int") == {EX + "a", EX + "b"}
+    # notDType: literals of other/no/ill datatype AND non-literals
+    assert _flagged(out, "ni") == {EX + "c", EX + "d", EX + "e"}
+    assert _flagged(out, "pr") == {
+        EX + "a", EX + "b", EX + "c", EX + "d", EX + "e"
+    }
+    with pytest.raises(SparqlUnsupported, match="datatype-IRI"):
+        parse_jena_rules(
+            f"[(?a <{EX}p> ?b) isDType(?b) -> (?a <{EX}q> ?b)]"
+        )
+
+
 def test_rule_comparison_parse_errors():
     with pytest.raises(SparqlUnsupported, match="exactly 2"):
         parse_jena_rules(

@@ -622,6 +622,27 @@ def apply_jena_rules(
     all_rows = _norm_triples(triples).distinct().localCheckpoint(eager=True)
     delta = all_rows
     first = True
+    # predicate-level stratification: a noValue whose constant probe
+    # predicate no rule head can produce reads a relation that never
+    # grows, so the rule stays monotone and keeps the semi-naive delta
+    # instead of re-evaluating its full body every round
+    head_var_pred = any(
+        isinstance(tp.p, Var) for r in rules for tp in r.head
+    )
+    head_preds = {
+        tp.p.value for r in rules for tp in r.head if isinstance(tp.p, Iri)
+    }
+
+    def _novalue_static(r: Rule) -> bool:
+        for b in r.builtins:
+            if b.name != "noValue":
+                continue
+            p = b.args[1]
+            if head_var_pred or not isinstance(p, Iri) or p.value in head_preds:
+                return False
+        return True
+
+    nv_static = [_novalue_static(r) for r in rules]
     for _ in range(max_iterations):
         comp_all = _Compiler(all_rows)
         comp_delta = _Compiler(delta)
@@ -636,13 +657,17 @@ def apply_jena_rules(
                 news.append(_head_rows(match, bound, r.head))
             else:
                 # semi-naive: any new derivation uses ≥1 delta fact; cover
-                # each atom position once. Rules with noValue re-evaluate
-                # naively every round — negation over a growing relation
-                # is non-monotonic, so a delta restriction would both
-                # miss rows (a noValue that held only for older bindings)
-                # and keep none it shouldn't (facts never retract,
-                # matching Jena's forward semantics)
-                if any(b.name == "noValue" for b in r.builtins):
+                # each atom position once. Rules with noValue over a
+                # growable predicate re-evaluate naively every round —
+                # negation over a growing relation is non-monotonic, so a
+                # delta restriction would miss rows whose noValue held
+                # only for older bindings (facts never retract, matching
+                # Jena's forward semantics). When every noValue probes a
+                # predicate no head can produce (nv_static), the probed
+                # relation is fixed and the delta restriction is sound.
+                if not nv_static[ri] and any(
+                    b.name == "noValue" for b in r.builtins
+                ):
                     match, bound = _body_df(comp_all, None, r.body, None)
                     match, bound = _apply_builtins(
                         comp_all, match, bound, r.builtins, salt
@@ -666,6 +691,10 @@ def apply_jena_rules(
         )
         if new.limit(1).count() == 0:
             break
+        # the union is re-checkpointed eagerly: a lazy union of
+        # checkpointed legs trips Spark's attribute resolution on the
+        # next localCheckpoint (key not found: o_value#N), so the copy
+        # per round is the price of a stable plan
         all_rows = all_rows.unionByName(new).localCheckpoint(eager=True)
         delta = new
     return _denorm_triples(all_rows)

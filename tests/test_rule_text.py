@@ -196,6 +196,39 @@ def test_rule_novalue_with_derived_facts_is_round_evaluated(spark):
     assert has == {EX + "a"}
 
 
+def test_rule_novalue_static_predicate_keeps_delta(spark):
+    """Predicate-level stratification: when the noValue probe predicate
+    is never produced by any rule head, the probed relation is static
+    and the rule keeps the semi-naive delta — conclusions gated by the
+    noValue must still appear for facts derived in LATE rounds (reach
+    grows one hop per round here)."""
+    rows = [
+        (EX + "a", EX + "next", "iri", EX + "b", None, ""),
+        (EX + "b", EX + "next", "iri", EX + "c", None, ""),
+        (EX + "c", EX + "next", "iri", EX + "d", None, ""),
+        (EX + "a", EX + "blocked", "iri", EX + "c", None, ""),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_DDL)
+    out = apply_jena_rules(
+        t,
+        f"[r1: (?x <{EX}next> ?y) -> (?x <{EX}reach> ?y)]"
+        f"[r2: (?x <{EX}reach> ?y) (?y <{EX}next> ?z)"
+        f" -> (?x <{EX}reach> ?z)]"
+        f"[f: (?x <{EX}reach> ?y) noValue(?x <{EX}blocked> ?y)"
+        f" -> (?x <{EX}ok> ?y)]",
+    )
+    ok = {
+        (r["s"], r["o_value"]) for r in out.where(out.p == EX + "ok").collect()
+    }
+    reach = {
+        (EX + "a", EX + "b"), (EX + "a", EX + "c"), (EX + "a", EX + "d"),
+        (EX + "b", EX + "c"), (EX + "b", EX + "d"), (EX + "c", EX + "d"),
+    }
+    # a->d is a round-3 reach fact: the delta-restricted noValue rule
+    # must still fire on it; only the base-blocked a->c pair is gated
+    assert ok == reach - {(EX + "a", EX + "c")}
+
+
 def test_rule_builtin_parse_errors():
     with pytest.raises(SparqlUnsupported, match="share a variable"):
         parse_jena_rules(

@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
         " directory, one named graph per dataset",
     )
     p.add_argument(
+        "--loadOnly", action="store_true", dest="load_only",
+        help="do not execute the plan; load previously saved results"
+        " from --out DIR and run exports / fail-on checks against them"
+        " (`Abecto.java:91-92` exports without repeated plan execution;"
+        " this engine persists results as the --out parquet store rather"
+        " than inside the plan file)",
+    )
+    p.add_argument(
         "--reportOn", metavar="IRI", default=None, dest="report_on",
         help="dataset IRI to report on; exports and fail-on checks are"
         " limited to findings affecting this dataset",
@@ -125,20 +133,52 @@ def main(argv: list[str] | None = None) -> int:
 
     plan = load_trig_plan(args.plan_file, plan_iri=args.plan)
     spark = get_spark(app_name="abecto-spark-cli", master=args.master)
-    store = SnapshotStore(spark, args.checkpoint) if args.checkpoint else None
-    result = run_plan(spark, plan, store=store)
+    if args.load_only:
+        from .plans.driver import PlanResult
+
+        if not args.out:
+            raise SystemExit(
+                "--loadOnly needs --out DIR pointing at previously saved"
+                " results"
+            )
+        if args.trig or args.nquads:
+            raise SystemExit(
+                "--loadOnly cannot dump primary graphs (--trig/--nquads):"
+                " the --out store holds the result tables only"
+            )
+        wv_dir = os.path.join(args.out, "wrong_values")
+        result = PlanResult(
+            primary={},
+            edges=spark.read.parquet(os.path.join(args.out, "mappings")),
+            canonical=None,
+            measures=spark.read.parquet(os.path.join(args.out, "measures")),
+            findings=spark.read.parquet(os.path.join(args.out, "findings")),
+            manifests={},
+            wrong_values=(
+                spark.read.parquet(wv_dir) if os.path.isdir(wv_dir) else None
+            ),
+        )
+    else:
+        store = (
+            SnapshotStore(spark, args.checkpoint) if args.checkpoint else None
+        )
+        result = run_plan(spark, plan, store=store)
 
     findings = result.findings
     if args.report_on:
         findings = findings.where(F.col("affected_dataset") == args.report_on)
 
-    if args.out:
+    if args.out and not args.load_only:
         os.makedirs(args.out, exist_ok=True)
         result.measures.write.mode("overwrite").parquet(
             os.path.join(args.out, "measures")
         )
         findings.write.mode("overwrite").parquet(os.path.join(args.out, "findings"))
         result.edges.write.mode("overwrite").parquet(os.path.join(args.out, "mappings"))
+        if result.wrong_values is not None:
+            result.wrong_values.write.mode("overwrite").parquet(
+                os.path.join(args.out, "wrong_values")
+            )
 
     if args.trig or args.nquads:
         from functools import reduce
@@ -172,6 +212,11 @@ def main(argv: list[str] | None = None) -> int:
         elif name == "mappingReview":
             if not args.review_label:
                 raise SystemExit("mappingReview export needs --reviewLabel IRI")
+            if args.load_only:
+                raise SystemExit(
+                    "mappingReview reads primary graphs, which the --out"
+                    " store does not hold; run it without --loadOnly"
+                )
             from functools import reduce
 
             parts = [

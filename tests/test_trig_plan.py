@@ -235,6 +235,53 @@ def test_cli_end_to_end(spark, tmp_path):
     assert "45678" in csv_text and "12345" in csv_text
 
 
+def test_cli_load_only_reexports_without_execution(spark, tmp_path):
+    """--loadOnly (`Abecto.java:91-92`): exports and fail-on checks run
+    against the previously saved --out store without re-executing the
+    plan — same CSV bytes, same exit bits."""
+    import glob
+
+    from abecto_spark.cli import main
+
+    out = tmp_path / "out"
+    first_csv = tmp_path / "dev1"
+    code = main([
+        TRIG, "--out", str(out), "-E", f"deviations={first_csv}",
+        "--failOnDeviation",
+    ])
+    assert code == 2
+
+    second_csv = tmp_path / "dev2"
+    meas_md = tmp_path / "measurements.md"
+    code2 = main([
+        TRIG, "--loadOnly", "--out", str(out),
+        "-E", f"deviations={second_csv}",
+        "-E", f"measurementsMarkdown={meas_md}",
+        "--failOnDeviation", "--failOnResourceOmission",
+    ])
+    assert code2 == 2 + 8
+
+    def csv_rows(d):
+        return sorted(
+            line
+            for p in glob.glob(str(d / "part-*"))
+            for line in open(p).read().splitlines()
+            if line
+        )
+
+    assert csv_rows(first_csv) == csv_rows(second_csv)
+    assert "marCompletenessThomas08" in meas_md.read_text()
+
+    # loadOnly guards: --out required; primary-graph surfaces refuse
+    with pytest.raises(SystemExit, match="--out"):
+        main([TRIG, "--loadOnly"])
+    with pytest.raises(SystemExit, match="primary graphs"):
+        main([
+            TRIG, "--loadOnly", "--out", str(out),
+            "--trig", str(tmp_path / "x.trig"),
+        ])
+
+
 def test_cli_report_on_filters_exit_bits(spark, tmp_path):
     from abecto_spark.cli import main
 

@@ -639,6 +639,56 @@ def test_path_text_serializer():
     )
 
 
+def test_path_text_round_trip_property():
+    """Property: parse(_path_text(p)) == p for every path AST — the
+    serializer emits exactly the grammar the parser accepts (what the
+    wire query means at the remote endpoint is what was desugared
+    locally)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abecto_spark.sparql import (
+        Iri,
+        PAlt,
+        PInv,
+        PMod,
+        PNegSet,
+        PSeq,
+        _Parser,
+        _path_text,
+    )
+
+    iris = st.sampled_from([Iri(f"http://e/{c}") for c in "pqr"])
+    members = st.lists(
+        st.sampled_from([f"http://e/{c}" for c in "pqr"]),
+        max_size=2, unique=True,
+    )
+    negsets = st.builds(
+        lambda f, i: PNegSet(
+            tuple(f) or ("http://e/p",) if not i else tuple(f),
+            tuple(i), bool(tuple(f) or not i), bool(i),
+        ),
+        members, members,
+    )
+    paths = st.recursive(
+        iris | negsets,
+        lambda sub: st.one_of(
+            st.builds(PInv, sub),
+            st.builds(lambda a, b: PSeq((a, b)), sub, sub),
+            st.builds(lambda a, b: PAlt((a, b)), sub, sub),
+            st.builds(PMod, sub, st.sampled_from("*+?")),
+        ),
+        max_leaves=8,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(paths)
+    def check(p):
+        assert _Parser(_path_text(p) + " ").parse_path() == p
+
+    check()
+
+
 def test_service_path_closure_serializes(spark, triples, monkeypatch):
     """A property-path closure inside SERVICE round-trips: the closure
     entry carries the original path AST (sparql.py ``entry[6]``), so the

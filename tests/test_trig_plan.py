@@ -368,6 +368,16 @@ def test_cli_fail_on_wrong_value_bit(spark, tmp_path):
     # the "2 vs 99" deviation seen from db is suppressed (99 is a known
     # wrong value), the mirror direction survives → bit 2 still fires
     assert main([str(plan_file), "--failOnDeviation"]) == 2
+    # --loadOnly round-trip: wrong_values persist in the --out store, so
+    # bit 16 (and its --reportOn restriction) survive re-export without
+    # re-execution
+    out = tmp_path / "out"
+    assert main([str(plan_file), "--out", str(out),
+                 "--failOnWrongValue"]) == 16
+    assert main([str(plan_file), "--loadOnly", "--out", str(out),
+                 "--failOnWrongValue"]) == 16
+    assert main([str(plan_file), "--loadOnly", "--out", str(out),
+                 "--reportOn", EX + "db", "--failOnWrongValue"]) == 0
 
 
 def test_cli_bad_export_template(spark):

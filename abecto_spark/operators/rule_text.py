@@ -507,7 +507,10 @@ def _apply_builtins(
             t, dt = b.args
             valid = F.lit(True)
             if dt.value in XSD_INTEGER_TYPES:
-                valid = _builtin_lex(t).try_cast("long").isNotNull()
+                # the XSD integer lexical grammar, not a numeric cast:
+                # xsd:integer is unbounded (a 40-digit form is valid) and
+                # casts would accept fractional forms by rounding
+                valid = _builtin_lex(t).rlike(r"^[+-]?[0-9]+$")
             elif dt.value in (XSD_DOUBLE, XSD_FLOAT, XSD_DECIMAL):
                 valid = _builtin_lex(t).try_cast("double").isNotNull()
             is_t = (

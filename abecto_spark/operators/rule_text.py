@@ -502,17 +502,29 @@ def _apply_builtins(
             continue  # trace / tabling hints: no forward-pass effect
         if b.name in _DTYPE_BUILTINS:
             # Jena isDType = dt.isValidLiteral(node): datatype tag match
-            # plus lexical validity; validity is checked for the numeric
-            # family (try_cast), other datatypes trust the tag
+            # plus lexical validity, checked for the numeric family via
+            # the XSD lexical grammars (JVM rlike — casts would accept
+            # fractional-integer or exponent-decimal forms by rounding);
+            # other datatypes trust the tag
             t, dt = b.args
             valid = F.lit(True)
-            if dt.value in XSD_INTEGER_TYPES:
-                # the XSD integer lexical grammar, not a numeric cast:
-                # xsd:integer is unbounded (a 40-digit form is valid) and
-                # casts would accept fractional forms by rounding
+            if dt.value == XSD_DECIMAL:  # before the integer family —
+                # model.XSD_INTEGER_TYPES includes decimal (arithmetic
+                # promotion grouping), but its lexical grammar differs:
+                # optional fraction, no exponent, no INF/NaN
+                valid = _builtin_lex(t).rlike(
+                    r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"
+                )
+            elif dt.value in XSD_INTEGER_TYPES:
+                # unbounded digits, no fraction (a 40-digit form is valid)
                 valid = _builtin_lex(t).rlike(r"^[+-]?[0-9]+$")
-            elif dt.value in (XSD_DOUBLE, XSD_FLOAT, XSD_DECIMAL):
-                valid = _builtin_lex(t).try_cast("double").isNotNull()
+            elif dt.value in (XSD_DOUBLE, XSD_FLOAT):
+                # xsd float/double grammar incl. the XSD spellings of
+                # the specials (INF/-INF/+INF/NaN)
+                valid = _builtin_lex(t).rlike(
+                    r"^(NaN|[+-]?(INF|([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                    r"([eE][+-]?[0-9]+)?))$"
+                )
             is_t = (
                 (_builtin_struct(t)["kind"] == "literal")
                 & _builtin_dt(t).eqNullSafe(F.lit(dt.value))

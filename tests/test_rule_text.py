@@ -345,6 +345,27 @@ def test_rule_dtype_and_noop_builtins(spark):
     assert _flagged(out, "pr") == {
         EX + "a", EX + "b", EX + "c", EX + "d", EX + "e"
     }
+    # double validity follows the XSD grammar (INF/NaN/exponent forms),
+    # decimal's has no exponent
+    XSD_DBL = "http://www.w3.org/2001/XMLSchema#double"
+    XSD_DEC = "http://www.w3.org/2001/XMLSchema#decimal"
+    rows2 = [
+        (EX + "g", EX + "val", "literal", "INF", XSD_DBL, ""),
+        (EX + "h", EX + "val", "literal", "1.5e3", XSD_DBL, ""),
+        (EX + "i", EX + "val", "literal", "oops", XSD_DBL, ""),
+        (EX + "j", EX + "val", "literal", "1.5e3", XSD_DEC, ""),
+        (EX + "k", EX + "val", "literal", "1.50", XSD_DEC, ""),
+    ]
+    t2 = spark.createDataFrame(rows2, TRIPLES_DDL)
+    out2 = apply_jena_rules(
+        t2,
+        f"[d: (?s <{EX}val> ?v) isDType(?v, <{XSD_DBL}>)"
+        f" -> (?s <{EX}dbl> <{EX}Y>)]"
+        f"[e: (?s <{EX}val> ?v) isDType(?v, <{XSD_DEC}>)"
+        f" -> (?s <{EX}dec> <{EX}Y>)]",
+    )
+    assert _flagged(out2, "dbl") == {EX + "g", EX + "h"}
+    assert _flagged(out2, "dec") == {EX + "k"}
     with pytest.raises(SparqlUnsupported, match="datatype-IRI"):
         parse_jena_rules(
             f"[(?a <{EX}p> ?b) isDType(?b) -> (?a <{EX}q> ?b)]"

@@ -689,6 +689,32 @@ def test_path_text_round_trip_property():
     check()
 
 
+def test_group_text_serializer_fixed_point():
+    """Serializer/parser agreement across the whole SERVICE body
+    grammar: serialize(parse(serialize(parse(g)))) == serialize(parse(g))
+    — if the serializer emitted anything the parser reads differently,
+    the second round-trip would diverge."""
+    from abecto_spark.sparql import _group_text, _Parser
+
+    bodies = [
+        f"?s <{EX}p> ?o . FILTER(?o > 3)",
+        f"?s <{EX}p>/<{EX}q>* ?o",
+        f"?s !(<{EX}a>|^<{EX}b>) ?o . OPTIONAL {{ ?s <{EX}n> ?n }}",
+        f"{{ ?s <{EX}p> ?o }} UNION {{ ?s <{EX}q> ?o }}",
+        f"?s (<{EX}p>|^<{EX}q>)+ ?o . BIND(STR(?o) AS ?x)",
+        f"VALUES (?s) {{ (<{EX}a>) (UNDEF) }} ?s <{EX}p>? ?o",
+        f"GRAPH ?g {{ ?s ^<{EX}p>* ?o }} MINUS {{ ?s <{EX}bad> ?o }}",
+        f"?s <{EX}p> ?o . FILTER NOT EXISTS {{ ?s <{EX}x> ?y }}",
+        f"SERVICE <http://r/sparql> {{ ?s <{EX}p>* ?o }}",
+        f"{{ SELECT ?s (COUNT(?o) AS ?c) WHERE {{ ?s <{EX}p> ?o }}"
+        f" GROUP BY ?s }}",
+    ]
+    for body in bodies:
+        t1 = _group_text(_Parser("{ " + body + " } ").parse_group())
+        t2 = _group_text(_Parser("{ " + t1 + " } ").parse_group())
+        assert t1 == t2, body
+
+
 def test_service_path_closure_serializes(spark, triples, monkeypatch):
     """A property-path closure inside SERVICE round-trips: the closure
     entry carries the original path AST (sparql.py ``entry[6]``), so the

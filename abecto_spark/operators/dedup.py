@@ -13,6 +13,10 @@ packing uses a vectorized numpy UDF.
   * neardup_dedup        — end-to-end corpus dedup: LSH candidates →
                            Jaccard verify → connected components →
                            canonical keep election per cluster
+  * segment_dedup        — corpus-wide segment-level exact dedup (the
+                           C4-style repeated-paragraph drop, over fixed
+                           token windows): first occurrence wins, docs
+                           reassembled from surviving segments
 """
 
 from __future__ import annotations
@@ -353,4 +357,56 @@ def neardup_dedup(
             ),
             (F.col(id_col) == cid).alias("keep"),
         )
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup — the C4-style
+    repeated-paragraph drop adapted to untagged text: the token stream
+    splits into fixed ``chunk_tokens``-token segments, every repeated
+    segment after its first corpus occurrence (ordered by
+    (id, segment index)) is dropped, and each document's surviving
+    segments reassemble in order. Returns (id, text); documents whose
+    every segment was seen earlier vanish (full duplicates).
+
+    Scale shape: one shuffle keyed on the segment string — high
+    cardinality by construction (a segment repeated enough to skew a
+    partition is exactly the boilerplate the pass exists to delete, and
+    even then the window only ranks that one key's rows) — then one
+    partial-aggregated groupBy per doc. Fully JVM-side; no Python."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    seg = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + F.lit(1), chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(seg).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text")
     )

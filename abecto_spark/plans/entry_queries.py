@@ -23,6 +23,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     neardup_dedup,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash,
     simhash_candidates,
 )
@@ -427,6 +428,16 @@ def q_exact_dedup(spark, sf):
     return exact_dedup(d, ["source", "pfx"], "doc_id").select(
         "source", "pfx", "rep_id", "n_dups"
     )
+
+
+def q_segment_dedup(spark, sf):
+    """Segment-level corpus dedup — the C4-style repeated-paragraph drop
+    over fixed 16-token windows: the first corpus occurrence of a
+    segment (by (doc_id, segment index)) wins, every later repetition is
+    dropped, and documents reassemble from their surviving segments
+    (fully-duplicated documents vanish). One shuffle on the segment
+    string, one groupBy per doc, fully JVM-side."""
+    return segment_dedup(_t(spark, sf, "documents"))
 
 
 def q_ngram_jaccard(spark, sf):
@@ -1511,6 +1522,7 @@ QUERIES = {
     "ceq_numeric": q_ceq_numeric,
     "lang_filter": q_lang_filter,
     "exact_dedup": q_exact_dedup,
+    "segment_dedup": q_segment_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "bpe_token_count": q_bpe_token_count,
@@ -2016,6 +2028,25 @@ ORACLES = {
         SELECT source, substring(text, 1, 30) AS pfx, MIN(doc_id) AS rep_id,
                COUNT(*) AS n_dups
         FROM documents GROUP BY source, substring(text, 1, 30)
+    """,
+    "segment_dedup": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), chunks AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ts[(i*16+1):((i+1)*16)], ' ') AS chunk
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(0,
+                   CAST(ceil(len(ts)/16.0) AS INT) - 1)) AS i
+          )
+        ), kept AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks
+        )
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        FROM kept WHERE rn = 1 GROUP BY doc_id
     """,
     "ngram_jaccard": """
         WITH t AS (

@@ -56,6 +56,7 @@ def main() -> None:
         "property_value_coverage",
         "ceq_numeric",
         "exact_dedup",
+        "segment_dedup",
         "minhash_candidates",
         "simhash_candidates",
         "neardup_dedup",

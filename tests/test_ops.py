@@ -42,6 +42,31 @@ def test_exact_dedup(spark, docs_df):
     assert total == docs_df.count()
 
 
+def test_segment_dedup(spark):
+    """C4-style segment dedup: a segment repeated later in the corpus is
+    dropped (first occurrence by (id, idx) wins), surviving segments
+    reassemble in order, and a fully-duplicated doc vanishes."""
+    from abecto_spark.operators.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(4))
+    seg_b = " ".join(f"b{i}" for i in range(4))
+    seg_c = " ".join(f"c{i}" for i in range(4))
+    rows = [
+        ("d1", f"{seg_a} {seg_b}"),     # both segments first occurrences
+        ("d2", f"{seg_c} {seg_a}"),     # seg_a repeated -> dropped
+        ("d3", f"{seg_a} {seg_b}"),     # full duplicate -> vanishes
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in segment_dedup(d, chunk_tokens=4).collect()
+    }
+    assert out == {"d1": f"{seg_a} {seg_b}", "d2": seg_c}
+    # empty text yields no segments (and no row)
+    e = spark.createDataFrame([("x", "")], "doc_id string, text string")
+    assert segment_dedup(e, chunk_tokens=4).count() <= 1
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     cands = minhash_lsh_candidates(docs_df, "doc_id", "text", n_hashes=32, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}

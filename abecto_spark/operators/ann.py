@@ -325,3 +325,33 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage-scale path
+    for large embedding stores (4× smaller than float32, dot products
+    stay integer SIMD on read): ``scale = max|x_i| / 127``, ``code_i =
+    floor(x_i / scale + 0.5)`` (explicit half-up — ``round()`` tie rules
+    differ across engines), all arithmetic in double so the oracle
+    replays bit-identically. Returns (id, scale double, codes
+    array<int>). Zero-vector rows quantize to scale 0 and all-zero
+    codes. Row-local: no shuffle at any corpus size."""
+    v = _as_double(F.col(vec_col))
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda a, b: F.greatest(a, F.abs(b))
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    codes = F.when(
+        absmax == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / (absmax / F.lit(127.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return df.select(F.col(id_col), scale, codes.alias("codes"))

@@ -440,6 +440,23 @@ def q_segment_dedup(spark, sf):
     return segment_dedup(_t(spark, sf, "documents"))
 
 
+def q_quantize_embeddings(spark, sf):
+    """Per-vector symmetric int8 quantization of the embedding store
+    (scale = max|x|/127, half-up codes) — the 4×-smaller storage path a
+    100 TB vector corpus ships; row-local, zero shuffle. Codes are
+    emitted comma-joined (the driver hash compares scalar cells)."""
+    from ..operators.ann import quantize_embeddings
+
+    q = quantize_embeddings(_t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
 def q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(d, "doc_id", "text", ["source", "lang"], 0.55).select(
@@ -1523,6 +1540,7 @@ QUERIES = {
     "lang_filter": q_lang_filter,
     "exact_dedup": q_exact_dedup,
     "segment_dedup": q_segment_dedup,
+    "quantize_embeddings": q_quantize_embeddings,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
     "bpe_token_count": q_bpe_token_count,
@@ -2028,6 +2046,24 @@ ORACLES = {
         SELECT source, substring(text, 1, 30) AS pfx, MIN(doc_id) AS rep_id,
                COUNT(*) AS n_dups
         FROM documents GROUP BY source, substring(text, 1, 30)
+    """,
+    "quantize_embeddings": """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, ev,
+                 list_aggregate(list_transform(ev, x -> abs(x)), 'max') AS am
+          FROM v
+        )
+        SELECT vec_id, ROUND(am / 127.0, 9) AS scale,
+               CASE WHEN am = 0
+                    THEN array_to_string(list_transform(ev, x -> 0), ',')
+                    ELSE array_to_string(list_transform(ev,
+                         x -> CAST(floor(x / (am / 127.0) + 0.5) AS INT)), ',')
+               END AS codes
+        FROM s
     """,
     "segment_dedup": """
         WITH toks AS (

@@ -156,6 +156,32 @@ def test_brute_force_topk_finds_planted(spark, emb_df):
     assert all(got[i] == 1000 + i for i in range(20))
 
 
+def test_quantize_embeddings(spark, emb_df):
+    """int8 quantization: codes bounded to ±127, dequantized vectors
+    within one quantization step of the source, zero vectors quantize
+    to scale 0 / all-zero codes."""
+    from abecto_spark.operators.ann import quantize_embeddings
+
+    z = spark.createDataFrame(
+        [(9999, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    src = {r["vec_id"]: r["embedding"] for r in emb_df.collect()}
+    out = quantize_embeddings(emb_df.unionByName(z)).collect()
+    for r in out:
+        if r["vec_id"] == 9999:
+            assert r["scale"] == 0.0 and set(r["codes"]) == {0}
+            continue
+        assert max(abs(c) for c in r["codes"]) <= 127
+        s = r["scale"]
+        for x, c in zip(src[r["vec_id"]], r["codes"]):
+            assert abs(c * s - x) <= s / 2 + 1e-9
+    # at least one code per vector hits ±127 (max-abs scaling is tight)
+    assert all(
+        r["vec_id"] == 9999 or max(abs(c) for c in r["codes"]) == 127
+        for r in out
+    )
+
+
 def test_lsh_topk_recall(spark, emb_df):
     # recall measured where LSH is meant to work: strong (planted)
     # neighbors at cosine ≈ 1; weak random NNs legitimately fall outside

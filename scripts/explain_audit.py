@@ -110,6 +110,35 @@ def main() -> int:
         len(re.findall(r"hashpartitioning\(lang#\d+, \d+\)", p)) <= 1,
     )
 
+    # ---- 5b1b. segment dedup: window keyed on the segment string -------
+    sd = q.q_segment_dedup(spark, SF_DIR)
+    p = plan_of(sd)
+    sections.append(("segment_dedup (C4 repeated-paragraph drop)", p))
+    check(
+        "segment_dedup: first-occurrence window keyed on the segment string"
+        " (high cardinality), never a low-cardinality column",
+        re.search(r"hashpartitioning\(chunk#\d+", p) is not None,
+    )
+    check(
+        "segment_dedup: JVM-side only (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+
+    # ---- 5b1c. embedding quantization: row-local, zero shuffle ---------
+    qe = q.q_quantize_embeddings(spark, SF_DIR)
+    p = plan_of(qe)
+    sections.append(("quantize_embeddings (row-local int8 quantization)", p))
+    check(
+        "quantize_embeddings: zero exchanges (row-local transform)",
+        "Exchange" not in p,
+    )
+    check(
+        "quantize_embeddings: column pruning (vec_id + embedding only)",
+        (lambda m: m and set(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == {"vec_id", "embedding"})(re.search(r"ReadSchema: struct<([^>]*)>", p)),
+    )
+
     # ---- 5b2. mixture sampling: pure filter, no shuffle, no Python -----
     mx = q.q_mixture_sample(spark, SF_DIR)
     p = plan_of(mx)

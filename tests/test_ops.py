@@ -182,6 +182,25 @@ def test_quantize_embeddings(spark, emb_df):
     )
 
 
+def test_quantized_topk_preserves_neighbors(spark, emb_df):
+    """Dequantized vectors keep the nearest-neighbor structure: exact
+    top-1 over int8-dequantized embeddings still maps each planted query
+    to its near-duplicate — the accuracy story behind shipping the
+    4×-smaller store."""
+    from abecto_spark.operators.ann import quantize_embeddings
+
+    deq = quantize_embeddings(emb_df).select(
+        "vec_id",
+        F.transform(
+            "codes", lambda c: (c.cast("double") * F.col("scale")).cast("float")
+        ).alias("embedding"),
+    )
+    q = deq.where(F.col("vec_id") < 20)
+    top = brute_force_topk(q, deq, k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert all(got[i] == 1000 + i for i in range(20))
+
+
 def test_lsh_topk_recall(spark, emb_df):
     # recall measured where LSH is meant to work: strong (planted)
     # neighbors at cosine ≈ 1; weak random NNs legitimately fall outside

@@ -360,6 +360,23 @@ def neardup_dedup(
     )
 
 
+def segment_array(text_col: str, chunk_tokens: int):
+    """Fixed ``chunk_tokens``-token segment array over a text column —
+    shared by the batch and streaming segment-dedup passes so the two
+    cannot drift on splitting semantics."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    return F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + F.lit(1), chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def segment_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -381,17 +398,7 @@ def segment_dedup(
     partial-aggregated groupBy per doc. Fully JVM-side; no Python."""
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    seg = F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - F.lit(1)),
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_tokens + F.lit(1), chunk_tokens), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    seg = segment_array(text_col, chunk_tokens)
     chunks = docs.select(
         F.col(id_col),
         F.posexplode(seg).alias("chunk_idx", "chunk"),

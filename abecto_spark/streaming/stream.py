@@ -273,3 +273,47 @@ def streaming_triples(
         "span_idx",
     )
     return labels.unionByName(same_as)
+
+
+def streaming_segment_dedup(
+    docs_stream: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Streaming counterpart of the batch ``segment_dedup`` (the C4
+    repeated-paragraph drop): each document's concatenated text spans
+    split into fixed ``chunk_tokens``-token segments (the shared
+    ``dedup.segment_array`` splitter, so batch and streaming cannot
+    drift), and a segment seen in any earlier micro-batch is dropped —
+    arrival order replaces the batch operator's (id, index) total
+    order, the usual batch→stream ordering trade. Emits the surviving
+    ``(doc_id, chunk_idx, chunk)`` rows; reassembly is the reader's
+    ordered concat — a streaming groupBy per document would hold every
+    document's state open forever, while the segment stream appends.
+    Dedup state is one entry per distinct segment, watermark-bounded
+    when ``ts_col`` is given."""
+    from ..operators.dedup import segment_array
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    cols = [F.col("doc_id"), text.alias("_text")] + (
+        [F.col(ts_col)] if ts_col is not None else []
+    )
+    chunks = docs_stream.select(*cols).select(
+        "doc_id",
+        *([ts_col] if ts_col is not None else []),
+        F.posexplode(segment_array("_text", chunk_tokens)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    if ts_col is not None:
+        return chunks.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["chunk"]
+        )
+    return chunks.dropDuplicates(["chunk"])

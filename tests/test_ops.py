@@ -352,6 +352,49 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert "fp" not in fp_cols  # internal fingerprint not leaked
 
 
+def test_streaming_segment_dedup(spark, tmp_path):
+    """Segment-level streaming dedup: repeated segments across files
+    survive once; the surviving segment count equals the batch
+    operator's distinct-segment universe (same shared splitter)."""
+    from abecto_spark.operators.dedup import segment_array
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_docs,
+        streaming_segment_dedup,
+    )
+
+    path = str(tmp_path / "docs_sd")
+    base = synth_docs(spark, n_docs=40, n_entities=10, seed=3)
+    base.write.parquet(path)
+    dupes = (
+        base.limit(8)
+        .withColumn("doc_id", F.concat(F.lit("dup-"), F.col("doc_id")))
+    )
+    dupes.write.mode("append").parquet(path)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    expected = (
+        base.select(text.alias("_text"))
+        .select(F.explode(segment_array("_text", 16)).alias("chunk"))
+        .distinct()
+        .count()
+    )
+    run_stream_to_memory(
+        streaming_segment_dedup(stream_docs(spark, path)), "segdd_out"
+    )
+    n = spark.sql("SELECT count(*) FROM segdd_out").collect()[0][0]
+    assert n == expected
+    assert set(spark.table("segdd_out").columns) == {
+        "doc_id", "chunk_idx", "chunk"
+    }
+
+
 def test_streaming_exact_dedup_recovers_from_checkpoint(spark, tmp_path):
     """Kill-and-restart the streaming dedup against its checkpoint dir:
     duplicates arriving AFTER the restart of content seen BEFORE it must

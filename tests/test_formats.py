@@ -532,3 +532,53 @@ def test_parse_trig_accepts_nquads_graph_label(spark):
     # plain Turtle statements still reject junk after the object list
     with pytest.raises(Exception):
         parse_trig("<http://ex/s> <http://ex/p> <http://ex/o> 42 .")
+
+
+def test_writers_roundtrip_hostile_literals(spark, tmp_path):
+    """Escaping torture: quotes, backslashes, newlines/tabs/CRs, unicode,
+    and grammar-colliding content ('^^', '@en', triple quotes) round-trip
+    bit-identically through BOTH quad writers and back through the
+    parsers — the wrong-answer class escaping bugs live in."""
+    import glob
+
+    from abecto_spark.sources.rdf import write_nquads, write_trig_local
+
+    LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    hostile = [
+        '"', "\\", "\n", "\t", "\r", "'", "é", "日本", 'a"b\\c', '""',
+        "\\n", "x\ny", "", "<>", "{}", "^^", "@en", '"""', 'end"',
+        '\\"', "a\rb", "tab\there",
+    ]
+    rows = []
+    for i, h in enumerate(hostile):
+        rows.append((f"http://x/s{i}", "http://x/p", "literal", h, XS,
+                     "", "http://x/g"))
+        rows.append((f"http://x/s{i}", "http://x/q", "literal", h, LS,
+                     "en", "http://x/g"))
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string, graph string")
+    df = spark.createDataFrame(rows, ddl)
+    sel = ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang"]
+
+    def norm(rows6):
+        return sorted(
+            (r["s"], r["p"], r["o_kind"], r["o_value"],
+             r["o_datatype"] or "", r["o_lang"] or "")
+            for r in rows6
+        )
+
+    src = norm(df.select(*sel).collect())
+
+    nq_dir = str(tmp_path / "nq")
+    write_nquads(df, nq_dir)
+    joined = str(tmp_path / "all.nq")
+    with open(joined, "w", encoding="utf-8") as fh:
+        for p in sorted(glob.glob(nq_dir + "/part*")):
+            if os.path.isfile(p):
+                fh.write(open(p, encoding="utf-8").read())
+    assert norm(read_rdf_local(spark, joined).select(*sel).collect()) == src
+
+    trig = str(tmp_path / "out.trig")
+    write_trig_local(df, trig)
+    assert norm(read_rdf_local(spark, trig).select(*sel).collect()) == src

@@ -2098,7 +2098,13 @@ def _term_text(t) -> str:
     if isinstance(t, Iri):
         return f"<{t.value}>"
     if isinstance(t, Lit):
-        lex = t.lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        lex = (
+            t.lex.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
         if t.lang:
             return f'"{lex}"@{t.lang}'
         if t.datatype and t.datatype != XSD_STRING:

@@ -633,6 +633,45 @@ def q_corpus_curation(spark, sf):
     return curate_corpus(d, quality_min=0.35, per_lang_top_n=50)
 
 
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 keyword retrieval (operators/search.py): Lucene-form
+    IDF, filter-before-explode term frequencies, TakeOrdered top-k on
+    the 6-dp-rounded score so the ranking is engine-portable."""
+    from ..operators.search import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, "spark hash window merge", k=25)
+
+
+def q_unigram_logprob(spark, sf):
+    """Corpus-unigram NLL quality proxy (operators/lm_quality.py): the
+    CCNet-style perplexity signal with an explicit hot-token broadcast /
+    Zipf-tail shuffle split; the oracle replays the unsplit join."""
+    from ..operators.lm_quality import unigram_logprob
+
+    d = _t(spark, sf, "documents")
+    return unigram_logprob(d, hot_k=16)
+
+
+def q_chunk_documents(spark, sf):
+    """Fixed-window training-sequence chunking (operators/chunk.py):
+    sequence→explode→slice, entirely row-local — zero shuffle."""
+    from ..operators.chunk import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, window=16, stride=12)
+
+
+def q_pack_contiguous(spark, sf):
+    """Contiguous token packing into fixed budget bins within portable-
+    hash shards (operators/chunk.py): one window shuffle keyed by the
+    high-cardinality shard id, integer arithmetic throughout."""
+    from ..operators.chunk import pack_contiguous
+
+    d = _t(spark, sf, "documents")
+    return pack_contiguous(d, budget=256, n_shards=8)
+
+
 # --------------------------------------------------------------------------
 # embeddings
 
@@ -1350,6 +1389,32 @@ def q_embedding_neardup(spark, sf):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup-style embedding-cluster semantic dedup (operators/
+    dedup.py:semdedup): spherical k-means cells, within-cell exact
+    cosine, drop-later-id. Planted ×2/×4 scaled copies are bitwise
+    guaranteed to share their original's cell (cosine assignment is
+    scale-invariant), the natural corpus tops out near cosine 0.60, so
+    at tau=0.9 the oracle's cluster-free replay ("exists an earlier
+    vector anywhere with cosine >= tau") selects the identical rows."""
+    from ..operators.ann import train_ivf_centroids
+    from ..operators.dedup import semdedup
+
+    e = _t(spark, sf, "embeddings")
+    scale = lambda c, s: F.transform(c, lambda x: (x * F.lit(s)).cast("float"))  # noqa: E731
+    p1 = e.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        scale(F.col("embedding"), 2.0).alias("embedding"), "label",
+    )
+    p2 = e.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        scale(F.col("embedding"), 4.0).alias("embedding"), "label",
+    )
+    corpus = e.unionByName(p1).unionByName(p2)
+    cents = train_ivf_centroids(corpus, n_cells=16, sample=2000)
+    return semdedup(corpus, cents, tau=0.9)
+
+
 def q_ann_lsh_topk(spark, sf):
     # Planted ground truth with guaranteed LSH recall: two power-of-2
     # scaled copies of every query vector (cosine exactly 1.0 in FP, and
@@ -1514,6 +1579,11 @@ QUERIES = {
     "sparql_corners": q_sparql_corners,
     "sparql_graph": q_sparql_graph,
     "corpus_curation": q_corpus_curation,
+    "bm25_topk": q_bm25_topk,
+    "unigram_logprob": q_unigram_logprob,
+    "chunk_documents": q_chunk_documents,
+    "pack_contiguous": q_pack_contiguous,
+    "semdedup": q_semdedup,
     "sparql_subquery": q_sparql_subquery,
     "rule_builtins": q_rule_builtins,
     "report_deviations": q_report_deviations,
@@ -2358,6 +2428,98 @@ ORACLES = {
                                     ORDER BY quality DESC, doc_id) AS rank
           FROM k)
         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
+    """,
+    "bm25_topk": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term IN ('hash', 'merge', 'spark', 'window')
+          GROUP BY doc_id, term),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 ROUND(sum(
+                   ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id)
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank
+        FROM scored ORDER BY score DESC, doc_id LIMIT 25
+    """,
+    "unigram_logprob": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        total AS (SELECT sum(cnt) AS total FROM counts)
+        SELECT doc_id, count(*) AS n_tokens,
+               ROUND(avg(-ln(cnt / total.total)), 6) AS avg_nll
+        FROM tok JOIN counts USING (token) CROSS JOIN total
+        GROUP BY doc_id
+    """,
+    "chunk_documents": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(
+                   0, CAST(floor((len(toks) - 1) / 12.0) AS BIGINT))) AS i
+          FROM base WHERE len(toks) > 0)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(toks[i * 12 + 1 : i * 12 + 16], ' ')
+                 AS chunk_text,
+               CAST(len(toks[i * 12 + 1 : i * 12 + 16]) AS INT) AS n_tokens
+        FROM idx
+    """,
+    "pack_contiguous": """
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INT)
+                   AS shard,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(floor(COALESCE(sum(n_tokens) OVER (
+                      PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / 256.0) AS INT) AS bin,
+               CAST(n_tokens AS INT) AS n_tokens
+        FROM base
+    """,
+    "semdedup": """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+          FROM embeddings WHERE vec_id < 100
+          UNION ALL
+          SELECT vec_id + 2000000,
+                 list_transform(embedding, x -> CAST(x * 4 AS FLOAT))
+          FROM embeddings WHERE vec_id < 100)
+        SELECT a.vec_id FROM corpus a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM corpus b
+          WHERE b.vec_id < a.vec_id
+            AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9)
     """,
     "repetition_signals": """
         WITH t AS (

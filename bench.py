@@ -70,6 +70,11 @@ def main() -> None:
         "mixture_sample",
         "ngram_contamination",
         "corpus_curation",
+        "bm25_topk",
+        "unigram_logprob",
+        "chunk_documents",
+        "pack_contiguous",
+        "semdedup",
         "doc_fingerprint",
         "ann_top1",
         "ann_lsh_topk",

@@ -186,6 +186,75 @@ def main() -> int:
         ) == {"doc_id", "text"})(re.search(r"ReadSchema: struct<([^>]*)>", p)),
     )
 
+    # ---- 5b5. BM25: filter-before-explode, TakeOrdered top-k ------------
+    bm = q.q_bm25_topk(spark, SF_DIR)
+    p = plan_of(bm)
+    sections.append(("bm25_topk (broadcast stats, TakeOrdered top-k)", p))
+    check("bm25_topk: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "bm25_topk: top-k via TakeOrderedAndProject (no global sort shuffle)",
+        "TakeOrderedAndProject" in p,
+    )
+    check(
+        "bm25_topk: corpus stats + df joined from broadcast (never collected)",
+        p.count("BroadcastExchange") >= 2,
+    )
+    check("bm25_topk: map-side partial aggregation", "partial_count" in p)
+
+    # ---- 5b6. unigram LM: hot tokens broadcast, Zipf tail shuffled ------
+    ul = q.q_unigram_logprob(spark, SF_DIR)
+    p = plan_of(ul)
+    sections.append(("unigram_logprob (hot-token broadcast / tail shuffle split)", p))
+    check(
+        "unigram_logprob: hot-token path is a broadcast hash join",
+        "BroadcastHashJoin" in p,
+    )
+    check("unigram_logprob: no cartesian product", "CartesianProduct" not in p)
+    check("unigram_logprob: map-side partial aggregation", "partial_count" in p)
+
+    # ---- 5b7. chunking: row-local, zero shuffle --------------------------
+    ch = q.q_chunk_documents(spark, SF_DIR)
+    p = plan_of(ch)
+    sections.append(("chunk_documents (row-local sequence slicer)", p))
+    check("chunk_documents: zero exchanges (row-local)", "Exchange" not in p)
+    check(
+        "chunk_documents: column pruning (doc_id + text only)",
+        (lambda m: m and set(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == {"doc_id", "text"})(re.search(r"ReadSchema: struct<([^>]*)>", p)),
+    )
+
+    # ---- 5b8. packing: window keyed on the hash shard, never a natural
+    # low-cardinality key
+    pk = q.q_pack_contiguous(spark, SF_DIR)
+    p = plan_of(pk)
+    sections.append(("pack_contiguous (hash-sharded running-sum window)", p))
+    check(
+        "pack_contiguous: the one window shuffle is keyed on the hash shard",
+        re.search(r"hashpartitioning\(shard#\d+", p) is not None,
+    )
+    check(
+        "pack_contiguous: no single-partition global window",
+        "SinglePartition" not in p,
+    )
+
+    # ---- 5b9. semdedup: cell-keyed pair join, broadcast centroids -------
+    sdd = q.q_semdedup(spark, SF_DIR)
+    p = plan_of(sdd)
+    sections.append(("semdedup (cell-local cosine pair join)", p))
+    check(
+        "semdedup: pair join is cell-keyed hash/merge, not cartesian",
+        "CartesianProduct" not in p,
+    )
+    check(
+        "semdedup: verdict applied as left-anti join on the id key",
+        "LeftAnti" in p,
+    )
+    check(
+        "semdedup: JVM-side only (no Python eval)",
+        "EvalPython" not in p,
+    )
+
     # ---- 6. ANN: brute-force top-k broadcasts the query side ----------
     ann = q.q_ann_top1(spark, SF_DIR)
     p = plan_of(ann)

@@ -1,0 +1,160 @@
+"""Tests for the round-5 training-data additions: BM25 retrieval,
+unigram-LM quality scoring, sequence chunking/packing, and SemDeDup
+embedding-cluster dedup.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from abecto_spark.operators.chunk import chunk_documents, pack_contiguous
+from abecto_spark.operators.dedup import semdedup
+from abecto_spark.operators.lm_quality import unigram_logprob
+from abecto_spark.operators.search import bm25_topk
+
+
+def _bm25_expected(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if not tf or not df[q]:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry cherry"),
+        (4, "durian elderberry fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_topk(df, "apple cherry", k=10).collect()}
+    assert got == _bm25_expected(docs, ["apple", "cherry"])
+
+
+def test_bm25_rank_is_deterministic_on_ties(spark):
+    # two docs with identical token bags -> identical rounded scores;
+    # the tie must break by doc_id ascending
+    docs = [(10, "x y"), (2, "x y"), (5, "z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_topk(df, "x", k=5).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [2, 10]
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].score == rows[1].score
+
+
+def test_bm25_rejects_empty_query(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "   ")
+
+
+def test_unigram_logprob_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2 b=2 c=1, total=5
+    exp = {
+        1: round((2 * math.log(5 / 2) + math.log(5 / 2)) / 3, 6),
+        2: round((math.log(5 / 2) + math.log(5)) / 2, 6),
+    }
+    got = {r.doc_id: r.avg_nll for r in unigram_logprob(df).collect()}
+    assert got == exp
+    n = {r.doc_id: r.n_tokens for r in unigram_logprob(df).collect()}
+    assert n == {1: 3, 2: 2}
+
+
+def test_unigram_logprob_hot_split_is_invisible(spark):
+    rows = [(i, f"the quick tok{i} the") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_hot = {(r.doc_id, r.avg_nll) for r in unigram_logprob(df, hot_k=1000).collect()}
+    split = {(r.doc_id, r.avg_nll) for r in unigram_logprob(df, hot_k=1).collect()}
+    assert all_hot == split
+
+
+def test_chunk_documents_window_stride(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    assert len(out) == 4  # offsets 0, 3, 6, 9; empty doc yields nothing
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert out[(1, 3)] == ("t9", 1)
+
+
+def test_chunk_documents_default_stride_and_case(spark):
+    df = spark.createDataFrame([(1, "Alpha Beta Gamma")], "doc_id long, text string")
+    rows = chunk_documents(df, window=2).orderBy("chunk_idx").collect()
+    assert [(r.chunk_text, r.n_tokens) for r in rows] == [
+        ("Alpha Beta", 2),
+        ("Gamma", 1),
+    ]
+
+
+def test_pack_contiguous_bins(spark):
+    rows = [(i, " ".join(["w"] * 4)) for i in range(1, 5)]  # 4 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.bin
+        for r in pack_contiguous(df, budget=10, n_shards=1).collect()
+    }
+    # cum_before: 0, 4, 8, 12 -> bins 0, 0, 0, 1
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_pack_contiguous_shards_are_portable_hash(spark):
+    df = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    r = pack_contiguous(df, budget=100, n_shards=8).collect()[0]
+    assert r.shard == ((7 * 2654435761) % (1 << 32)) % 8
+    assert r.n_tokens == 3 and r.bin == 0
+
+
+def test_semdedup_drops_later_cluster_mates(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # near-dup of 1 (same cell) -> dropped
+        (3, [0.0, 1.0]),
+        (4, [-0.01, 0.999]),  # near-dup of 3 (same cell) -> dropped
+        (5, [0.6, 0.58]),     # alone in its neighborhood -> kept
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    kept = {r.vec_id for r in semdedup(df, cents, tau=0.99).collect()}
+    assert kept == {1, 3, 5}
+
+
+def test_semdedup_is_cluster_local_by_design(spark):
+    # a >=tau pair split across two cells is NOT dropped: the operator
+    # trades that recall for never comparing across cell boundaries —
+    # the documented SemDeDup approximation
+    df = spark.createDataFrame(
+        [(1, [0.72, 0.70]), (2, [0.70, 0.72])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    kept = {r.vec_id for r in semdedup(df, cents, tau=0.99).collect()}
+    assert kept == {1, 2}

@@ -475,3 +475,40 @@ def semdedup(
         .distinct()
     )
     return corpus.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    fp_col=None,
+) -> DataFrame:
+    """Admission filter for corpus growth — the production shape of
+    exact dedup at 100 TB: a new batch is never deduped against the
+    whole corpus by rescanning it, it is (1) deduped within itself
+    (first id wins per fingerprint) and (2) anti-joined against the
+    accumulated fingerprint store. Returns the admitted batch rows with
+    their ``fingerprint`` column; appending exactly that column to
+    ``seen`` (the caller owns the store, e.g. a checkpoint snapshot)
+    keeps the invariant for the next batch.
+
+    ``seen`` must expose a ``fingerprint`` column; ``fp_col`` defaults
+    to the library fingerprint (xxhash64 over the token-normalized
+    text — pass e.g. an md5 expression when an external system owns the
+    store). Scale shape: one window shuffle keyed on the high-
+    cardinality fingerprint + one anti join on the same key; the store
+    side is |corpus| fingerprints, 8-16 bytes each, never the text."""
+    from pyspark.sql import Window
+
+    if fp_col is None:
+        from ..functions.text import fingerprint as _fp
+
+        fp_col = _fp(F.col("text"))
+    b = batch.withColumn("fingerprint", fp_col)
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(seen.select("fingerprint"), "fingerprint", "left_anti")
+    )

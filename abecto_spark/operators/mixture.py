@@ -50,3 +50,39 @@ def mixture_sample(
         F.element_at(fmap, F.col(strata_col)), F.lit(0.0)
     )
     return df.where(_u(F.col(key_col), salt) < frac)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling — the temperature-
+    sampling shape multilingual training mixes need (mT5-style alpha
+    weighting): each row is emitted ``floor(w)`` times plus one more iff
+    its key-hash ``u < w - floor(w)``, so the expected multiplicity is
+    exactly ``weights[stratum]``. A ``copy`` column (1..n) disambiguates
+    the replicas downstream. Strata missing from the map are dropped,
+    matching ``mixture_sample``.
+
+    Same scale shape as ``mixture_sample``: a broadcast map lookup and a
+    row-local ``sequence``/``explode`` — no shuffle, no state, and a
+    replay with the same salt is bit-identical regardless of partition
+    layout. Output growth is the intended mixture factor itself."""
+    fmap = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(float(v))) for k, v in sorted(weights.items())
+        )
+    )
+    w = F.coalesce(F.element_at(fmap, F.col(strata_col)), F.lit(0.0))
+    n_copies = (
+        F.floor(w) + F.when(_u(F.col(key_col), salt) < w - F.floor(w), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

@@ -633,6 +633,41 @@ def q_corpus_curation(spark, sf):
     return curate_corpus(d, quality_min=0.35, per_lang_top_n=50)
 
 
+def q_mixture_upsample(spark, sf):
+    """Deterministic fractional upsampling (operators/mixture.py):
+    temperature-style per-language multiplicities through the same
+    key-hash criterion as mixture_sample — floor(w) copies plus one
+    more iff u(key) < frac(w); integer arithmetic the oracle replays."""
+    from ..operators.mixture import mixture_upsample
+
+    d = _t(spark, sf, "documents")
+    out = mixture_upsample(
+        d, "lang", {"en": 2.5, "de": 0.5, "fr": 1.0, "es": 3.25}, "doc_id", salt=3
+    )
+    return out.select("doc_id", "lang", "copy")
+
+
+def q_incremental_dedup(spark, sf):
+    """Incremental batch admission (operators/dedup.py:
+    incremental_exact_dedup): the batch is deduped within itself
+    (first id per fingerprint) then anti-joined against the accumulated
+    fingerprint store — never a rescan of the corpus text. Store =
+    fingerprints of doc_id < 150; batch additionally carries planted
+    copies of docs 200-219, which must lose within-batch first-wins."""
+    from ..operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(" ", F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                                         lambda t: t != "")))
+    seen = d.where(F.col("doc_id") < 150).select(fp.alias("fingerprint"))
+    plant = d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 220)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    batch = d.select("doc_id", "text").unionByName(plant)
+    out = incremental_exact_dedup(batch, seen, "doc_id", fp_col=fp)
+    return out.select("doc_id", "fingerprint")
+
+
 def q_bm25_topk(spark, sf):
     """Okapi BM25 keyword retrieval (operators/search.py): Lucene-form
     IDF, filter-before-explode term frequencies, TakeOrdered top-k on
@@ -1580,6 +1615,8 @@ QUERIES = {
     "sparql_graph": q_sparql_graph,
     "corpus_curation": q_corpus_curation,
     "bm25_topk": q_bm25_topk,
+    "mixture_upsample": q_mixture_upsample,
+    "incremental_dedup": q_incremental_dedup,
     "unigram_logprob": q_unigram_logprob,
     "chunk_documents": q_chunk_documents,
     "pack_contiguous": q_pack_contiguous,
@@ -2428,6 +2465,46 @@ ORACLES = {
                                     ORDER BY quality DESC, doc_id) AS rank
           FROM k)
         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
+    """,
+    "mixture_upsample": """
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5
+                           WHEN 'fr' THEN 1.0 WHEN 'es' THEN 3.25
+                           ELSE 0.0 END AS w,
+                 (((doc_id + 3) * 2654435761) % 4294967296)
+                   / 4294967296.0 AS u
+          FROM documents),
+        n AS (
+          SELECT doc_id, lang,
+                 CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END
+                      AS INT) AS n
+          FROM base)
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, n)) AS INT) AS copy
+        FROM n WHERE n > 0
+    """,
+    "incremental_dedup": """
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> ''), ' ')) AS fingerprint
+          FROM documents),
+        seen AS (SELECT fingerprint FROM fp WHERE doc_id < 150),
+        batch AS (
+          SELECT doc_id, fingerprint FROM fp
+          UNION ALL
+          SELECT doc_id + 2000000, fingerprint FROM fp
+          WHERE doc_id >= 200 AND doc_id < 220),
+        firsts AS (
+          SELECT doc_id, fingerprint,
+                 ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                    ORDER BY doc_id) AS rn
+          FROM batch)
+        SELECT doc_id, fingerprint FROM firsts
+        WHERE rn = 1
+          AND fingerprint NOT IN (SELECT fingerprint FROM seen)
     """,
     "bm25_topk": """
         WITH base AS (

@@ -71,6 +71,8 @@ def main() -> None:
         "ngram_contamination",
         "corpus_curation",
         "bm25_topk",
+        "mixture_upsample",
+        "incremental_dedup",
         "unigram_logprob",
         "chunk_documents",
         "pack_contiguous",

@@ -186,6 +186,27 @@ def main() -> int:
         ) == {"doc_id", "text"})(re.search(r"ReadSchema: struct<([^>]*)>", p)),
     )
 
+    # ---- 5b4b. mixture upsampling: row-local explode, no shuffle --------
+    mu = q.q_mixture_upsample(spark, SF_DIR)
+    p = plan_of(mu)
+    sections.append(("mixture_upsample (deterministic fractional replication)", p))
+    check("mixture_upsample: zero exchanges (row-local explode)", "Exchange" not in p)
+    check("mixture_upsample: JVM-side only (no Python eval)", "EvalPython" not in p)
+
+    # ---- 5b4c. incremental dedup: fingerprint-keyed window + anti join --
+    inc = q.q_incremental_dedup(spark, SF_DIR)
+    p = plan_of(inc)
+    sections.append(("incremental_dedup (batch admission vs fingerprint store)", p))
+    check(
+        "incremental_dedup: first-wins window keyed on the fingerprint"
+        " (high cardinality)",
+        re.search(r"hashpartitioning\(fingerprint#\d+", p) is not None,
+    )
+    check(
+        "incremental_dedup: store probe is an anti join on the same key",
+        "LeftAnti" in p,
+    )
+
     # ---- 5b5. BM25: filter-before-explode, TakeOrdered top-k ------------
     bm = q.q_bm25_topk(spark, SF_DIR)
     p = plan_of(bm)

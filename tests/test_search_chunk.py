@@ -158,3 +158,93 @@ def test_semdedup_is_cluster_local_by_design(spark):
     cents = np.array([[1.0, 0.0], [0.0, 1.0]])
     kept = {r.vec_id for r in semdedup(df, cents, tau=0.99).collect()}
     assert kept == {1, 2}
+
+
+def test_chunk_reassembly_property(spark):
+    """stride == window ⇒ concatenating a doc's chunks in order restores
+    the exact token sequence — over 50 seeded-random documents."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(50):
+        n = rng.randint(0, 37)
+        rows.append((i, " ".join(f"w{rng.randint(0, 9)}x{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=7).orderBy("doc_id", "chunk_idx").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.chunk_text)
+    for i, text in rows:
+        if text:
+            assert " ".join(got[i]) == text, i
+        else:
+            assert i not in got
+
+
+def test_pack_contiguous_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(["t"] * rng.randint(0, 30))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.bin, r.n_tokens)
+        for r in pack_contiguous(df, budget=40, n_shards=4).collect()
+    }
+    # python replay
+    shards = {}
+    for i, text in rows:
+        s = ((i * 2654435761) % (1 << 32)) % 4
+        shards.setdefault(s, []).append((i, len(text.split()) if text else 0))
+    for s, docs in shards.items():
+        cum = 0
+        for i, n in sorted(docs):
+            assert got[i] == (s, cum // 40, n), i
+            cum += n
+
+
+def test_mixture_upsample_multiplicities(spark):
+    from abecto_spark.operators.mixture import mixture_upsample
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_upsample(df, "lang", {"en": 2.25, "de": 0.5}, "doc_id", salt=1)
+    got = {}
+    for r in out.collect():
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    for i, lang in rows:
+        w = {"en": 2.25, "de": 0.5}.get(lang, 0.0)
+        u = (((i + 1) * 2654435761) % (1 << 32)) / float(1 << 32)
+        exp = int(w) + (1 if u < w - int(w) else 0)
+        assert got.get(i, 0) == exp, (i, lang)
+    # copy column enumerates 1..n
+    copies = {}
+    for r in out.collect():
+        copies.setdefault(r.doc_id, set()).add(r.copy)
+    for i, c in copies.items():
+        assert c == set(range(1, len(c) + 1))
+
+
+def test_incremental_exact_dedup(spark):
+    from abecto_spark.operators.dedup import incremental_exact_dedup
+
+    seen_docs = spark.createDataFrame(
+        [(1, "old news here today")], "doc_id long, text string"
+    )
+    from abecto_spark.functions.text import fingerprint
+
+    seen = seen_docs.select(fingerprint(F.col("text")).alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [
+            (10, "old news here today"),      # already in the store -> dropped
+            (11, "fresh content alpha"),       # admitted
+            (12, "fresh content alpha"),       # in-batch dup of 11 -> dropped
+            (13, "Fresh   CONTENT alpha"),     # token-normalized dup -> dropped
+            (14, "other new thing"),           # admitted
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dedup(batch, seen)
+    assert {r.doc_id for r in out.collect()} == {11, 14}
+    assert "fingerprint" in out.columns

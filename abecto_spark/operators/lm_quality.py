@@ -29,9 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _tokens(text):
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+from ..functions.text import tokens as _tokens
 
 
 def unigram_logprob(

@@ -41,9 +41,14 @@ QUERIES = [
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated override of the query list")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--docs", type=int, default=250_000)
     args = ap.parse_args()
+    global QUERIES
+    if args.queries:
+        QUERIES = args.queries.split(",")
 
     load0 = os.getloadavg()
 

@@ -633,6 +633,16 @@ def q_corpus_curation(spark, sf):
     return curate_corpus(d, quality_min=0.35, per_lang_top_n=50)
 
 
+def q_corpus_stats(spark, sf):
+    """Grouped corpus distribution profile (operators/stats.py): exact
+    token-count percentiles via Spark's mergeable percentile histogram,
+    interpolation bit-identical to DuckDB quantile_cont."""
+    from ..operators.stats import corpus_stats
+
+    d = _t(spark, sf, "documents")
+    return corpus_stats(d, ("source", "lang"))
+
+
 def q_mixture_upsample(spark, sf):
     """Deterministic fractional upsampling (operators/mixture.py):
     temperature-style per-language multiplicities through the same
@@ -1616,6 +1626,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "bm25_topk": q_bm25_topk,
     "mixture_upsample": q_mixture_upsample,
+    "corpus_stats": q_corpus_stats,
     "incremental_dedup": q_incremental_dedup,
     "unigram_logprob": q_unigram_logprob,
     "chunk_documents": q_chunk_documents,
@@ -2465,6 +2476,20 @@ ORACLES = {
                                     ORDER BY quality DESC, doc_id) AS rank
           FROM k)
         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
+    """,
+    "corpus_stats": """
+        WITH t AS (
+          SELECT source, lang,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '')) AS nt
+          FROM documents)
+        SELECT source, lang, count(*) AS n_docs, sum(nt) AS total_tokens,
+               ROUND(avg(nt), 6) AS avg_tokens,
+               ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+               ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+               ROUND(quantile_cont(nt, 0.99), 6) AS p99_tokens,
+               max(nt) AS max_tokens
+        FROM t GROUP BY source, lang
     """,
     "mixture_upsample": """
         WITH base AS (

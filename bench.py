@@ -73,6 +73,7 @@ def main() -> None:
         "bm25_topk",
         "mixture_upsample",
         "incremental_dedup",
+        "corpus_stats",
         "unigram_logprob",
         "chunk_documents",
         "pack_contiguous",

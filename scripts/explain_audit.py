@@ -207,6 +207,22 @@ def main() -> int:
         "LeftAnti" in p,
     )
 
+    # ---- 5b4d. corpus stats: mergeable percentile histogram -------------
+    cs = q.q_corpus_stats(spark, SF_DIR)
+    p = plan_of(cs)
+    sections.append(("corpus_stats (exact percentiles, partial-aggregated)", p))
+    check(
+        "corpus_stats: exact percentile partial-aggregates map-side"
+        " (mergeable histogram, not a per-group row buffer)",
+        "partial_percentile" in p,
+    )
+    check(
+        "corpus_stats: column pruning (group cols + text only)",
+        (lambda m: m and set(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == {"source", "lang", "text"})(re.search(r"ReadSchema: struct<([^>]*)>", p)),
+    )
+
     # ---- 5b5. BM25: filter-before-explode, TakeOrdered top-k ------------
     bm = q.q_bm25_topk(spark, SF_DIR)
     p = plan_of(bm)

@@ -248,3 +248,35 @@ def test_incremental_exact_dedup(spark):
     out = incremental_exact_dedup(batch, seen)
     assert {r.doc_id for r in out.collect()} == {11, 14}
     assert "fingerprint" in out.columns
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    from abecto_spark.operators.stats import corpus_stats
+
+    rows = [("s1", " ".join(["w"] * n)) for n in [1, 2, 3, 4, 100]] + [
+        ("s2", " ".join(["w"] * n)) for n in [10, 20]
+    ]
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.source: r
+        for r in corpus_stats(df, ("source",), percentiles=(0.5, 0.9)).collect()
+    }
+
+    def q(vals, p):
+        vals = sorted(vals)
+        h = (len(vals) - 1) * p
+        f = int(h)
+        if f + 1 < len(vals):
+            return round(vals[f] + (h - f) * (vals[f + 1] - vals[f]), 6)
+        return round(float(vals[f]), 6)
+
+    s1 = [1, 2, 3, 4, 100]
+    assert out["s1"].n_docs == 5
+    assert out["s1"].total_tokens == sum(s1)
+    assert out["s1"].p50_tokens == q(s1, 0.5) == 3.0
+    assert out["s1"].p90_tokens == q(s1, 0.9)
+    assert out["s1"].max_tokens == 100
+    assert out["s2"].p50_tokens == 15.0

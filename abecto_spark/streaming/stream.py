@@ -317,3 +317,26 @@ def streaming_segment_dedup(
             ["chunk"]
         )
     return chunks.dropDuplicates(["chunk"])
+
+
+def streaming_chunks(
+    docs_stream: DataFrame, window: int, stride: int | None = None
+) -> DataFrame:
+    """Streaming training-sequence chunking: each arriving document's
+    concatenated text spans are sliced into fixed token windows by the
+    batch ``chunk.chunk_documents`` operator itself — the slicer is a
+    stateless row-local projection, so it runs unchanged in append mode
+    with zero state and batch/streaming chunking cannot drift. Emits
+    (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    from ..operators.chunk import chunk_documents
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    return chunk_documents(
+        docs_stream.select("doc_id", text.alias("text")), window, stride
+    )

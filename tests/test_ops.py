@@ -774,3 +774,40 @@ def test_streaming_triples_unknown_entity_keeps_own_id(spark, tmp_path):
     rows = spark.table("stream_triples_new").collect()
     assert {r["s"] for r in rows} == {"urn:entity:d1-new7"}
     assert {r["p"] for r in rows} == {"label", "sameAs"}
+
+
+def test_streaming_chunks_match_batch(spark, tmp_path):
+    """Streaming chunking is the batch slicer verbatim: the streamed
+    chunk rows equal chunk_documents over the same flattened docs."""
+    from abecto_spark.operators.chunk import chunk_documents
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import (
+        run_stream_to_memory,
+        stream_docs,
+        streaming_chunks,
+    )
+
+    path = str(tmp_path / "docs_chunks")
+    base = synth_docs(spark, n_docs=30, n_entities=8, seed=5)
+    base.write.parquet(path)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    expected = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            base.select("doc_id", text.alias("text")), 8, 6
+        ).collect()
+    }
+    run_stream_to_memory(
+        streaming_chunks(stream_docs(spark, path), 8, 6), "chunks_out"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in spark.table("chunks_out").collect()
+    }
+    assert got == expected and got

@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens as _tokens
 
+#: interpolation weight on the bigram term of ``bigram_logprob`` —
+#: CCNet-style fixed mixture, not tuned per corpus (determinism).
+BIGRAM_LAMBDA = 0.8
+
 
 def unigram_logprob(
     docs: DataFrame,
@@ -62,5 +66,98 @@ def unigram_logprob(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+    hot_k: int = 64,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll) — mean negative log likelihood of the
+    document's token transitions under an interpolated corpus bigram
+    model, ``p(w2|w1) = lam * c(w1,w2)/c_ctx(w1) + (1-lam) * c(w2)/total``
+    — the full CCNet-style perplexity filter (``unigram_logprob`` is its
+    cheap first approximation). ``c_ctx(w1)`` is the bigram-context count
+    (occurrences of ``w1`` that have a successor), so the conditional
+    MLE term sums to 1 exactly. Documents with fewer than two tokens
+    have no transitions and are absent from the output.
+
+    Scale shape: the bigram list is built JVM-side per document (one
+    ``transform`` over the token array — no self-join on positions),
+    then immediately reduced to (doc, w1, w2, k) so each document
+    contributes each transition once to the join stage. All model
+    tables (bigram counts, context counts, unigram counts) are
+    aggregates — |distinct bigrams| and |vocab| rows, not corpus
+    tokens — and are joined with each other first into a single
+    ``(w1, w2) → nll`` lookup. The one row-level join (doc transitions
+    against that lookup) is Zipf-headed ("of the", "in the" carry a
+    constant fraction of all transitions), so the ``hot_k`` most
+    frequent bigrams join from a broadcast and only the bounded tail
+    takes the shuffle, mirroring ``unigram_logprob``'s split.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    # 0-based Spark array indexing: slice(toks, 1, n-1) pairs each token
+    # with its successor without a positional self-join.
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c_bi = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("cbi"))
+    c_ctx = c_bi.groupBy("w1").agg(F.sum("cbi").alias("cctx"))
+    uni = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("total"))
+    nll_tab = (
+        c_bi.join(c_ctx, "w1")
+        .join(uni.withColumnRenamed("token", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    F.lit(lam) * F.col("cbi").cast("double") / F.col("cctx")
+                    + F.lit(1.0 - lam) * F.col("cnt").cast("double") / F.col("total")
+                )
+            ).alias("nll"),
+        )
+    )
+    hot = (
+        c_bi.orderBy(F.desc("cbi"), F.asc("w1"), F.asc("w2"))
+        .limit(hot_k)
+        .select("w1", "w2")
+    )
+    hot_nll = nll_tab.join(F.broadcast(hot), ["w1", "w2"])
+    scored_hot = doc_bi.join(F.broadcast(hot_nll), ["w1", "w2"])
+    scored_cold = doc_bi.join(F.broadcast(hot), ["w1", "w2"], "left_anti").join(
+        nll_tab, ["w1", "w2"]
+    )
+    return (
+        scored_hot.unionByName(scored_cold)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * F.col("nll")) / F.sum("k"), 6).alias(
+                "avg_nll"
+            ),
         )
     )

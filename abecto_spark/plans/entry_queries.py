@@ -698,6 +698,19 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(d, hot_k=16)
 
 
+def q_bigram_logprob(spark, sf):
+    """Interpolated corpus-bigram NLL (operators/lm_quality.py): the
+    full CCNet-style perplexity filter. Transitions are built JVM-side
+    per document (array transform, no positional self-join), reduced to
+    (doc, w1, w2, k) before the join stage, and the Zipf-headed bigram
+    lookup splits the hot head to a broadcast; the oracle replays the
+    unsplit joins."""
+    from ..operators.lm_quality import bigram_logprob
+
+    d = _t(spark, sf, "documents")
+    return bigram_logprob(d, hot_k=16)
+
+
 def q_chunk_documents(spark, sf):
     """Fixed-window training-sequence chunking (operators/chunk.py):
     sequence→explode→slice, entirely row-local — zero shuffle."""
@@ -1629,6 +1642,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "incremental_dedup": q_incremental_dedup,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "chunk_documents": q_chunk_documents,
     "pack_contiguous": q_pack_contiguous,
     "semdedup": q_semdedup,
@@ -2571,6 +2585,34 @@ ORACLES = {
         SELECT doc_id, count(*) AS n_tokens,
                ROUND(avg(-ln(cnt / total.total)), 6) AS avg_nll
         FROM tok JOIN counts USING (token) CROSS JOIN total
+        GROUP BY doc_id
+    """,
+    "bigram_logprob": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        uni AS (
+          SELECT u.token, count(*) AS cnt
+          FROM (SELECT unnest(toks) AS token FROM base) u GROUP BY u.token),
+        total AS (SELECT sum(cnt) AS total FROM uni),
+        docbi AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> struct_pack(w1 := toks[i],
+                                               w2 := toks[i + 1]))) AS bg
+                FROM base WHERE len(toks) >= 2)
+          GROUP BY doc_id, bg.w1, bg.w2),
+        cbi AS (SELECT w1, w2, sum(k) AS cbi FROM docbi GROUP BY w1, w2),
+        cctx AS (SELECT w1, sum(cbi) AS cctx FROM cbi GROUP BY w1)
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+               ROUND(sum(k * -ln(0.8 * cbi / cctx
+                                 + 0.2 * uni.cnt / total.total)) / sum(k),
+                     6) AS avg_nll
+        FROM docbi JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+             JOIN uni ON uni.token = docbi.w2 CROSS JOIN total
         GROUP BY doc_id
     """,
     "chunk_documents": """

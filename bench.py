@@ -75,6 +75,7 @@ def main() -> None:
         "incremental_dedup",
         "corpus_stats",
         "unigram_logprob",
+        "bigram_logprob",
         "chunk_documents",
         "pack_contiguous",
         "semdedup",

@@ -249,6 +249,22 @@ def main() -> int:
     check("unigram_logprob: no cartesian product", "CartesianProduct" not in p)
     check("unigram_logprob: map-side partial aggregation", "partial_count" in p)
 
+    # ---- 5b6b. bigram LM: hot bigrams broadcast, Zipf tail shuffled -----
+    bl = q.q_bigram_logprob(spark, SF_DIR)
+    p = plan_of(bl)
+    sections.append(("bigram_logprob (hot-bigram broadcast / tail shuffle split)", p))
+    check(
+        "bigram_logprob: hot-bigram path is a broadcast hash join",
+        "BroadcastHashJoin" in p,
+    )
+    check("bigram_logprob: no cartesian product", "CartesianProduct" not in p)
+    check("bigram_logprob: map-side partial aggregation", "partial_count" in p)
+    check(
+        "bigram_logprob: transitions built by array transform, not a "
+        "positional self-join (plan contains explode over transform/slice)",
+        "slice(" in p and "transform(" in p,
+    )
+
     # ---- 5b7. chunking: row-local, zero shuffle --------------------------
     ch = q.q_chunk_documents(spark, SF_DIR)
     p = plan_of(ch)

@@ -280,3 +280,41 @@ def test_corpus_stats_exact_percentiles(spark):
     assert out["s1"].p90_tokens == q(s1, 0.9)
     assert out["s1"].max_tokens == 100
     assert out["s2"].p50_tokens == 15.0
+
+
+def test_bigram_logprob_exact_values(spark):
+    from abecto_spark.operators.lm_quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, "solo")], "doc_id long, text string"
+    )
+    # unigrams: a=2 b=3 c=1 solo=1, total=7
+    # bigrams: (a,b)=2 (b,a)=1 (b,c)=1; contexts: a=2 b=2
+    nll_ab = -math.log(0.8 * 2 / 2 + 0.2 * 3 / 7)
+    nll_ba = -math.log(0.8 * 1 / 2 + 0.2 * 2 / 7)
+    nll_bc = -math.log(0.8 * 1 / 2 + 0.2 * 1 / 7)
+    exp = {
+        1: (3, round((2 * nll_ab + nll_ba) / 3, 6)),
+        2: (1, round(nll_bc, 6)),
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in bigram_logprob(df).collect()
+    }
+    assert got == exp  # doc 3 has one token -> no transitions -> absent
+
+
+def test_bigram_logprob_hot_split_is_invisible(spark):
+    from abecto_spark.operators.lm_quality import bigram_logprob
+
+    rows = [(i, f"of the tok{i} of the") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = {
+        (r.doc_id, r.n_bigrams, r.avg_nll)
+        for r in bigram_logprob(df, hot_k=1000).collect()
+    }
+    split = {
+        (r.doc_id, r.n_bigrams, r.avg_nll)
+        for r in bigram_logprob(df, hot_k=1).collect()
+    }
+    assert wide == split and len(wide) == 30

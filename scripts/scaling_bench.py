@@ -73,7 +73,7 @@ def child(cores: int, n_docs: int, docs_path: str) -> None:
         shutil.rmtree(snap, ignore_errors=True)
 
 
-def parent(n: int, n_docs: int) -> None:
+def parent(n: int, n_docs: int, write_md: bool = False) -> None:
     sys.path.insert(0, REPO)
     from abecto_spark.session import get_spark
     from abecto_spark.sources.docs import synth_docs
@@ -157,10 +157,28 @@ the host is shared and exogenous load drifts single-run timings by up to
   numpy scatter-min driver CC + one-shuffle canonical assignment.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(out_path, "w") as fh:
-        fh.write(md)
-    print(f"wrote {out_path}; efficiency={eff:.3f}")
+    # Always append the raw pairing to an audit log; BENCH/BASELINE.md is
+    # hand-curated (pairing history + adjudications), so only overwrite it
+    # on explicit request — an unattended run must never wipe the curation.
+    log_path = os.path.join(REPO, "BENCH", "pairings.jsonl")
+    with open(log_path, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": time.time(),
+                    "n_docs": n_docs,
+                    "levels": {str(c): results[c] for c in (n, 4 * n)},
+                    "eff": round(eff, 3),
+                }
+            )
+            + "\n"
+        )
+    print(f"appended pairing to {log_path}; efficiency={eff:.3f}")
+    if write_md:
+        out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        with open(out_path, "w") as fh:
+            fh.write(md)
+        print(f"wrote {out_path}")
     shutil.rmtree(os.path.dirname(docs_path), ignore_errors=True)
 
 
@@ -175,5 +193,11 @@ if __name__ == "__main__":
         ap = argparse.ArgumentParser()
         ap.add_argument("--docs", type=int, default=200_000)
         ap.add_argument("--n", type=int, default=8)
+        ap.add_argument(
+            "--write-md",
+            action="store_true",
+            help="overwrite the hand-curated BENCH/BASELINE.md (default: "
+            "only append the pairing to BENCH/pairings.jsonl)",
+        )
         a = ap.parse_args()
-        parent(a.n, a.docs)
+        parent(a.n, a.docs, write_md=a.write_md)

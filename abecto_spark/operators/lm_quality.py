@@ -26,6 +26,8 @@ DuckDB oracle replays the unsplit equivalent.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,6 +158,158 @@ def bigram_logprob(
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * F.col("nll")) / F.sum("k"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+class BigramModel(NamedTuple):
+    """Persistable corpus bigram LM: aggregate-sized count tables only
+    (|distinct bigrams| + |vocab| + 1 rows — never corpus tokens)."""
+
+    bigram: DataFrame  # (w1, w2, cbi)
+    context: DataFrame  # (w1, cctx)
+    unigram: DataFrame  # (token, cnt)
+    totals: DataFrame  # one row: (total, vocab)
+
+
+def train_bigram_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> BigramModel:
+    """Count tables for the CCNet-style cross-corpus workflow: train the
+    LM on a trusted reference corpus (the role Wikipedia plays in CCNet)
+    and score a target web corpus against it with
+    ``score_bigram_model``. All four tables are aggregates, so the model
+    is small enough to persist (``save_bigram_model``) and reuse across
+    scoring runs without retraining."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bigram = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbi"))
+    context = bigram.groupBy("w1").agg(F.sum("cbi").alias("cctx"))
+    unigram = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = unigram.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    return BigramModel(bigram, context, unigram, totals)
+
+
+def save_bigram_model(model: BigramModel, path: str) -> None:
+    for name in BigramModel._fields:
+        getattr(model, name).write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def load_bigram_model(spark, path: str) -> BigramModel:
+    return BigramModel(
+        *(spark.read.parquet(f"{path}/{name}") for name in BigramModel._fields)
+    )
+
+
+def score_bigram_model(
+    docs: DataFrame,
+    model: BigramModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+    hot_k: int = 64,
+) -> DataFrame:
+    """(doc_id, n_bigrams, oov_rate, avg_nll) — score a target corpus
+    against a (possibly different) reference model. Unlike the
+    self-scoring ``bigram_logprob`` (whose exact MLE interpolation is
+    the oracle-checked form), cross-corpus scoring must survive events
+    the model never saw, so the unigram term is add-one smoothed over
+    the model vocabulary plus one unknown slot::
+
+        p(w2|w1) = lam * c(w1,w2)/c_ctx(w1)            [0 if unseen]
+                 + (1-lam) * (c(w2)+1)/(total+vocab+1)
+
+    ``oov_rate`` is the fraction of the document's transitions whose
+    bigram the model never saw — high avg_nll with low oov_rate means
+    improbable-but-known language (boilerplate, wrong register); high
+    oov_rate flags domain shift or gibberish. Scale shape mirrors
+    ``bigram_logprob``: the target reduces to (doc, w1, w2, k); its
+    DISTINCT bigrams score against the aggregate-sized model tables via
+    left joins (nulls → unseen → the smoothed floor); the one row-level
+    join takes the target's ``hot_k`` most frequent bigrams from a
+    broadcast and shuffles only the Zipf tail."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    doc_bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    target_bi = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("tk"))
+    nll_tab = (
+        target_bi.join(model.bigram, ["w1", "w2"], "left")
+        .join(model.context, "w1", "left")
+        .join(model.unigram.withColumnRenamed("token", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(model.totals))
+        .select(
+            "w1",
+            "w2",
+            "tk",
+            (F.col("cbi").isNull()).alias("oov"),
+            (
+                -F.log(
+                    F.lit(lam)
+                    * F.coalesce(F.col("cbi").cast("double"), F.lit(0.0))
+                    / F.coalesce(F.col("cctx").cast("double"), F.lit(1.0))
+                    + F.lit(1.0 - lam)
+                    * (F.coalesce(F.col("cnt").cast("double"), F.lit(0.0)) + 1.0)
+                    / (F.col("total") + F.col("vocab") + 1.0).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    hot = (
+        nll_tab.orderBy(F.desc("tk"), F.asc("w1"), F.asc("w2"))
+        .limit(hot_k)
+        .select("w1", "w2", "oov", "nll")
+    )
+    scored_hot = doc_bi.join(F.broadcast(hot), ["w1", "w2"])
+    scored_cold = doc_bi.join(
+        F.broadcast(hot.select("w1", "w2")), ["w1", "w2"], "left_anti"
+    ).join(nll_tab.select("w1", "w2", "oov", "nll"), ["w1", "w2"])
+    return (
+        scored_hot.unionByName(scored_cold)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.when(F.col("oov"), F.col("k")).otherwise(F.lit(0)))
+                / F.sum("k"),
+                6,
+            ).alias("oov_rate"),
             F.round(F.sum(F.col("k") * F.col("nll")) / F.sum("k"), 6).alias(
                 "avg_nll"
             ),

@@ -711,6 +711,23 @@ def q_bigram_logprob(spark, sf):
     return bigram_logprob(d, hot_k=16)
 
 
+def q_bigram_score_cross(spark, sf):
+    """Cross-corpus LM scoring (operators/lm_quality.py): the actual
+    CCNet workflow — train the bigram model on a trusted slice (source
+    'src0' plays Wikipedia's role) and score every other document
+    against it, with add-one OOV smoothing and an oov_rate column
+    (domain-shift signal). Model tables are aggregate-sized; the target
+    reduces to (doc, w1, w2, k) and its distinct bigrams are scored via
+    left joins before the hot-split row-level join."""
+    from ..operators.lm_quality import score_bigram_model, train_bigram_model
+
+    d = _t(spark, sf, "documents")
+    model = train_bigram_model(d.where(F.col("source") == "src0"))
+    return score_bigram_model(
+        d.where(F.col("source") != "src0"), model, hot_k=16
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Fixed-window training-sequence chunking (operators/chunk.py):
     sequence→explode→slice, entirely row-local — zero shuffle."""
@@ -1643,6 +1660,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "bigram_score_cross": q_bigram_score_cross,
     "chunk_documents": q_chunk_documents,
     "pack_contiguous": q_pack_contiguous,
     "semdedup": q_semdedup,
@@ -2614,6 +2632,51 @@ ORACLES = {
         FROM docbi JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
              JOIN uni ON uni.token = docbi.w2 CROSS JOIN total
         GROUP BY doc_id
+    """,
+    "bigram_score_cross": """
+        WITH ref AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE source = 'src0'),
+        tgt AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE source <> 'src0'),
+        uni AS (
+          SELECT u.token, count(*) AS cnt
+          FROM (SELECT unnest(toks) AS token FROM ref) u GROUP BY u.token),
+        tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni),
+        rbi AS (
+          SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cbi
+          FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS bg
+                FROM ref WHERE len(toks) >= 2)
+          GROUP BY bg.w1, bg.w2),
+        ctx AS (SELECT w1, sum(cbi) AS cctx FROM rbi GROUP BY w1),
+        docbi AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> struct_pack(w1 := toks[i],
+                                               w2 := toks[i + 1]))) AS bg
+                FROM tgt WHERE len(toks) >= 2)
+          GROUP BY doc_id, bg.w1, bg.w2),
+        scored AS (
+          SELECT doc_id, k, rbi.cbi IS NULL AS oov,
+                 -ln(0.8 * coalesce(rbi.cbi, 0) / coalesce(ctx.cctx, 1)
+                     + 0.2 * (coalesce(uni.cnt, 0) + 1)
+                       / (tot.total + tot.vocab + 1)) AS nll
+          FROM docbi LEFT JOIN rbi USING (w1, w2)
+               LEFT JOIN ctx USING (w1)
+               LEFT JOIN uni ON uni.token = docbi.w2
+               CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+               ROUND(sum(CASE WHEN oov THEN k ELSE 0 END) / sum(k), 6)
+                 AS oov_rate,
+               ROUND(sum(k * nll) / sum(k), 6) AS avg_nll
+        FROM scored GROUP BY doc_id
     """,
     "chunk_documents": """
         WITH base AS (

@@ -76,6 +76,7 @@ def main() -> None:
         "corpus_stats",
         "unigram_logprob",
         "bigram_logprob",
+        "bigram_score_cross",
         "chunk_documents",
         "pack_contiguous",
         "semdedup",

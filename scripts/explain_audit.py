@@ -265,6 +265,23 @@ def main() -> int:
         "slice(" in p and "transform(" in p,
     )
 
+    # ---- 5b6c. cross-corpus LM scoring: model joins left, hot split -----
+    bx = q.q_bigram_score_cross(spark, SF_DIR)
+    p = plan_of(bx)
+    sections.append(("bigram_score_cross (reference-model scoring, OOV-smoothed)", p))
+    check(
+        "bigram_score_cross: hot-bigram path is a broadcast hash join",
+        "BroadcastHashJoin" in p,
+    )
+    check("bigram_score_cross: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "bigram_score_cross: source filter pushed to the parquet scan",
+        "PushedFilters" in p and "src0" in p,
+    )
+    check(
+        "bigram_score_cross: map-side partial aggregation", "partial_count" in p
+    )
+
     # ---- 5b7. chunking: row-local, zero shuffle --------------------------
     ch = q.q_chunk_documents(spark, SF_DIR)
     p = plan_of(ch)

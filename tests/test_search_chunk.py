@@ -318,3 +318,64 @@ def test_bigram_logprob_hot_split_is_invisible(spark):
         for r in bigram_logprob(df, hot_k=1).collect()
     }
     assert wide == split and len(wide) == 30
+
+
+def test_score_bigram_model_cross_corpus(spark, tmp_path):
+    from abecto_spark.operators.lm_quality import (
+        load_bigram_model,
+        save_bigram_model,
+        score_bigram_model,
+        train_bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # model: uni a=2 b=3 c=1 (total=6, vocab=3); bi (a,b)=2 (b,a)=1 (b,c)=1
+    model = train_bigram_model(ref)
+    save_bigram_model(model, str(tmp_path / "lm"))
+    model = load_bigram_model(spark, str(tmp_path / "lm"))
+
+    tgt = spark.createDataFrame(
+        [(10, "a b z"), (11, "z q"), (12, "a b a b")],
+        "doc_id long, text string",
+    )
+    p_ab = 0.8 * 2 / 2 + 0.2 * (3 + 1) / 10
+    p_ba = 0.8 * 1 / 2 + 0.2 * (2 + 1) / 10
+    p_unk = 0.2 * (0 + 1) / 10
+    exp = {
+        10: (2, 0.5, round((-math.log(p_ab) - math.log(p_unk)) / 2, 6)),
+        11: (1, 1.0, round(-math.log(p_unk), 6)),
+        12: (3, 0.0, round((2 * -math.log(p_ab) - math.log(p_ba)) / 3, 6)),
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.oov_rate, r.avg_nll)
+        for r in score_bigram_model(tgt, model).collect()
+    }
+    assert got == exp
+
+
+def test_score_bigram_model_hot_split_is_invisible(spark):
+    from abecto_spark.operators.lm_quality import (
+        score_bigram_model,
+        train_bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"of the ref{i} of the") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(i, f"of the new{i} of the") for i in range(25)],
+        "doc_id long, text string",
+    )
+    model = train_bigram_model(ref)
+    wide = {
+        (r.doc_id, r.n_bigrams, r.oov_rate, r.avg_nll)
+        for r in score_bigram_model(tgt, model, hot_k=1000).collect()
+    }
+    split = {
+        (r.doc_id, r.n_bigrams, r.oov_rate, r.avg_nll)
+        for r in score_bigram_model(tgt, model, hot_k=1).collect()
+    }
+    assert wide == split and len(wide) == 25

@@ -340,3 +340,46 @@ def streaming_chunks(
     return chunk_documents(
         docs_stream.select("doc_id", text.alias("text")), window, stride
     )
+
+
+def run_lm_score_stream(
+    docs_stream: DataFrame,
+    model,
+    out_path: str,
+    checkpoint: str | None = None,
+):
+    """Streaming LM quality scoring against a persisted reference model
+    (``operators/lm_quality.BigramModel``): each micro-batch is scored
+    by the exact batch ``score_bigram_model`` via ``foreachBatch`` and
+    appended to ``out_path``. Per-document scores depend only on the
+    document's own transitions and the STATIC model tables, so
+    per-batch application is exact — no cross-batch state, and batch /
+    streaming scores cannot drift (asserted by the parity test). This
+    is the standard Structured Streaming escape hatch for operators
+    whose batch form ends in a non-windowed aggregation: the per-doc
+    groupBy would need a watermark in append mode, but inside
+    foreachBatch it is an ordinary batch aggregation. Drives the query
+    to completion over the available input and returns it stopped."""
+    from ..operators.lm_quality import score_bigram_model
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    target = docs_stream.select("doc_id", text.alias("text"))
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        score_bigram_model(batch_df, model).write.mode("append").parquet(
+            out_path
+        )
+
+    writer = target.writeStream.foreachBatch(_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return q

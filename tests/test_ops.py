@@ -811,3 +811,48 @@ def test_streaming_chunks_match_batch(spark, tmp_path):
         for r in spark.table("chunks_out").collect()
     }
     assert got == expected and got
+
+
+def test_streaming_lm_score_matches_batch(spark, tmp_path):
+    """foreachBatch LM scoring is the batch scorer verbatim: streamed
+    per-doc scores equal score_bigram_model over the same flattened
+    docs, for any micro-batching (scores are doc-local given the
+    static model)."""
+    from abecto_spark.operators.lm_quality import (
+        load_bigram_model,
+        save_bigram_model,
+        score_bigram_model,
+        train_bigram_model,
+    )
+    from abecto_spark.sources.docs import synth_docs
+    from abecto_spark.streaming.stream import run_lm_score_stream, stream_docs
+
+    docs_path = str(tmp_path / "docs_lm")
+    base = synth_docs(spark, n_docs=40, n_entities=10, seed=11)
+    base.write.parquet(docs_path)
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    flat = base.select("doc_id", text.alias("text"))
+    save_bigram_model(train_bigram_model(flat), str(tmp_path / "lm_model"))
+    model = load_bigram_model(spark, str(tmp_path / "lm_model"))
+
+    out = str(tmp_path / "lm_scores")
+    run_lm_score_stream(
+        stream_docs(spark, docs_path), model, out,
+        checkpoint=str(tmp_path / "lm_ckpt"),
+    )
+    got = {
+        (r.doc_id, r.n_bigrams, r.oov_rate, r.avg_nll)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.doc_id, r.n_bigrams, r.oov_rate, r.avg_nll)
+        for r in score_bigram_model(flat, model).collect()
+    }
+    assert got == exp and got

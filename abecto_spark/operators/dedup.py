@@ -17,6 +17,11 @@ packing uses a vectorized numpy UDF.
                            C4-style repeated-paragraph drop, over fixed
                            token windows): first occurrence wins, docs
                            reassembled from surviving segments
+  * repeated_span_dedup  — exact-substring dedup over SLIDING windows
+                           (the Lee-et-al. "Deduplicating Training Data"
+                           shape): any ≥ window_tokens span repeated
+                           anywhere in the corpus, at any alignment, is
+                           removed from all but its first occurrence
 """
 
 from __future__ import annotations
@@ -512,3 +517,81 @@ def incremental_exact_dedup(
         .drop("_rn")
         .join(seen.select("fingerprint"), "fingerprint", "left_anti")
     )
+
+
+def repeated_span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup over SLIDING token windows — the span-level
+    complement to ``segment_dedup``'s fixed chunks (which miss repeats
+    that straddle a chunk boundary or start mid-chunk). Every
+    ``window_tokens``-token window of every document is fingerprinted;
+    a window whose fingerprint occurs earlier in the corpus (ordered by
+    (id, position), including earlier in the SAME document) marks its
+    token span for deletion; overlapping deleted spans merge by
+    construction (their covered positions union). Documents reassemble
+    from surviving tokens; fully-covered documents vanish. Documents
+    shorter than ``window_tokens`` pass through untouched — a repeat
+    must be at least one full window long to be deleted, which is the
+    point: short n-grams repeat by chance, ≥ window-length spans repeat
+    by duplication.
+
+    Scale shape (all linear, all high-cardinality shuffle keys):
+
+      1. windows are built JVM-side per row (``transform`` over the
+         token array — never a positional self-join) and keyed by an
+         8-byte ``xxhash64`` fingerprint, so the shuffle moves
+         (id, pos, int64) rows, not window text;
+      2. first occurrence per fingerprint is ``min(struct(id, pos))`` —
+         a map-side-combinable aggregate, NOT a row_number window, so a
+         boilerplate window repeated 10⁶ × partially aggregates before
+         the shuffle; the join back is a plain hash join (AQE skew
+         split applies — no order-sensitive operator on the hot key);
+      3. covered positions and the token anti-join are keyed by
+         (id, position) — uniformly spread by construction;
+      4. reassembly is one partial-aggregated groupBy per document.
+
+    The fingerprint is 64-bit, so two distinct windows collide with
+    probability ≈ n²/2⁶⁵ (≈ 10⁻⁸ even at 10¹² windows); a collision
+    deletes a non-duplicated span — acceptable for corpus curation, and
+    the reason production dedup pipelines ship the same trade.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    k = int(window_tokens)
+    win = (
+        toks.where(F.size("toks") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1),"
+                    f" i -> struct(i - 1 AS pos,"
+                    f" xxhash64(concat_ws(' ', slice(toks, i, {k}))) AS fp))"
+                )
+            ).alias("w"),
+        )
+        .select("_id", "w.pos", "w.fp")
+    )
+    first = win.groupBy("fp").agg(F.min(F.struct("_id", "pos")).alias("first"))
+    covered = (
+        win.join(first, "fp")
+        .where(~((F.col("_id") == F.col("first._id")) & (F.col("pos") == F.col("first.pos"))))
+        .select("_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("i"))
+        .distinct()
+    )
+    tok_rows = toks.select("_id", F.posexplode("toks").alias("i", "tok"))
+    kept = tok_rows.join(covered, ["_id", "i"], "left_anti")
+    return kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text")
+    ).withColumnRenamed("_id", id_col)

@@ -23,6 +23,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     neardup_dedup,
     ngram_jaccard_pairs,
+    repeated_span_dedup,
     segment_dedup,
     simhash,
     simhash_candidates,
@@ -438,6 +439,17 @@ def q_segment_dedup(spark, sf):
     (fully-duplicated documents vanish). One shuffle on the segment
     string, one groupBy per doc, fully JVM-side."""
     return segment_dedup(_t(spark, sf, "documents"))
+
+
+def q_repeated_span_dedup(spark, sf):
+    """Exact-substring dedup over sliding 8-token windows (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    any ≥8-token span repeated anywhere in the corpus at any alignment —
+    including straddling the fixed chunk boundaries ``segment_dedup``
+    cannot see — is removed from all but its first (doc_id, position)
+    occurrence, and documents reassemble from surviving tokens. All
+    shuffles keyed on 8-byte window fingerprints or (doc, position)."""
+    return repeated_span_dedup(_t(spark, sf, "documents"), window_tokens=8)
 
 
 def q_quantize_embeddings(spark, sf):
@@ -1690,6 +1702,7 @@ QUERIES = {
     "lang_filter": q_lang_filter,
     "exact_dedup": q_exact_dedup,
     "segment_dedup": q_segment_dedup,
+    "repeated_span_dedup": q_repeated_span_dedup,
     "quantize_embeddings": q_quantize_embeddings,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -2214,6 +2227,37 @@ ORACLES = {
                          x -> CAST(floor(x / (am / 127.0) + 0.5) AS INT)), ',')
                END AS codes
         FROM s
+    """,
+    "repeated_span_dedup": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents
+        ), win AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(ts[i : i + 7], ' ') AS w
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(ts) - 7)) AS i)
+          WHERE len(ts) >= 8
+        ), ranked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY w
+                                    ORDER BY doc_id, pos) AS rn
+          FROM win
+        ), covered AS (
+          SELECT DISTINCT doc_id, pos + j AS i
+          FROM ranked, LATERAL (SELECT unnest(generate_series(0, 7)) AS j)
+          WHERE rn > 1
+        ), tok_rows AS (
+          SELECT doc_id, i - 1 AS i, ts[i] AS tok
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)
+        ), kept AS (
+          SELECT t.doc_id, t.i, t.tok
+          FROM tok_rows t ANTI JOIN covered c
+            ON t.doc_id = c.doc_id AND t.i = c.i
+        )
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+        FROM kept GROUP BY doc_id
     """,
     "segment_dedup": """
         WITH toks AS (

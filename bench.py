@@ -57,6 +57,7 @@ def main() -> None:
         "ceq_numeric",
         "exact_dedup",
         "segment_dedup",
+        "repeated_span_dedup",
         "quantize_embeddings",
         "minhash_candidates",
         "simhash_candidates",

@@ -124,6 +124,30 @@ def main() -> int:
         "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
     )
 
+    # ---- 5b1b2. repeated-span dedup: aggregate first-occurrence, -------
+    # 8-byte fingerprint shuffle keys, no window over the hot key
+    rsd = q.q_repeated_span_dedup(spark, SF_DIR)
+    p = plan_of(rsd)
+    sections.append(("repeated_span_dedup (sliding-window exact-substring dedup)", p))
+    check(
+        "repeated_span_dedup: first occurrence via partial-aggregated min"
+        " (map-side combine), not a row_number window on the hot key",
+        "partial_min" in p and not re.search(r"row_number.*fp#", p),
+    )
+    check(
+        "repeated_span_dedup: shuffles keyed on the 8-byte fingerprint /"
+        " (doc, position), never window text",
+        re.search(r"hashpartitioning\(fp#\d+", p) is not None,
+    )
+    check(
+        "repeated_span_dedup: JVM-side only (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+    check(
+        "repeated_span_dedup: no cartesian product",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
     # ---- 5b1c. embedding quantization: row-local, zero shuffle ---------
     qe = q.q_quantize_embeddings(spark, SF_DIR)
     p = plan_of(qe)

@@ -67,6 +67,36 @@ def test_segment_dedup(spark):
     assert segment_dedup(e, chunk_tokens=4).count() <= 1
 
 
+def test_repeated_span_dedup(spark):
+    """Sliding-window exact-substring dedup: a repeated span is removed
+    from its later occurrence at ANY alignment (here offset by one token,
+    invisible to fixed-chunk segment dedup), an in-document repeat keeps
+    only its first occurrence, short docs pass through, and a fully
+    duplicated document vanishes."""
+    from abecto_spark.operators.dedup import repeated_span_dedup
+
+    span = " ".join(f"s{i}" for i in range(4))
+    own = " ".join(f"t{i}" for i in range(4))
+    rows = [
+        ("d1", f"{span} u1 u2"),          # span's first occurrence
+        ("d2", f"x0 {span} y0"),          # repeated at offset 1 -> excised
+        ("d3", f"{own} {own}"),           # in-doc repeat -> second copy dropped
+        ("d4", f"{span} u1 u2"),          # full duplicate -> vanishes
+        ("d5", "tiny doc"),               # < window -> untouched
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in repeated_span_dedup(d, window_tokens=4).collect()
+    }
+    assert out == {
+        "d1": f"{span} u1 u2",
+        "d2": "x0 y0",
+        "d3": own,
+        "d5": "tiny doc",
+    }
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     cands = minhash_lsh_candidates(docs_df, "doc_id", "text", n_hashes=32, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}

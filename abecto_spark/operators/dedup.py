@@ -22,6 +22,10 @@ packing uses a vectorized numpy UDF.
                            shape): any ≥ window_tokens span repeated
                            anywhere in the corpus, at any alignment, is
                            removed from all but its first occurrence
+  * incremental_span_dedup / span_fingerprints — the admission form of
+                           the span pass for corpus growth: excise
+                           batch spans repeated in-batch or present in
+                           the accumulated fingerprint store
 """
 
 from __future__ import annotations
@@ -519,6 +523,44 @@ def incremental_exact_dedup(
     )
 
 
+def _span_windows(toks_df: DataFrame, k: int) -> DataFrame:
+    """(_id, pos, fp) sliding ``k``-token window fingerprints over a
+    (_id, toks) DataFrame — built JVM-side per row (``transform`` over
+    the token array, never a positional self-join) and keyed by an
+    8-byte ``xxhash64`` so downstream shuffles move (id, pos, int64)
+    rows, not window text. Shared by the batch, incremental, and store
+    passes so they cannot drift on windowing semantics."""
+    return (
+        toks_df.where(F.size("toks") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1),"
+                    f" i -> struct(i - 1 AS pos,"
+                    f" xxhash64(concat_ws(' ', slice(toks, i, {k}))) AS fp))"
+                )
+            ).alias("w"),
+        )
+        .select("_id", "w.pos", "w.fp")
+    )
+
+
+def span_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Distinct sliding-window fingerprints (``fp: long``) of a corpus —
+    the store side of ``incremental_span_dedup`` (seed it from the
+    already-admitted corpus, then append each batch's ``new_fps``)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    return _span_windows(toks, int(window_tokens)).select("fp").distinct()
+
+
 def repeated_span_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -563,20 +605,7 @@ def repeated_span_dedup(
         F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks")
     )
     k = int(window_tokens)
-    win = (
-        toks.where(F.size("toks") >= k)
-        .select(
-            "_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {k} + 1),"
-                    f" i -> struct(i - 1 AS pos,"
-                    f" xxhash64(concat_ws(' ', slice(toks, i, {k}))) AS fp))"
-                )
-            ).alias("w"),
-        )
-        .select("_id", "w.pos", "w.fp")
-    )
+    win = _span_windows(toks, k)
     first = win.groupBy("fp").agg(F.min(F.struct("_id", "pos")).alias("first"))
     covered = (
         win.join(first, "fp")
@@ -595,3 +624,78 @@ def repeated_span_dedup(
             " ",
         ).alias("text")
     ).withColumnRenamed("_id", id_col)
+
+
+def incremental_span_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+):
+    """Admission form of ``repeated_span_dedup`` for corpus growth — the
+    production shape at 100 TB: a new batch is never span-deduped against
+    the whole corpus by re-fingerprinting it. The batch's sliding windows
+    are excised when they (1) repeat within the batch itself (first
+    (id, position) occurrence wins, exactly the batch operator's rule) or
+    (2) hit the accumulated fingerprint store ``seen`` — an ``fp: long``
+    column holding every window fingerprint admitted so far.
+
+    Returns ``(admitted, new_fps)``: ``admitted`` is (id, text) after
+    excision (fully-covered documents vanish); ``new_fps`` is the batch's
+    first-occurrence fingerprints not already in the store — appending
+    exactly that column to ``seen`` (the caller owns the store, e.g. a
+    checkpoint snapshot) keeps the invariant for the next batch. Stored
+    fingerprints are of the ORIGINAL batch text (pre-excision), matching
+    the batch operator's corpus-order first-occurrence semantics; windows
+    newly formed by excision-induced adjacency are deliberately not
+    fingerprinted.
+
+    Scale shape: identical to ``repeated_span_dedup`` (aggregate
+    first-occurrence on the 8-byte fingerprint, (id, position) anti-join)
+    plus one semi/anti join pair against the store — |store| is total
+    corpus windows, 8 bytes each, never the text."""
+    k = int(window_tokens)
+    toks = batch.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    win = _span_windows(toks, k)
+    first = win.groupBy("fp").agg(F.min(F.struct("_id", "pos")).alias("first"))
+    dup_in_batch = (
+        win.join(first, "fp")
+        .where(
+            ~(
+                (F.col("_id") == F.col("first._id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+    dup_vs_store = win.join(seen.select("fp"), "fp", "left_semi").select("_id", "pos")
+    covered = (
+        dup_in_batch.unionByName(dup_vs_store)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("i"),
+        )
+        .distinct()
+    )
+    tok_rows = toks.select("_id", F.posexplode("toks").alias("i", "tok"))
+    kept = tok_rows.join(covered, ["_id", "i"], "left_anti")
+    admitted = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+    new_fps = first.select("fp").join(seen.select("fp"), "fp", "left_anti")
+    return admitted, new_fps

@@ -452,6 +452,24 @@ def q_repeated_span_dedup(spark, sf):
     return repeated_span_dedup(_t(spark, sf, "documents"), window_tokens=8)
 
 
+def q_incremental_span_dedup(spark, sf):
+    """Admission form of the span pass (operators/dedup.py:
+    incremental_span_dedup): store = sliding 8-token window fingerprints
+    of doc_id < 150 (span_fingerprints); the batch (doc_id >= 150) has
+    its spans excised when repeated within the batch (first (id, pos)
+    wins) or present in the store — never a rescan of the corpus text.
+    Returns the admitted (doc_id, text) rows."""
+    from ..operators.dedup import incremental_span_dedup, span_fingerprints
+
+    d = _t(spark, sf, "documents")
+    seen = span_fingerprints(d.where(F.col("doc_id") < 150), window_tokens=8)
+    batch = d.where(F.col("doc_id") >= 150).select("doc_id", "text")
+    admitted, _new_fps = incremental_span_dedup(
+        batch, seen, window_tokens=8
+    )
+    return admitted
+
+
 def q_quantize_embeddings(spark, sf):
     """Per-vector symmetric int8 quantization of the embedding store
     (scale = max|x|/127, half-up codes) — the 4×-smaller storage path a
@@ -1703,6 +1721,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "segment_dedup": q_segment_dedup,
     "repeated_span_dedup": q_repeated_span_dedup,
+    "incremental_span_dedup": q_incremental_span_dedup,
     "quantize_embeddings": q_quantize_embeddings,
     "ngram_jaccard": q_ngram_jaccard,
     "text_stats": q_text_stats,
@@ -2251,6 +2270,43 @@ ORACLES = {
         ), tok_rows AS (
           SELECT doc_id, i - 1 AS i, ts[i] AS tok
           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)
+        ), kept AS (
+          SELECT t.doc_id, t.i, t.tok
+          FROM tok_rows t ANTI JOIN covered c
+            ON t.doc_id = c.doc_id AND t.i = c.i
+        )
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+        FROM kept GROUP BY doc_id
+    """,
+    "incremental_span_dedup": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents
+        ), win AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(ts[i : i + 7], ' ') AS w
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(ts) - 7)) AS i)
+          WHERE len(ts) >= 8
+        ), store AS (
+          SELECT DISTINCT w FROM win WHERE doc_id < 150
+        ), bwin AS (
+          SELECT doc_id, pos, w,
+                 row_number() OVER (PARTITION BY w
+                                    ORDER BY doc_id, pos) AS rn
+          FROM win WHERE doc_id >= 150
+        ), dup AS (
+          SELECT doc_id, pos FROM bwin WHERE rn > 1
+          UNION
+          SELECT b.doc_id, b.pos FROM bwin b SEMI JOIN store s ON b.w = s.w
+        ), covered AS (
+          SELECT DISTINCT doc_id, pos + j AS i
+          FROM dup, LATERAL (SELECT unnest(generate_series(0, 7)) AS j)
+        ), tok_rows AS (
+          SELECT doc_id, i - 1 AS i, ts[i] AS tok
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)
+          WHERE doc_id >= 150
         ), kept AS (
           SELECT t.doc_id, t.i, t.tok
           FROM tok_rows t ANTI JOIN covered c

@@ -383,3 +383,63 @@ def run_lm_score_stream(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def run_span_dedup_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str | None = None,
+    window_tokens: int = 8,
+):
+    """Streaming counterpart of ``repeated_span_dedup`` via the batch
+    admission form: each micro-batch's spans are excised when repeated
+    in-batch or present in the persisted fingerprint store
+    (``operators/dedup.incremental_span_dedup``), admitted (doc_id,
+    text) rows append to ``out_path``, and the batch's first-occurrence
+    fingerprints append to ``store_path`` — so a span admitted in any
+    earlier micro-batch is excised from every later one. Arrival order
+    replaces the batch operator's corpus-wide (id, position) total
+    order, the usual batch→stream ordering trade (same as
+    ``streaming_segment_dedup``). Cross-batch state is the store
+    parquet, not executor memory: 8 bytes per distinct window ever
+    admitted, shared with any batch job seeding or consuming the same
+    store. Duplicate fingerprints from a replayed epoch are harmless
+    (the store probe is a semi-join — set semantics); exactly-once on
+    the admitted output is the sink's concern, as in every
+    ``foreachBatch`` pass here. Drives the query to completion over the
+    available input and returns it stopped."""
+    from ..operators.dedup import incremental_span_dedup
+
+    spark = docs_stream.sparkSession
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+    )
+    target = docs_stream.select("doc_id", text.alias("text"))
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        try:
+            seen = spark.read.parquet(store_path)
+        except Exception:
+            seen = spark.createDataFrame([], "fp long")
+        admitted, new_fps = incremental_span_dedup(
+            batch_df, seen, window_tokens=window_tokens
+        )
+        # new_fps is consumed twice (store append + the admitted plan
+        # shares the seen scan); materialize admitted first so the
+        # store append cannot race the probe within this epoch
+        admitted.write.mode("append").parquet(out_path)
+        new_fps.write.mode("append").parquet(store_path)
+
+    writer = target.writeStream.foreachBatch(_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return q

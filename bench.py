@@ -58,6 +58,7 @@ def main() -> None:
         "exact_dedup",
         "segment_dedup",
         "repeated_span_dedup",
+        "incremental_span_dedup",
         "quantize_embeddings",
         "minhash_candidates",
         "simhash_candidates",

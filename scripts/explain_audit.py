@@ -148,6 +148,25 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     )
 
+    # ---- 5b1b3. incremental span dedup: store joins stay on the fp key -
+    isd = q.q_incremental_span_dedup(spark, SF_DIR)
+    p = plan_of(isd)
+    sections.append(("incremental_span_dedup (batch admission vs fingerprint store)", p))
+    check(
+        "incremental_span_dedup: store probe is a semi/anti join on the"
+        " 8-byte fingerprint (never a rescan of corpus text)",
+        re.search(r"LeftSemi|LeftAnti", p) is not None
+        and re.search(r"hashpartitioning\(fp#\d+", p) is not None,
+    )
+    check(
+        "incremental_span_dedup: JVM-side only (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+    check(
+        "incremental_span_dedup: no cartesian product",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
     # ---- 5b1c. embedding quantization: row-local, zero shuffle ---------
     qe = q.q_quantize_embeddings(spark, SF_DIR)
     p = plan_of(qe)

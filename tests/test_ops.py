@@ -97,6 +97,51 @@ def test_repeated_span_dedup(spark):
     }
 
 
+def test_incremental_span_dedup(spark):
+    """Batch admission for span dedup: spans hitting the accumulated
+    fingerprint store are excised, in-batch repeats keep only their
+    first (id, pos) occurrence, and new_fps returns exactly the batch's
+    first-occurrence fingerprints absent from the store."""
+    from abecto_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_fingerprints,
+    )
+
+    span = " ".join(f"s{i}" for i in range(4))
+    fresh = " ".join(f"f{i}" for i in range(4))
+    corpus = spark.createDataFrame(
+        [("c1", f"{span} u1 u2")], "doc_id string, text string"
+    )
+    seen = span_fingerprints(corpus, window_tokens=4)
+    batch = spark.createDataFrame(
+        [
+            ("b1", f"x0 {span} y0"),     # store hit at offset 1 -> excised
+            ("b2", f"{fresh} p0 p1"),    # all-new spans -> untouched
+            ("b3", f"q0 {fresh} q1"),    # in-batch repeat of fresh -> excised
+            ("b4", "tiny doc"),          # < window -> untouched
+        ],
+        "doc_id string, text string",
+    )
+    admitted, new_fps = incremental_span_dedup(batch, seen, window_tokens=4)
+    out = {r["doc_id"]: r["text"] for r in admitted.collect()}
+    assert out == {
+        "b1": "x0 y0",
+        "b2": f"{fresh} p0 p1",
+        "b3": "q0 q1",
+        "b4": "tiny doc",
+    }
+    # the store after appending new_fps admits nothing twice: replaying
+    # the same batch excises every >= window span it admitted before
+    seen2 = seen.unionByName(new_fps).distinct()
+    replay, more = incremental_span_dedup(batch, seen2, window_tokens=4)
+    out2 = {r["doc_id"]: r["text"] for r in replay.collect()}
+    # b1 loses the span again (still in store); b2/b3 windows are now
+    # stored, so their spans are excised down to sub-window residue
+    assert out2["b4"] == "tiny doc"
+    assert "f0" not in out2.get("b2", "")
+    assert more.count() == 0
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     cands = minhash_lsh_candidates(docs_df, "doc_id", "text", n_hashes=32, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
@@ -423,6 +468,56 @@ def test_streaming_segment_dedup(spark, tmp_path):
     assert set(spark.table("segdd_out").columns) == {
         "doc_id", "chunk_idx", "chunk"
     }
+
+
+def test_streaming_span_dedup_persists_store(spark, tmp_path):
+    """Streaming span dedup: a span admitted by one streaming query is
+    excised by a LATER, separate query sharing the same persisted
+    fingerprint store — cross-batch state lives in the store parquet,
+    not executor memory."""
+    from abecto_spark.model import DOCS_SCHEMA
+    from abecto_spark.streaming.stream import (
+        run_span_dedup_stream,
+        stream_docs,
+    )
+
+    span = " ".join(f"s{i}" for i in range(4))
+
+    def doc(did, text):
+        return (did, [("text", text, "", 0)])
+
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [doc("a1", f"{span} u1 u2"), doc("b1", "other things entirely here")],
+        DOCS_SCHEMA,
+    ).write.parquet(src1)
+    run_span_dedup_stream(
+        stream_docs(spark, src1), store, out,
+        checkpoint=str(tmp_path / "ck1"), window_tokens=4,
+    )
+    out1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert out1 == {
+        "a1": f"{span} u1 u2",
+        "b1": "other things entirely here",
+    }
+    # a second, separate streaming query against the SAME store
+    spark.createDataFrame(
+        [doc("z9", f"p0 {span} p1"), doc("c1", "fresh new content only")],
+        DOCS_SCHEMA,
+    ).write.parquet(src2)
+    run_span_dedup_stream(
+        stream_docs(spark, src2), store, out,
+        checkpoint=str(tmp_path / "ck2"), window_tokens=4,
+    )
+    out2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert out2["z9"] == "p0 p1"            # phase-1 span excised via store
+    assert out2["c1"] == "fresh new content only"
+    # store holds every distinct admitted window fingerprint exactly once
+    fps = spark.read.parquet(store)
+    assert fps.count() == fps.distinct().count()
 
 
 def test_streaming_exact_dedup_recovers_from_checkpoint(spark, tmp_path):

@@ -49,3 +49,80 @@ def corpus_stats(
         *pcols,
         F.max("_nt").alias("max_tokens"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 10,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Boilerplate mining: the ``k`` most frequent word ``n``-grams per
+    group — (group..., ngram, count, n_docs, rank), ties broken by ngram
+    text so the report is reproducible. The diagnostic that pairs with
+    span dedup: the head of this table IS the boilerplate the dedup
+    passes delete, and corpus reports (C4, Gopher) publish exactly this
+    shape.
+
+    Scale shape: n-grams are built JVM-side per document and immediately
+    reduced to (group, doc, ngram, c) then (group, ngram, count, n_docs)
+    — both aggregates map-side combine on high-cardinality keys, so the
+    Zipf head partially aggregates in every task. The per-group top-k is
+    **two-phase** (the ``curate_corpus`` quota pattern): group columns
+    are low-cardinality, so a single ``Window.partitionBy(group)`` would
+    sort every group's full distinct-ngram table in one reducer; instead
+    phase 1 keeps the top k per (group, pmod(xxhash64(ngram), S)) salt
+    bucket — S bounded local sorts — and phase 2 ranks exactly over the
+    ≤ k·S survivors per group (the true top k is necessarily a subset of
+    the union of per-bucket top ks). Documents shorter than ``n`` tokens
+    contribute nothing."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens as _tokens
+
+    if salt_buckets is None:
+        salt_buckets = max(8, docs.sparkSession.sparkContext.defaultParallelism)
+    g = [F.col(c) for c in group_cols]
+    toks = docs.select(
+        *g, F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    grams = (
+        toks.where(F.size("toks") >= n)
+        .select(
+            *group_cols,
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                )
+            ).alias("ngram"),
+        )
+    )
+    per_doc = grams.groupBy(*group_cols, "_id", "ngram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    counts = per_doc.groupBy(*group_cols, "ngram").agg(
+        F.sum("_c").alias("count"), F.count(F.lit(1)).alias("n_docs")
+    )
+    salt = F.pmod(F.xxhash64(F.col("ngram")), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
+        F.col("count").desc(), F.col("ngram")
+    )
+    survivors = (
+        counts.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col("count").desc(), F.col("ngram")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(*group_cols, "ngram", "count", "n_docs", "rank")
+    )

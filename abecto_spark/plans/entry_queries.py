@@ -673,6 +673,17 @@ def q_corpus_stats(spark, sf):
     return corpus_stats(d, ("source", "lang"))
 
 
+def q_top_ngrams(spark, sf):
+    """Boilerplate mining (operators/stats.py: top_ngrams): the 8 most
+    frequent word trigrams per source with occurrence and document
+    counts — per-group top-k through the salted two-phase window (group
+    cardinality is low, so the full-table window never partitions on
+    the group columns alone)."""
+    from ..operators.stats import top_ngrams
+
+    return top_ngrams(_t(spark, sf, "documents"), ("source",), n=3, k=8)
+
+
 def q_mixture_upsample(spark, sf):
     """Deterministic fractional upsampling (operators/mixture.py):
     temperature-style per-language multiplicities through the same
@@ -1687,6 +1698,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "mixture_upsample": q_mixture_upsample,
     "corpus_stats": q_corpus_stats,
+    "top_ngrams": q_top_ngrams,
     "incremental_dedup": q_incremental_dedup,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
@@ -2608,6 +2620,32 @@ ORACLES = {
                                     ORDER BY quality DESC, doc_id) AS rank
           FROM k)
         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
+    """,
+    "top_ngrams": """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents
+        ), grams AS (
+          SELECT source, doc_id, array_to_string(ts[i : i + 2], ' ') AS ngram
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(ts) - 2)) AS i)
+          WHERE len(ts) >= 3
+        ), per_doc AS (
+          SELECT source, doc_id, ngram, count(*) AS c
+          FROM grams GROUP BY ALL
+        ), counts AS (
+          SELECT source, ngram, CAST(sum(c) AS BIGINT) AS count,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM per_doc GROUP BY ALL
+        ), ranked AS (
+          SELECT source, ngram, count, n_docs,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY count DESC, ngram) AS rank
+          FROM counts
+        )
+        SELECT source, ngram, count, n_docs, rank
+        FROM ranked WHERE rank <= 8
     """,
     "corpus_stats": """
         WITH t AS (

@@ -76,6 +76,7 @@ def main() -> None:
         "mixture_upsample",
         "incremental_dedup",
         "corpus_stats",
+        "top_ngrams",
         "unigram_logprob",
         "bigram_logprob",
         "bigram_score_cross",

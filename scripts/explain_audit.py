@@ -167,6 +167,24 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     )
 
+    # ---- 5b1b4. top_ngrams: salted two-phase per-group top-k -----------
+    tng = q.q_top_ngrams(spark, SF_DIR)
+    p = plan_of(tng)
+    sections.append(("top_ngrams (boilerplate mining, two-phase top-k)", p))
+    check(
+        "top_ngrams: no full-table window partitioned on the group"
+        " columns alone (phase-1 window carries the salt)",
+        len(re.findall(r"hashpartitioning\(source#\d+, \d+\)", p)) <= 1,
+    )
+    check(
+        "top_ngrams: map-side partial aggregation on the ngram counts",
+        "partial_count" in p or "partial_sum" in p,
+    )
+    check(
+        "top_ngrams: JVM-side only (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+
     # ---- 5b1c. embedding quantization: row-local, zero shuffle ---------
     qe = q.q_quantize_embeddings(spark, SF_DIR)
     p = plan_of(qe)

@@ -142,6 +142,30 @@ def test_incremental_span_dedup(spark):
     assert more.count() == 0
 
 
+def test_top_ngrams(spark):
+    """Boilerplate mining: per-group trigram top-k counts occurrences and
+    distinct documents, ranks deterministically (count desc, ngram asc),
+    and never mixes groups."""
+    from abecto_spark.operators.stats import top_ngrams
+
+    rows = [
+        ("d1", "g", "a b c d a b c"),   # 'a b c' twice in-doc
+        ("d2", "g", "a b c x y"),       # 'a b c' again -> count 3, 2 docs
+        ("d3", "g", "z z z z"),         # 'z z z' twice, one doc
+        ("d4", "h", "q r s"),           # lone trigram in its own group
+        ("d5", "h", "xs"),              # shorter than n -> contributes nothing
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {
+        (r["source"], r["rank"]): (r["ngram"], r["count"], r["n_docs"])
+        for r in top_ngrams(d, ("source",), n=3, k=2).collect()
+    }
+    assert out[("g", 1)] == ("a b c", 3, 2)
+    assert out[("g", 2)] == ("z z z", 2, 1)
+    assert out[("h", 1)] == ("q r s", 1, 1)
+    assert ("h", 2) not in out
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     cands = minhash_lsh_candidates(docs_df, "doc_id", "text", n_hashes=32, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}

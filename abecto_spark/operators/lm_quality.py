@@ -315,3 +315,29 @@ def score_bigram_model(
             ),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cuts=(1 / 3, 2 / 3),
+    labels=("head", "middle", "tail"),
+) -> DataFrame:
+    """(doc_id, lang, avg_nll, bucket) — CCNet's per-language perplexity
+    terciles: within each language, the lowest-NLL third of documents is
+    ``head`` (cleanest, kept outright in CCNet), the middle third
+    ``middle``, the rest ``tail`` (dropped or down-weighted). Thresholds
+    are per-language aggregates broadcast back (``stats.
+    bucket_by_percentile``), with the NLL quantized to 3 decimals so the
+    exact percentile's merge state stays bounded at corpus scale."""
+    from .stats import bucket_by_percentile
+
+    scores = unigram_logprob(docs, id_col, text_col)
+    langs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    return bucket_by_percentile(
+        scores.join(langs, "doc_id"), "avg_nll", ("lang",), cuts, labels
+    ).select("doc_id", "lang", "avg_nll", "bucket")

@@ -126,3 +126,49 @@ def top_ngrams(
         .where(F.col("rank") <= k)
         .select(*group_cols, "ngram", "count", "n_docs", "rank")
     )
+
+
+def bucket_by_percentile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = ("lang",),
+    cuts: Sequence[float] = (1 / 3, 2 / 3),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    quantize_dp: int = 3,
+) -> DataFrame:
+    """Assign each row a per-group percentile bucket of ``value_col``
+    (``len(labels) == len(cuts) + 1``; row is in bucket i iff its value
+    ≤ the group's ``cuts[i]`` quantile, last label otherwise). The
+    CCNet-shape primitive: thresholds are an aggregate (|groups| ×
+    len(cuts) rows) broadcast back — never a per-row rank.
+
+    The exact-percentile-at-scale trick: the value is quantized to
+    ``quantize_dp`` decimals FIRST (both for the threshold aggregation
+    and the comparison), which bounds the mergeable percentile
+    histogram's state at |value range| × 10^dp distinct entries — safe
+    at any corpus size where the raw near-continuous value would grow
+    the state linearly with rows — while keeping the result exactly
+    reproducible (and DuckDB-replayable) where ``approx_percentile``
+    would not be."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(labels) == len(cuts) + 1")
+    d = df.withColumn("_qv", F.round(F.col(value_col), quantize_dp))
+    # thresholds are rounded well below the quantization step but above
+    # double-ulp noise: linear-interpolation order of operations differs
+    # across engines by ~1 ulp, and an unrounded threshold would flip a
+    # boundary row's <= comparison
+    aggs = [
+        F.round(F.expr(f"percentile(_qv, {float(c)!r})"), quantize_dp + 6).alias(
+            f"_t{i}"
+        )
+        for i, c in enumerate(cuts)
+    ]
+    thr = d.groupBy(*group_cols).agg(*aggs)
+    out = d.join(F.broadcast(thr), list(group_cols))
+    expr = F.when(F.col("_qv") <= F.col("_t0"), F.lit(labels[0]))
+    for i in range(1, len(cuts)):
+        expr = expr.when(F.col("_qv") <= F.col(f"_t{i}"), F.lit(labels[i]))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return out.withColumn("bucket", expr).drop(
+        "_qv", *[f"_t{i}" for i in range(len(cuts))]
+    )

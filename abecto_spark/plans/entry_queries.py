@@ -684,6 +684,17 @@ def q_top_ngrams(spark, sf):
     return top_ngrams(_t(spark, sf, "documents"), ("source",), n=3, k=8)
 
 
+def q_perplexity_buckets(spark, sf):
+    """CCNet per-language perplexity terciles (operators/lm_quality.py:
+    perplexity_buckets): unigram-NLL scores bucketed head/middle/tail
+    within each language by exact per-group percentile thresholds
+    (3-dp-quantized so the mergeable percentile state stays bounded),
+    broadcast back — never a per-row rank."""
+    from ..operators.lm_quality import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents"))
+
+
 def q_mixture_upsample(spark, sf):
     """Deterministic fractional upsampling (operators/mixture.py):
     temperature-style per-language multiplicities through the same
@@ -1699,6 +1710,7 @@ QUERIES = {
     "mixture_upsample": q_mixture_upsample,
     "corpus_stats": q_corpus_stats,
     "top_ngrams": q_top_ngrams,
+    "perplexity_buckets": q_perplexity_buckets,
     "incremental_dedup": q_incremental_dedup,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
@@ -2620,6 +2632,33 @@ ORACLES = {
                                     ORDER BY quality DESC, doc_id) AS rank
           FROM k)
         SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 50
+    """,
+    "perplexity_buckets": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents),
+        counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        total AS (SELECT sum(cnt) AS total FROM counts),
+        nll AS (
+          SELECT doc_id, ROUND(avg(-ln(cnt / total.total)), 6) AS avg_nll
+          FROM tok JOIN counts USING (token) CROSS JOIN total
+          GROUP BY doc_id),
+        scored AS (
+          SELECT d.doc_id, d.lang, n.avg_nll,
+                 ROUND(n.avg_nll, 3) AS qv
+          FROM nll n JOIN documents d USING (doc_id)),
+        thr AS (
+          SELECT lang,
+                 ROUND(quantile_cont(qv, 0.3333333333333333), 9) AS t0,
+                 ROUND(quantile_cont(qv, 0.6666666666666666), 9) AS t1
+          FROM scored GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.avg_nll,
+               CASE WHEN s.qv <= t.t0 THEN 'head'
+                    WHEN s.qv <= t.t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN thr t USING (lang)
     """,
     "top_ngrams": """
         WITH toks AS (

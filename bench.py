@@ -77,6 +77,7 @@ def main() -> None:
         "incremental_dedup",
         "corpus_stats",
         "top_ngrams",
+        "perplexity_buckets",
         "unigram_logprob",
         "bigram_logprob",
         "bigram_score_cross",

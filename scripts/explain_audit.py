@@ -185,6 +185,24 @@ def main() -> int:
         "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
     )
 
+    # ---- 5b1b5. perplexity buckets: broadcast thresholds, no row rank --
+    pb = q.q_perplexity_buckets(spark, SF_DIR)
+    p = plan_of(pb)
+    sections.append(("perplexity_buckets (CCNet terciles, broadcast thresholds)", p))
+    check(
+        "perplexity_buckets: thresholds join back via broadcast"
+        " (|langs| rows), never a per-row rank window",
+        "BroadcastHashJoin" in p and "row_number" not in p,
+    )
+    check(
+        "perplexity_buckets: map-side partial aggregation",
+        "partial_percentile" in p or "partial_count" in p,
+    )
+    check(
+        "perplexity_buckets: JVM-side only (no Python eval)",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+
     # ---- 5b1c. embedding quantization: row-local, zero shuffle ---------
     qe = q.q_quantize_embeddings(spark, SF_DIR)
     p = plan_of(qe)

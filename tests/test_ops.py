@@ -166,6 +166,50 @@ def test_top_ngrams(spark):
     assert ("h", 2) not in out
 
 
+def test_bucket_by_percentile(spark):
+    """Per-group percentile bucketing: thresholds computed within each
+    group, boundary rows (value == threshold) land in the lower bucket,
+    and groups never share thresholds."""
+    from abecto_spark.operators.stats import bucket_by_percentile
+
+    rows = [("a", "g", float(v)) for v, a in zip(range(1, 7), "abcdef")] + [
+        ("z", "h", 100.0),
+        ("y", "h", 200.0),
+        ("x", "h", 300.0),
+    ]
+    rows = [(f"d{i}", g, v) for i, (_, g, v) in enumerate(rows)]
+    d = spark.createDataFrame(rows, "doc_id string, lang string, v double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in bucket_by_percentile(d, "v", ("lang",)).collect()
+    }
+    # group g: values 1..6 -> terciles at ~2.67 / ~4.33
+    assert [out[f"d{i}"] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    # group h: 100/200/300 -> thresholds 166.67 / 233.33
+    assert (out["d6"], out["d7"], out["d8"]) == ("head", "middle", "tail")
+
+
+def test_perplexity_buckets_composition(spark):
+    """CCNet terciles over the unigram NLL: every language splits into
+    head/middle/tail with the head holding its lowest NLLs."""
+    from abecto_spark.operators.lm_quality import perplexity_buckets
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (f"d{i}", "en", common + f" tail{i}" * (i % 3)) for i in range(9)
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = perplexity_buckets(d).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["avg_nll"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     cands = minhash_lsh_candidates(docs_df, "doc_id", "text", n_hashes=32, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}

@@ -1,0 +1,262 @@
+"""Graph analytics over the materialized knowledge graph — the
+post-construction statistics a KG pipeline needs once triples exist
+(reference scope: ABECTO stops at measures over *aspect* populations;
+these operators extend the same measure idea to the emitted graph
+itself, the natural next consumer in a kg_construct deployment).
+
+  * degree_stats         — per-node in/out/total degree over a directed
+                           edge table (one groupBy per direction,
+                           map-side partial aggregation; a full-outer
+                           join on the node key merges the two).
+  * pagerank             — fixed-iteration PageRank (damping d,
+                           k iterations): per iteration one shuffle on
+                           the destination key.  Dangling mass is an
+                           in-plan 1-row aggregate broadcast-crossed
+                           back into the update, so the loop never
+                           collects to the driver; ``localCheckpoint``
+                           truncates lineage each round (same discipline
+                           as operators/closure.py).  Hot destination
+                           nodes (in-degree skew) are handled by Spark's
+                           partial aggregation: contributions combine
+                           map-side before the shuffle.
+  * triangle_counts      — per-node triangle participation via the
+                           degree-ordered orientation (each undirected
+                           edge points from the (degree, id)-smaller to
+                           the larger endpoint), so every triangle is
+                           enumerated exactly once at its lowest-degree
+                           apex and the heaviest join fan-out is bounded
+                           by sqrt(|E|)-ish oriented out-degrees — the
+                           standard scalable formulation, not the naive
+                           3-cycle join.
+  * characteristic_sets  — Neumann/Moerkotte characteristic sets over a
+                           triple table: the distinct sorted predicate
+                           set per subject, with subject and triple
+                           counts per set.  (The classic RDF cardinality
+                           summary; also what a KG QA pass reads to spot
+                           malformed entities.)  Two groupBys, both on
+                           high-cardinality keys first (subject), then
+                           on the set fingerprint.
+  * void_stats           — W3C VoID-style per-predicate partition
+                           statistics: triples, distinct subjects,
+                           distinct objects per predicate.  Exact
+                           distincts here because the oracle needs
+                           determinism; at 100 TB swap in
+                           ``approx_count_distinct`` (documented, same
+                           shape).
+
+Scale notes: every operator is groupBy/join-shaped with no driver-side
+iteration over data (pagerank's only scalar is |V|, one count).  Degree
+skew concentrates in partial aggregation, not in any single reducer;
+triangle_counts' orientation bounds the candidate-pair fan-out the way
+the dedup family's banded LSH bounds candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node (out_deg, in_deg, total_deg) over a directed edge table.
+
+    Nodes appearing only as sources (or only as destinations) are kept
+    with a zero for the missing direction.
+    """
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0)))
+            .alias("total_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution.
+
+    rank_{i+1}(v) = (1-d)/N + d * (sum_{u->v} rank_i(u)/outdeg(u)
+                                   + dangling_i / N)
+
+    where dangling_i is the total rank_i mass on nodes with no outgoing
+    edge.  Returns (node, rank) with rank unrounded — callers that need
+    engine portability round (the driver oracle rounds to 6 dp).
+
+    The dangling term is computed as a 1-row aggregate and broadcast
+    cross-joined back in, keeping the whole loop in-plan (no
+    ``.collect()`` inside the iteration).  Each iteration ends with a
+    ``localCheckpoint`` so lineage stays flat over k rounds.
+    """
+    # the edge table is read k+1 times below — materialize it once so an
+    # upstream derivation (joins, distinct) doesn't re-run every round
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # the one driver scalar: |V|
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("double").alias("od"))
+        .localCheckpoint()
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        with_od = ranks.join(outdeg, "node", "left")
+        # dangling mass: total rank on out-degree-0 nodes (1-row agg)
+        dangling = (
+            with_od.where(F.col("od").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contribs = (
+            e.join(
+                with_od.where(F.col("od").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts, (node, n_triangles).
+
+    The input is treated as an undirected simple graph (direction
+    dropped, self-loops and multi-edges removed).  Edges are oriented by
+    the total order (degree, node) ascending; a triangle {a,b,c} is then
+    found exactly once as oriented edges a->b, a->c, b->c.  Nodes in no
+    triangle are kept with n_triangles = 0.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            )
+            .otherwise(F.col("u"))
+            .alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "a").where(F.col("x") != F.col("y"))
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])  # one row per triangle (a,x,y)
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select(
+            "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+        )
+    )
+
+
+def characteristic_sets(
+    triples: DataFrame, s: str = "s", p: str = "p"
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) of a triple
+    table: rows (cs, n_subjects, n_triples) where ``cs`` is the
+    comma-joined sorted set of distinct predicates a subject carries.
+
+    Both groupBys key on high-cardinality columns first (subject), so
+    the plan is two map-side-combining aggregations; the set string is
+    built with ``array_sort(collect_set(...))`` — binary string order,
+    matching SQL ``ORDER BY`` on ASCII IRIs.
+    """
+    per_subject = triples.groupBy(F.col(s).alias("subject")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_set(F.col(p)))).alias("cs"),
+        F.count("*").alias("nt"),
+    )
+    return per_subject.groupBy("cs").agg(
+        F.count("*").alias("n_subjects"),
+        F.sum("nt").alias("n_triples"),
+    )
+
+
+def void_stats(
+    triples: DataFrame, s: str = "s", p: str = "p", o: str = "o_value"
+) -> DataFrame:
+    """VoID-style per-predicate partition statistics:
+    (predicate, n_triples, n_subjects, n_objects) with exact distinct
+    counts (the oracle needs determinism; at 100 TB substitute
+    ``approx_count_distinct`` — identical plan shape, no extra shuffle).
+    """
+    return triples.groupBy(F.col(p).alias("predicate")).agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct(F.col(s)).alias("n_subjects"),
+        F.countDistinct(F.col(o)).alias("n_objects"),
+    )

@@ -1696,6 +1696,187 @@ def synth_docs_cached(spark, n_docs, n_entities):
     return synth_docs(spark, n_docs=n_docs, n_entities=n_entities, partitions=8)
 
 
+# --------------------------------------------------------------------------
+# graph analytics over the materialized KG (operators/graph_stats.py)
+
+
+def _part_edges(spark, sf):
+    """Shared directed co-occurrence graph for the graph-analytics rows:
+    consecutive parts within an order (by l_linenumber) form an edge —
+    the kind of link structure a KG materializes, derived identically by
+    the DuckDB oracles."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_CTE = """
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_partkey <> b.l_partkey
+        )"""
+
+
+def q_kg_degree_stats(spark, sf):
+    """Per-node in/out/total degree of the part co-occurrence graph
+    (operators/graph_stats.py degree_stats): two map-side-combining
+    groupBys merged by a full-outer join on the node key."""
+    from ..operators.graph_stats import degree_stats
+
+    return degree_stats(_part_edges(spark, sf))
+
+
+def q_kg_pagerank(spark, sf):
+    """Fixed-iteration PageRank (k=5, d=0.85) with dangling-mass
+    redistribution over the part graph; the oracle unrolls the same five
+    update steps as chained CTEs.  Ranks rounded to 6 dp on both sides
+    (the repo's float-parity convention)."""
+    from ..operators.graph_stats import pagerank
+
+    pr = pagerank(_part_edges(spark, sf), iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_kg_triangles(spark, sf):
+    """Per-node triangle participation via the degree-ordered
+    orientation (each triangle enumerated exactly once at its
+    lowest-(degree,id) apex) — the scalable formulation, mirrored
+    exactly by the oracle's oriented 3-way self-join."""
+    from ..operators.graph_stats import triangle_counts
+
+    return triangle_counts(_part_edges(spark, sf))
+
+
+def _cs_triples(spark, sf):
+    """Shared triple table for the KG-statistics rows: customers with
+    conditionally-present predicates (acctbal only when > 5000, segment
+    only for two segments, phone only for custkey % 3 == 0), so real
+    characteristic-set variety emerges."""
+    ex = "http://example.org/"
+    c = _t(spark, sf, "customer")
+    subj = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def t(pred, val):
+        return [subj.alias("s"), F.lit(ex + pred).alias("p"),
+                val.alias("o_value")]
+
+    return (
+        c.select(*t("name", F.col("c_name")))
+        .unionByName(
+            c.where(F.col("c_acctbal") > 5000)
+            .select(*t("acctbal", F.col("c_acctbal").cast("string")))
+        )
+        .unionByName(
+            c.where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+            .select(*t("segment", F.col("c_mktsegment")))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 3 == 0)
+            .select(*t("cohort", (F.col("c_custkey") % 7).cast("string")))
+        )
+        .unionByName(
+            c.select(*t(
+                "locatedIn",
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string")),
+            ))
+        )
+    )
+
+
+_CS_TRIPLES_CTE = """
+        t AS (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+                 'http://example.org/name' AS p, c_name AS o_value
+          FROM customer
+          UNION ALL
+          SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                 'http://example.org/acctbal', CAST(c_acctbal AS VARCHAR)
+          FROM customer WHERE c_acctbal > 5000
+          UNION ALL
+          SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                 'http://example.org/segment', c_mktsegment
+          FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+          UNION ALL
+          SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                 'http://example.org/cohort', CAST(c_custkey % 7 AS VARCHAR)
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                 'http://example.org/locatedIn',
+                 'n' || CAST(c_nationkey AS VARCHAR)
+          FROM customer
+        )"""
+
+
+def q_characteristic_sets(spark, sf):
+    """Neumann/Moerkotte characteristic sets of the conditional-predicate
+    triple fixture — the classic RDF cardinality summary as a two-level
+    aggregation."""
+    from ..operators.graph_stats import characteristic_sets
+
+    return characteristic_sets(_cs_triples(spark, sf))
+
+
+def q_void_stats(spark, sf):
+    """VoID-style per-predicate partition statistics (triples, distinct
+    subjects, distinct objects) over the same triple fixture."""
+    from ..operators.graph_stats import void_stats
+
+    return void_stats(_cs_triples(spark, sf))
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unroll the PageRank update as chained CTEs (DuckDB's recursive
+    CTEs forbid aggregation in the recursive term, so a fixed k is
+    written out step by step)."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        "WITH" + _EDGES_CTE + """,
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr{i - 1}"
+        parts.append(f""",
+        pr{i} AS (
+          SELECT nodes.node,
+            CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+            + CAST({d} AS DOUBLE) * (COALESCE(inc.s, 0)
+              + (SELECT COALESCE(SUM(p.rank), 0) FROM {prev} p
+                 LEFT JOIN od o ON p.node = o.node WHERE o.node IS NULL)
+                / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / o.od) AS s
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            JOIN od o ON e.src = o.node
+            GROUP BY e.dst) inc ON nodes.node = inc.node)""")
+    parts.append(
+        f"\n        SELECT node, ROUND(rank, 6) AS rank FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "aspect_scan": q_aspect_scan,
     "aspect_bgp": q_aspect_bgp,
@@ -1769,6 +1950,11 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "kg_pipeline_triples": q_kg_pipeline_triples,
+    "kg_degree_stats": q_kg_degree_stats,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
+    "characteristic_sets": q_characteristic_sets,
+    "void_stats": q_void_stats,
 }
 
 ORACLES = {
@@ -3072,3 +3258,60 @@ ORACLES["kg_pipeline_triples"] = (
     f"SELECT CAST({KG_GOLDEN_N_TRIPLES} AS BIGINT) AS n_triples,"
     f" CAST({KG_GOLDEN_HASH} AS BIGINT) AS h"
 )
+
+# graph-analytics oracles (shared edge / triple CTEs defined above)
+ORACLES["kg_degree_stats"] = """
+    WITH""" + _EDGES_CTE + """,
+    outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+    SELECT COALESCE(outd.node, ind.node) AS node,
+           COALESCE(out_deg, 0) AS out_deg,
+           COALESCE(in_deg, 0) AS in_deg,
+           COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS total_deg
+    FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+"""
+
+ORACLES["kg_pagerank"] = _pagerank_oracle_sql(iterations=5, damping=0.85)
+
+ORACLES["kg_triangles"] = """
+    WITH""" + _EDGES_CTE + """,
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    ori AS (
+      SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und JOIN deg d1 ON d1.node = und.u JOIN deg d2 ON d2.node = und.v),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS x, e2.b AS y
+      FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b <> e2.b
+      JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b),
+    corners AS (SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+      GROUP BY node)
+    SELECT deg.node AS node, COALESCE(corners.n_triangles, 0) AS n_triangles
+    FROM deg LEFT JOIN corners ON corners.node = deg.node
+"""
+
+ORACLES["characteristic_sets"] = """
+    WITH""" + _CS_TRIPLES_CTE + """,
+    per_s AS (SELECT s, string_agg(DISTINCT p, ',' ORDER BY p) AS cs,
+                     COUNT(*) AS nt
+              FROM t GROUP BY s)
+    SELECT cs, COUNT(*) AS n_subjects, CAST(SUM(nt) AS BIGINT) AS n_triples
+    FROM per_s GROUP BY cs
+"""
+
+ORACLES["void_stats"] = """
+    WITH""" + _CS_TRIPLES_CTE + """
+    SELECT p AS predicate, COUNT(*) AS n_triples,
+           COUNT(DISTINCT s) AS n_subjects,
+           COUNT(DISTINCT o_value) AS n_objects
+    FROM t GROUP BY p
+"""

@@ -105,6 +105,11 @@ def main() -> None:
         "sparql_describe",
         "sessionize",
         "windowed_agg",
+        "kg_degree_stats",
+        "kg_pagerank",
+        "kg_triangles",
+        "characteristic_sets",
+        "void_stats",
     ]
 
     timings: dict[str, float] = {}

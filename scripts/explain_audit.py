@@ -481,6 +481,67 @@ def main() -> int:
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
+    # ---- 8. graph analytics over the materialized KG (round 5) --------
+    # pagerank: the per-iteration update must be a hash-aggregated join
+    # fan-in (partial aggregation on the dst key), never a cartesian;
+    # the dangling 1-row aggregate must come back via a broadcast.
+    from abecto_spark.operators.graph_stats import triangle_counts
+
+    edges = q._part_edges(spark, SF_DIR).localCheckpoint()
+    # audit the update expression itself on a single unrolled step: rebuild
+    # iteration 1 lazily (pagerank() checkpoints eagerly, hiding the plan)
+    from pyspark.sql import functions as FF
+
+    nodes = (
+        edges.select(FF.col("src").alias("node"))
+        .unionByName(edges.select(FF.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(FF.col("src").alias("node")).agg(
+        FF.count("*").cast("double").alias("od")
+    )
+    ranks0 = nodes.withColumn("rank", FF.lit(1.0))
+    with_od = ranks0.join(outdeg, "node", "left")
+    dangling = with_od.where(FF.col("od").isNull()).agg(
+        FF.coalesce(FF.sum("rank"), FF.lit(0.0)).alias("dangling")
+    )
+    contribs = (
+        edges.join(
+            with_od.where(FF.col("od").isNotNull()).withColumnRenamed("node", "src"),
+            "src",
+        )
+        .groupBy(FF.col("dst").alias("node"))
+        .agg(FF.sum(FF.col("rank") / FF.col("od")).alias("inflow"))
+    )
+    step = (
+        nodes.join(contribs, "node", "left")
+        .crossJoin(FF.broadcast(dangling))
+        .select("node", (FF.coalesce("inflow", FF.lit(0.0)) + FF.col("dangling")).alias("rank"))
+    )
+    p = plan_of(step)
+    sections.append(("kg_pagerank single update step (shuffle on dst, broadcast dangling)", p))
+    check("kg_pagerank step: no cartesian product", "CartesianProduct" not in p)
+    check("kg_pagerank step: map-side partial aggregation on dst", "partial_sum" in p)
+    check(
+        "kg_pagerank step: dangling mass joined via broadcast",
+        "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+    )
+
+    tri = triangle_counts(edges)
+    p = plan_of(tri)
+    sections.append(("kg_triangles (degree-oriented enumeration)", p))
+    check("kg_triangles: no cartesian product", "CartesianProduct" not in p)
+    check("kg_triangles: map-side partial aggregation", "partial_count" in p)
+
+    cs = q.q_characteristic_sets(spark, SF_DIR)
+    p = plan_of(cs)
+    sections.append(("characteristic_sets (two-level aggregation)", p))
+    check("characteristic_sets: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "characteristic_sets: subject-first aggregation (collect_set partial)",
+        "partial_collect_set" in p or "ObjectHashAggregate" in p,
+    )
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

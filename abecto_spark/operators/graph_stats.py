@@ -225,6 +225,84 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def link_prediction_scores(
+    edges: DataFrame,
+    max_center_degree: int | None = None,
+    min_common: int = 2,
+    exclude_existing: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Structural link-prediction scores over the undirected simple
+    graph: for every non-adjacent 2-hop pair (x, y) sharing at least
+    ``min_common`` neighbors, emit
+
+      (x, y, common_neighbors, jaccard, adamic_adar)
+
+    with x < y, jaccard = |N(x) ∩ N(y)| / |N(x) ∪ N(y)| and
+    adamic_adar = Σ_{c ∈ N(x) ∩ N(y)} 1/ln(deg(c)).
+
+    This is the graph-side complement of JaroWinkler string linking:
+    entities whose neighborhoods overlap are correspondence candidates
+    even when their labels diverge.
+
+    Scale: the wedge join fans out Σ_c C(deg(c), 2) rows — quadratic in
+    hub degrees — so ``max_center_degree`` drops super-hub *centers*
+    (the standard truncation; hubs contribute near-zero Adamic-Adar
+    weight anyway since 1/ln(deg) → 0).  The cap bounds the fan-out at
+    |V|·C(cap, 2) and is applied identically by the oracle.  deg(x) /
+    deg(y) in the Jaccard denominator always use the *uncapped* degree.
+    Centers in a wedge have deg ≥ 2, so ln(deg) > 0 — no zero division.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("u").alias("center"), F.col("v").alias("leaf")
+    ).unionByName(und.select(F.col("v").alias("center"), F.col("u").alias("leaf")))
+    deg = adj.groupBy("center").agg(F.count("*").alias("deg"))
+    centers = deg if max_center_degree is None else deg.where(
+        F.col("deg") <= max_center_degree
+    )
+    adjc = adj.join(centers, "center")
+    w1 = adjc.select("center", F.col("leaf").alias("x"), "deg")
+    w2 = adjc.select("center", F.col("leaf").alias("y"))
+    wedges = w1.join(w2, "center").where(F.col("x") < F.col("y"))
+    scored = wedges.groupBy("x", "y").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("adamic_adar"),
+    )
+    if exclude_existing:
+        scored = scored.join(
+            und,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+    dx = deg.select(F.col("center").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("center").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        scored.where(F.col("common_neighbors") >= min_common)
+        .join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common_neighbors"))
+                .cast("double")
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
 def characteristic_sets(
     triples: DataFrame, s: str = "s", p: str = "p"
 ) -> DataFrame:

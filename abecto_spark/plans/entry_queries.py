@@ -1764,6 +1764,24 @@ def q_kg_triangles(spark, sf):
     return triangle_counts(_part_edges(spark, sf))
 
 
+def q_link_prediction(spark, sf):
+    """Structural correspondence candidates: common-neighbor /
+    neighborhood-Jaccard / Adamic-Adar scores for non-adjacent 2-hop
+    pairs of the part graph (center-degree cap 60 — which really
+    excludes the graph's one 61-degree hub at sf0.01 — min 5 shared
+    neighbors); floats rounded to 6 dp on both sides."""
+    from ..operators.graph_stats import link_prediction_scores
+
+    lp = link_prediction_scores(
+        _part_edges(spark, sf), max_center_degree=60, min_common=5
+    )
+    return lp.select(
+        "x", "y", "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 def _cs_triples(spark, sf):
     """Shared triple table for the KG-statistics rows: customers with
     conditionally-present predicates (acctbal only when > 5000, segment
@@ -1955,6 +1973,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "characteristic_sets": q_characteristic_sets,
     "void_stats": q_void_stats,
+    "link_prediction": q_link_prediction,
 }
 
 ORACLES = {
@@ -3314,4 +3333,36 @@ ORACLES["void_stats"] = """
            COUNT(DISTINCT s) AS n_subjects,
            COUNT(DISTINCT o_value) AS n_objects
     FROM t GROUP BY p
+"""
+
+ORACLES["link_prediction"] = """
+    WITH""" + _EDGES_CTE + """,
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    adj AS (SELECT u AS center, v AS leaf FROM und
+            UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT center, COUNT(*) AS deg FROM adj GROUP BY center),
+    adjc AS (SELECT adj.center, adj.leaf, deg.deg
+             FROM adj JOIN deg ON deg.center = adj.center
+             WHERE deg.deg <= 60),
+    wedges AS (
+      SELECT w1.leaf AS x, w2.leaf AS y, w1.deg
+      FROM adjc w1 JOIN adjc w2 ON w1.center = w2.center
+      WHERE w1.leaf < w2.leaf),
+    scored AS (
+      SELECT x, y, COUNT(*) AS common_neighbors,
+             SUM(1.0 / LN(deg)) AS adamic_adar
+      FROM wedges GROUP BY x, y),
+    nonadj AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM und
+                        WHERE und.u = s.x AND und.v = s.y))
+    SELECT n.x, n.y, n.common_neighbors,
+           ROUND(CAST(n.common_neighbors AS DOUBLE)
+                 / (dx.deg + dy.deg - n.common_neighbors), 6) AS jaccard,
+           ROUND(n.adamic_adar, 6) AS adamic_adar
+    FROM nonadj n
+    JOIN deg dx ON dx.center = n.x
+    JOIN deg dy ON dy.center = n.y
+    WHERE n.common_neighbors >= 5
 """

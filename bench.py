@@ -110,6 +110,7 @@ def main() -> None:
         "kg_triangles",
         "characteristic_sets",
         "void_stats",
+        "link_prediction",
     ]
 
     timings: dict[str, float] = {}

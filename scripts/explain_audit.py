@@ -533,6 +533,12 @@ def main() -> int:
     check("kg_triangles: no cartesian product", "CartesianProduct" not in p)
     check("kg_triangles: map-side partial aggregation", "partial_count" in p)
 
+    lp = q.q_link_prediction(spark, SF_DIR)
+    p = plan_of(lp)
+    sections.append(("link_prediction (capped wedge join, partial agg)", p))
+    check("link_prediction: no cartesian product", "CartesianProduct" not in p)
+    check("link_prediction: map-side partial aggregation", "partial_count" in p)
+
     cs = q.q_characteristic_sets(spark, SF_DIR)
     p = plan_of(cs)
     sections.append(("characteristic_sets (two-level aggregation)", p))

@@ -129,3 +129,44 @@ def test_void_stats(spark):
         ("name", 3, 2, 2),
         ("age", 1, 1, 1),
     }
+
+
+def test_link_prediction_scores(spark):
+    from math import log
+
+    from abecto_spark.operators.graph_stats import link_prediction_scores
+
+    # N(1)={2,3}, N(2)={1,3,4}, N(3)={1,2,4}, N(4)={2,3}: the only
+    # non-adjacent pair with >=2 common neighbors is (1,4) via {2,3}
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    rows = link_prediction_scores(e, min_common=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["x"], r["y"], r["common_neighbors"]) == (1, 4, 2)
+    assert r["jaccard"] == pytest.approx(1.0)
+    assert r["adamic_adar"] == pytest.approx(2.0 / log(3.0))
+
+
+def test_link_prediction_center_cap_and_existing(spark):
+    from math import log
+
+    from abecto_spark.operators.graph_stats import link_prediction_scores
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    # cap 2 drops the degree-3 centers (2 and 3); the remaining wedges
+    # only close adjacent pairs, so nothing survives exclude_existing
+    assert (
+        link_prediction_scores(e, max_center_degree=2, min_common=1).count()
+        == 0
+    )
+    # scoring existing edges too: (2,3) shares {1,4}, jaccard 2/(3+3-2)
+    got = {
+        (r["x"], r["y"]): (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction_scores(
+            e, min_common=2, exclude_existing=False
+        ).collect()
+    }
+    assert got[(2, 3)][0] == 2
+    assert got[(2, 3)][1] == pytest.approx(0.5)
+    assert got[(2, 3)][2] == pytest.approx(2.0 / log(2.0))
+    assert got[(1, 4)][0] == 2

@@ -1782,6 +1782,47 @@ def q_link_prediction(spark, sf):
     )
 
 
+def q_kcore(spark, sf):
+    """15-core of the part graph (iterative peeling to fixpoint; k=15
+    sits just under this graph family's core-collapse threshold, so the
+    peel removes a real node set at every SF without cascading to
+    empty).  The oracle unrolls 20 peel rounds — rounds past the
+    fixpoint are no-ops, and the Spark loop raises loudly if 20 rounds
+    ever stop sufficing."""
+    from ..operators.graph_stats import kcore
+
+    return kcore(_part_edges(spark, sf), k=15, max_rounds=20)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling (fixed round count; see q_kcore)."""
+    # every g_i is MATERIALIZED: DuckDB otherwise inlines each CTE at
+    # every reference site, which re-opens the parquet scan per round
+    # (FD exhaustion) and re-evaluates the chain combinatorially
+    parts = [
+        "WITH" + _EDGES_CTE + """,
+        g0 AS MATERIALIZED (
+               SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+               FROM edges WHERE src <> dst)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+        k{i} AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT node, COUNT(*) AS deg FROM (
+              SELECT u AS node FROM g{i} UNION ALL SELECT v FROM g{i})
+            GROUP BY node) WHERE deg >= {k}),
+        g{i + 1} AS MATERIALIZED (
+          SELECT u, v FROM g{i}
+          WHERE u IN (SELECT node FROM k{i})
+            AND v IN (SELECT node FROM k{i}))""")
+    parts.append(f"""
+        SELECT node, COUNT(*) AS core_deg FROM (
+          SELECT u AS node FROM g{rounds} UNION ALL SELECT v FROM g{rounds})
+        GROUP BY node HAVING COUNT(*) >= {k}""")
+    return "".join(parts)
+
+
 def _cs_triples(spark, sf):
     """Shared triple table for the KG-statistics rows: customers with
     conditionally-present predicates (acctbal only when > 5000, segment
@@ -1974,6 +2015,7 @@ QUERIES = {
     "characteristic_sets": q_characteristic_sets,
     "void_stats": q_void_stats,
     "link_prediction": q_link_prediction,
+    "kcore_15": q_kcore,
 }
 
 ORACLES = {
@@ -3366,3 +3408,4 @@ ORACLES["link_prediction"] = """
     JOIN deg dy ON dy.center = n.y
     WHERE n.common_neighbors >= 5
 """
+ORACLES["kcore_15"] = _kcore_oracle_sql(k=15, rounds=20)

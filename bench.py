@@ -111,6 +111,7 @@ def main() -> None:
         "characteristic_sets",
         "void_stats",
         "link_prediction",
+        "kcore_15",
     ]
 
     timings: dict[str, float] = {}

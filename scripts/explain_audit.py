@@ -539,6 +539,31 @@ def main() -> int:
     check("link_prediction: no cartesian product", "CartesianProduct" not in p)
     check("link_prediction: map-side partial aggregation", "partial_count" in p)
 
+    # kcore: audit one peel round lazily (the operator checkpoints
+    # eagerly): degree agg must partially combine; keep-set joins must
+    # broadcast or hash, never nest-loop over data
+    und = edges.select(
+        FF.least("src", "dst").alias("u"), FF.greatest("src", "dst").alias("v")
+    ).where("u <> v").distinct()
+    kdeg = (
+        und.select(FF.col("u").alias("node"))
+        .unionByName(und.select(FF.col("v").alias("node")))
+        .groupBy("node")
+        .agg(FF.count("*").alias("deg"))
+    )
+    keep = kdeg.where(FF.col("deg") >= 15).select("node")
+    peel = und.join(
+        keep.withColumnRenamed("node", "u"), "u", "left_semi"
+    ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+    p = plan_of(peel)
+    sections.append(("kcore single peel round (partial agg + semi-joins)", p))
+    check("kcore round: no cartesian product", "CartesianProduct" not in p)
+    check("kcore round: map-side partial aggregation", "partial_count" in p)
+    check(
+        "kcore round: semi-joins are hash joins",
+        "LeftSemi" in p and "BroadcastNestedLoopJoin" not in p,
+    )
+
     cs = q.q_characteristic_sets(spark, SF_DIR)
     p = plan_of(cs)
     sections.append(("characteristic_sets (two-level aggregation)", p))

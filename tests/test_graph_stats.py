@@ -170,3 +170,33 @@ def test_link_prediction_center_cap_and_existing(spark):
     assert got[(2, 3)][1] == pytest.approx(0.5)
     assert got[(2, 3)][2] == pytest.approx(2.0 / log(2.0))
     assert got[(1, 4)][0] == 2
+
+
+def test_kcore_triangle_with_tail(spark):
+    from abecto_spark.operators.graph_stats import kcore
+
+    # 2-core of a triangle with a pendant tail is the triangle
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    got = rows_set(kcore(e, k=2), "node", "core_deg")
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_empty_and_full(spark):
+    from abecto_spark.operators.graph_stats import kcore
+
+    # a path has no 2-core (endpoints peel until nothing is left)
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert kcore(path, k=2).count() == 0
+    # K4 is its own 3-core
+    k4 = _edges(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    got = rows_set(kcore(k4, k=3), "node", "core_deg")
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_round_bound_is_loud(spark):
+    from abecto_spark.operators.graph_stats import GraphStatsError, kcore
+
+    # peeling a 6-path with k=2 takes 3 rounds; a bound of 1 must raise
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    with pytest.raises(GraphStatsError):
+        kcore(e, k=2, max_rounds=1)

@@ -341,3 +341,66 @@ def perplexity_buckets(
     return bucket_by_percentile(
         scores.join(langs, "doc_id"), "avg_nll", ("lang",), cuts, labels
     ).select("doc_id", "lang", "avg_nll", "bucket")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_model: BigramModel,
+    base_model: BigramModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+    hot_k: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023):
+
+        weight(d) = avg_nll_base(d) - avg_nll_target(d)
+                  ≈ (1/|d|) · log p_target(d)/p_raw(d)
+
+    — positive when the document looks more like the *target*
+    distribution (the trusted corpus the target model was trained on)
+    than like the raw pool the base model was trained on.  Both scores
+    come from ``score_bigram_model`` (aggregate-sized model tables,
+    hot-split bigram join); the weight is their difference of
+    already-6dp-rounded per-bigram averages — a deterministic IEEE
+    subtraction of engine-portable doubles, so no further rounding is
+    applied.  Returns (doc_id, n_bigrams, dsir_weight).
+    """
+    st = score_bigram_model(
+        docs, target_model, id_col=id_col, text_col=text_col,
+        lam=lam, hot_k=hot_k,
+    ).select("doc_id", F.col("avg_nll").alias("nll_target"))
+    sb = score_bigram_model(
+        docs, base_model, id_col=id_col, text_col=text_col,
+        lam=lam, hot_k=hot_k,
+    ).select("doc_id", "n_bigrams", F.col("avg_nll").alias("nll_base"))
+    return sb.join(st, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("nll_base") - F.col("nll_target")).alias("dsir_weight"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_model: BigramModel,
+    base_model: BigramModel,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+    hot_k: int = 64,
+) -> DataFrame:
+    """Top-``n`` documents of the pool by DSIR weight (ties broken by
+    doc_id, so the selection is deterministic).  The global top-n
+    compiles to TakeOrderedAndProject — a per-partition heap merged
+    once, no full-corpus sort shuffle — which is the scale path as long as
+    ``n`` fits on one executor; for quota-sized selections use the
+    salted two-phase pattern from ``operators/curate.py``.
+    """
+    w = dsir_weights(
+        docs, target_model, base_model,
+        id_col=id_col, text_col=text_col, lam=lam, hot_k=hot_k,
+    )
+    return w.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(n)

@@ -1782,6 +1782,73 @@ def q_link_prediction(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (selection form): target bigram model
+    trained on the trusted slice (source 'src0'), base model on the raw
+    pool itself; the pool's top-100 docs by importance weight
+    avg_nll_base - avg_nll_target are selected (ties by doc_id).  The
+    oracle replays both cross-scorings and the same top-100."""
+    from ..operators.lm_quality import dsir_select, train_bigram_model
+
+    d = _t(spark, sf, "documents")
+    target = train_bigram_model(d.where(F.col("source") == "src0"))
+    pool = d.where(F.col("source") != "src0")
+    base = train_bigram_model(pool)
+    return dsir_select(pool, target, base, n=100, hot_k=16)
+
+
+def _cross_score_cte(suffix: str, ref_where: str, tgt_where: str) -> str:
+    """CTE block computing (doc_id, n_bigrams, avg_nll) for documents
+    matching ``tgt_where`` scored against a bigram model trained on
+    documents matching ``ref_where`` — the SQL twin of
+    ``score_bigram_model`` (same smoothing, same 6-dp rounding), CTE
+    names suffixed for composition (used twice by the DSIR oracle)."""
+    s = suffix
+    return f"""
+        ref_{s} AS MATERIALIZED (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE {ref_where}),
+        tgt_{s} AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE {tgt_where}),
+        uni_{s} AS (
+          SELECT u.token, count(*) AS cnt
+          FROM (SELECT unnest(toks) AS token FROM ref_{s}) u GROUP BY u.token),
+        tot_{s} AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni_{s}),
+        rbi_{s} AS (
+          SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS cbi
+          FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS bg
+                FROM ref_{s} WHERE len(toks) >= 2)
+          GROUP BY bg.w1, bg.w2),
+        ctx_{s} AS (SELECT w1, sum(cbi) AS cctx FROM rbi_{s} GROUP BY w1),
+        docbi_{s} AS (
+          SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS k
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> struct_pack(w1 := toks[i],
+                                               w2 := toks[i + 1]))) AS bg
+                FROM tgt_{s} WHERE len(toks) >= 2)
+          GROUP BY doc_id, bg.w1, bg.w2),
+        scored_{s} AS (
+          SELECT doc_id, k,
+                 -ln(0.8 * coalesce(rbi_{s}.cbi, 0) / coalesce(ctx_{s}.cctx, 1)
+                     + 0.2 * (coalesce(uni_{s}.cnt, 0) + 1)
+                       / (tot_{s}.total + tot_{s}.vocab + 1)) AS nll
+          FROM docbi_{s} LEFT JOIN rbi_{s} USING (w1, w2)
+               LEFT JOIN ctx_{s} USING (w1)
+               LEFT JOIN uni_{s} ON uni_{s}.token = docbi_{s}.w2
+               CROSS JOIN tot_{s}),
+        avg_{s} AS (
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                 ROUND(sum(k * nll) / sum(k), 6) AS avg_nll
+          FROM scored_{s} GROUP BY doc_id)"""
+
+
 def q_kcore(spark, sf):
     """15-core of the part graph (iterative peeling to fixpoint; k=15
     sits just under this graph family's core-collapse threshold, so the
@@ -2016,6 +2083,7 @@ QUERIES = {
     "void_stats": q_void_stats,
     "link_prediction": q_link_prediction,
     "kcore_15": q_kcore,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -3409,3 +3477,17 @@ ORACLES["link_prediction"] = """
     WHERE n.common_neighbors >= 5
 """
 ORACLES["kcore_15"] = _kcore_oracle_sql(k=15, rounds=20)
+
+ORACLES["dsir_select"] = (
+    "WITH"
+    + _cross_score_cte("t", "source = 'src0'", "source <> 'src0'")
+    + ","
+    + _cross_score_cte("b", "source <> 'src0'", "source <> 'src0'")
+    + """
+    SELECT b.doc_id, b.n_bigrams,
+           (b.avg_nll - t.avg_nll) AS dsir_weight
+    FROM avg_b b JOIN avg_t t USING (doc_id)
+    ORDER BY dsir_weight DESC, doc_id
+    LIMIT 100
+"""
+)

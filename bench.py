@@ -112,6 +112,7 @@ def main() -> None:
         "void_stats",
         "link_prediction",
         "kcore_15",
+        "dsir_select",
     ]
 
     timings: dict[str, float] = {}

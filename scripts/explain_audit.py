@@ -564,6 +564,15 @@ def main() -> int:
         "LeftSemi" in p and "BroadcastNestedLoopJoin" not in p,
     )
 
+    ds = q.q_dsir_select(spark, SF_DIR)
+    p = plan_of(ds)
+    sections.append(("dsir_select (two cross-scorings + heap top-n)", p))
+    check(
+        "dsir_select: global top-n is TakeOrderedAndProject (no sort shuffle)",
+        "TakeOrderedAndProject" in p,
+    )
+    check("dsir_select: no cartesian product", "CartesianProduct" not in p)
+
     cs = q.q_characteristic_sets(spark, SF_DIR)
     p = plan_of(cs)
     sections.append(("characteristic_sets (two-level aggregation)", p))

@@ -379,3 +379,48 @@ def test_score_bigram_model_hot_split_is_invisible(spark):
         for r in score_bigram_model(tgt, model, hot_k=1).collect()
     }
     assert wide == split and len(wide) == 25
+
+
+def test_dsir_weights_rank_target_like_docs_first(spark):
+    from abecto_spark.operators.lm_quality import (
+        dsir_select,
+        dsir_weights,
+        train_bigram_model,
+    )
+
+    target_docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4) for i in range(10)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [(100, "alpha beta gamma delta alpha beta"),   # target-like
+         (101, "zig zag quux flub zig zag quux"),       # raw-only
+         (102, "alpha beta zig zag alpha beta zig")],   # mixed
+        "doc_id long, text string",
+    )
+    tm = train_bigram_model(target_docs)
+    bm = train_bigram_model(pool)
+    w = {r.doc_id: r.dsir_weight for r in dsir_weights(pool, tm, bm).collect()}
+    assert w[100] > w[102] > w[101]
+    # selection takes the top-n by weight with deterministic ties
+    top = [r.doc_id for r in dsir_select(pool, tm, bm, n=2).collect()]
+    assert top == [100, 102]
+
+
+def test_dsir_weight_is_score_difference(spark):
+    from abecto_spark.operators.lm_quality import (
+        dsir_weights,
+        score_bigram_model,
+        train_bigram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "c c a b a")], "doc_id long, text string"
+    )
+    tm = train_bigram_model(docs.where("doc_id = 1"))
+    bm = train_bigram_model(docs)
+    st = {r.doc_id: r.avg_nll for r in score_bigram_model(docs, tm).collect()}
+    sb = {r.doc_id: r.avg_nll for r in score_bigram_model(docs, bm).collect()}
+    got = {r.doc_id: r.dsir_weight for r in dsir_weights(docs, tm, bm).collect()}
+    for d in (1, 2):
+        assert got[d] == sb[d] - st[d]

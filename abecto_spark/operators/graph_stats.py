@@ -407,3 +407,72 @@ def void_stats(
         F.countDistinct(F.col(s)).alias("n_subjects"),
         F.countDistinct(F.col(o)).alias("n_objects"),
     )
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: c(v) = triangles(v) / C(deg(v), 2), 0 where deg < 2.
+    Composes ``triangle_counts`` (already degree-oriented) with the
+    degree table — one extra join, no new shuffle shapes.
+    Returns (node, deg, n_triangles, clustering).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_counts(und, src="u", dst="v")
+    pairs = (F.col("deg") * (F.col("deg") - 1) / 2.0)
+    return deg.join(tri, "node").select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(F.col("n_triangles") / pairs)
+        .alias("clustering"),
+    )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity of the undirected simple graph (Newman
+    2002): the Pearson correlation of (deg(u), deg(v)) over every edge
+    counted in both directions.  One row (assortativity, n_edges).
+    Pure aggregation — corr() is a single-pass combinable aggregate, so
+    the whole statistic is one map-side-combining job at any scale.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pairs = (
+        both.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+    )
+    return pairs.agg(
+        F.corr(F.col("du").cast("double"), F.col("dv").cast("double")).alias(
+            "assortativity"
+        ),
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+    )

@@ -1890,6 +1890,30 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_clustering_coefficient(spark, sf):
+    """Per-node local clustering coefficient (triangles over wedge
+    pairs), composing the degree-oriented triangle count with the
+    degree table; coefficient rounded to 6 dp on both sides."""
+    from ..operators.graph_stats import clustering_coefficient
+
+    cc = clustering_coefficient(_part_edges(spark, sf))
+    return cc.select(
+        "node", "deg", "n_triangles", F.round("clustering", 6).alias("clustering")
+    )
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over all edges in both directions — a single
+    combinable aggregate; rounded to 6 dp on both sides."""
+    from ..operators.graph_stats import degree_assortativity
+
+    a = degree_assortativity(_part_edges(spark, sf))
+    return a.select(
+        F.round("assortativity", 6).alias("assortativity"), "n_edges"
+    )
+
+
 def _cs_triples(spark, sf):
     """Shared triple table for the KG-statistics rows: customers with
     conditionally-present predicates (acctbal only when > 5000, segment
@@ -2084,6 +2108,8 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "kcore_15": q_kcore,
     "dsir_select": q_dsir_select,
+    "clustering_coefficient": q_clustering_coefficient,
+    "assortativity": q_assortativity,
 }
 
 ORACLES = {
@@ -3491,3 +3517,50 @@ ORACLES["dsir_select"] = (
     LIMIT 100
 """
 )
+
+ORACLES["clustering_coefficient"] = """
+    WITH""" + _EDGES_CTE + """,
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    ori AS (
+      SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und JOIN deg d1 ON d1.node = und.u JOIN deg d2 ON d2.node = und.v),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS x, e2.b AS y
+      FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b <> e2.b
+      JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b),
+    corners AS (SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+      GROUP BY node)
+    SELECT deg.node AS node, deg.deg AS deg,
+           COALESCE(corners.n_triangles, 0) AS n_triangles,
+           ROUND(CASE WHEN deg.deg < 2 THEN 0.0
+                      ELSE COALESCE(corners.n_triangles, 0)
+                           / (deg.deg * (deg.deg - 1) / 2.0) END, 6)
+             AS clustering
+    FROM deg LEFT JOIN corners ON corners.node = deg.node
+"""
+
+ORACLES["assortativity"] = """
+    WITH""" + _EDGES_CTE + """,
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    bothdir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)
+    SELECT ROUND(corr(CAST(du.deg AS DOUBLE), CAST(dv.deg AS DOUBLE)), 6)
+             AS assortativity,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+    FROM bothdir
+    JOIN deg du ON du.node = bothdir.u
+    JOIN deg dv ON dv.node = bothdir.v
+"""

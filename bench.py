@@ -113,6 +113,8 @@ def main() -> None:
         "link_prediction",
         "kcore_15",
         "dsir_select",
+        "clustering_coefficient",
+        "assortativity",
     ]
 
     timings: dict[str, float] = {}

@@ -200,3 +200,30 @@ def test_kcore_round_bound_is_loud(spark):
     e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
     with pytest.raises(GraphStatsError):
         kcore(e, k=2, max_rounds=1)
+
+
+def test_clustering_coefficient(spark):
+    from abecto_spark.operators.graph_stats import clustering_coefficient
+
+    # K4 + pendant on node 1: node 1 has deg 4 (3 triangles of 6 wedge
+    # pairs), nodes 2-4 have deg 3 (3 of 3), the pendant has deg 1 -> 0
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(1, 5)])
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["clustering"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got[1] == (4, 3, pytest.approx(0.5))
+    for n in (2, 3, 4):
+        assert got[n] == (3, 3, pytest.approx(1.0))
+    assert got[5] == (1, 0, pytest.approx(0.0))
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from abecto_spark.operators.graph_stats import degree_assortativity
+
+    # a star graph is perfectly disassortative
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    row = degree_assortativity(e).collect()[0]
+    assert row["assortativity"] == pytest.approx(-1.0)
+    assert row["n_edges"] == 3

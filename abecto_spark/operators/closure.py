@@ -145,6 +145,75 @@ def connected_components(
     )
 
 
+def incremental_canonical(canonical: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Admit a batch of correspondence edges into an existing canonical
+    map WITHOUT re-running connected components over the accumulated
+    edge history — the O(|batch|) admission shape for corpus growth
+    (the CC analog of ``dedup.incremental_dedup``).
+
+    Equivalence: ``incremental_canonical(connected_components(H), B)``
+    produces exactly ``connected_components(H ∪ B)`` (tested, and the
+    ``incremental_canonical`` driver oracle replays the full closure),
+    because canonical ids are minimum members: mapping each batch edge
+    through the existing labels yields a *label-level merge graph* whose
+    nodes are old canonical ids and brand-new resources, and the minimum
+    label of a merged component equals the minimum member of the merged
+    clusters.
+
+    Cost: CC runs only on the label-level merge graph (≤ |batch| edges —
+    typically tiny vs. history); the relabel is one join keyed on
+    canonical_id (broadcastable — the merge map has at most 2·|batch|
+    rows) plus an anti-join for new resources.  History edges are never
+    touched, so per-batch cost is independent of corpus size.
+    """
+    batch = (
+        new_edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    c_src = canonical.select(
+        F.col("resource").alias("src"), F.col("canonical_id").alias("c_src")
+    )
+    c_dst = canonical.select(
+        F.col("resource").alias("dst"), F.col("canonical_id").alias("c_dst")
+    )
+    label_edges = (
+        batch.join(c_src, "src", "left")
+        .join(c_dst, "dst", "left")
+        .select(
+            F.coalesce("c_src", F.col("src")).alias("src"),
+            F.coalesce("c_dst", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    merge_map = connected_components(label_edges)  # (label, new canonical)
+    # at most 2·|batch| rows — AQE turns the relabel join into a
+    # broadcast when the batch is admission-sized (no forced hint, so a
+    # bulk back-fill batch degrades to a shuffle join instead of OOM)
+    relabel = merge_map.select(
+        F.col("resource").alias("canonical_id"),
+        F.col("canonical_id").alias("new_canonical"),
+    )
+    updated = canonical.join(relabel, "canonical_id", "left").select(
+        "resource",
+        F.coalesce("new_canonical", F.col("canonical_id")).alias("canonical_id"),
+    )
+    new_nodes = (
+        batch.select(F.col("src").alias("resource"))
+        .unionByName(batch.select(F.col("dst").alias("resource")))
+        .distinct()
+        .join(canonical.select("resource"), "resource", "left_anti")
+    )
+    # every brand-new resource is a node of the label graph (its edge
+    # cannot have been degenerate: it maps to itself, the other side to
+    # an existing resource id or itself, and ids are distinct)
+    new_rows = new_nodes.join(merge_map, "resource").select(
+        "resource", "canonical_id"
+    )
+    return updated.unionByName(new_rows)
+
+
 def canonical_from_value_links(
     links: DataFrame,
     values: DataFrame,
@@ -289,9 +358,13 @@ class MappingGraph:
             .localCheckpoint(eager=True)
         )
         if not self._has_incorr:
-            # no constraints: plain accumulate + re-canonicalize
+            # no constraints: plain accumulate; maintain the canonical map
+            # incrementally when one exists (O(|batch|), history untouched)
             self.corr = self.corr.unionByName(cand).localCheckpoint(eager=True)
-            self._canonical = None
+            if self._canonical is not None:
+                self._canonical = incremental_canonical(
+                    self._canonical, cand
+                ).localCheckpoint(eager=True)
             self._has_corr = True
             return cand
         for _ in range(max_conflict_rounds):

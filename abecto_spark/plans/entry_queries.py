@@ -1890,6 +1890,37 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_incremental_canonical(spark, sf):
+    """Batch admission into an existing canonical map WITHOUT re-running
+    CC over history (operators/closure.py incremental_canonical): the
+    history closure is the nation→region star; the batch attaches
+    sampled customers; the oracle replays the FULL closure over the
+    union — proving incremental == full."""
+    from ..operators.closure import connected_components, incremental_canonical
+
+    n = _t(spark, sf, "nation")
+    history = n.select(
+        F.concat(
+            F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")
+        ).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    base = connected_components(history)
+    batch = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.concat(
+                F.lit("c"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("src"),
+            F.concat(
+                F.lit("n"), F.lpad(F.col("c_nationkey").cast("string"), 2, "0")
+            ).alias("dst"),
+        )
+    )
+    return incremental_canonical(base, batch)
+
+
 def q_clustering_coefficient(spark, sf):
     """Per-node local clustering coefficient (triangles over wedge
     pairs), composing the degree-oriented triangle count with the
@@ -2110,6 +2141,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "clustering_coefficient": q_clustering_coefficient,
     "assortativity": q_assortativity,
+    "incremental_canonical": q_incremental_canonical,
 }
 
 ORACLES = {
@@ -3563,4 +3595,32 @@ ORACLES["assortativity"] = """
     FROM bothdir
     JOIN deg du ON du.node = bothdir.u
     JOIN deg dv ON dv.node = bothdir.v
+"""
+
+ORACLES["incremental_canonical"] = """
+    WITH m AS (
+      SELECT n_regionkey,
+             'n' || lpad(CAST(MIN(n_nationkey) AS VARCHAR), 2, '0') AS nmin
+      FROM nation GROUP BY n_regionkey),
+    cm AS (
+      SELECT n.n_regionkey,
+             MIN('c' || lpad(CAST(c.c_custkey AS VARCHAR), 6, '0')) AS cmin
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_custkey % 7 = 0
+      GROUP BY n.n_regionkey),
+    canon AS (
+      SELECT m.n_regionkey,
+             COALESCE(LEAST(cm.cmin, m.nmin), m.nmin) AS c
+      FROM m LEFT JOIN cm ON cm.n_regionkey = m.n_regionkey)
+    SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS resource,
+           canon.c AS canonical_id
+    FROM nation JOIN canon USING (n_regionkey)
+    UNION ALL
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR), canon.c
+    FROM region JOIN canon ON r_regionkey = canon.n_regionkey
+    UNION ALL
+    SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 6, '0'), canon.c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN canon USING (n_regionkey)
+    WHERE c_custkey % 7 = 0
 """

@@ -443,3 +443,51 @@ def run_span_dedup_stream(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def run_canonical_stream(
+    edges_stream: DataFrame,
+    map_path: str,
+    checkpoint: str | None = None,
+):
+    """Streaming KG admission: correspondence edges arrive as a stream
+    and a persisted canonical map (parquet at ``map_path``, columns
+    (resource, canonical_id)) is maintained via
+    ``operators/closure.incremental_canonical`` — each micro-batch costs
+    O(|batch|) (CC over the label-level merge graph only), never a
+    rescan of edge history, so the stream's steady-state cost is
+    independent of how large the accumulated graph has grown.  The map
+    is rewritten atomically-enough for this sandbox (overwrite of the
+    parquet dir after the new map is computed); production would swap an
+    Iceberg table commit in.  Batch jobs reading the same path see every
+    admitted batch (same store-sharing contract as
+    ``run_span_dedup_stream``).  A replayed epoch is idempotent:
+    re-admitting edges whose endpoints already share a canonical id is
+    a no-op merge.  Drives the query to completion and returns it
+    stopped."""
+    from ..operators.closure import incremental_canonical
+
+    spark = edges_stream.sparkSession
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        try:
+            current = spark.read.parquet(map_path)
+            have = True
+        except Exception:
+            current = spark.createDataFrame([], "resource string, canonical_id string")
+            have = False
+        updated = incremental_canonical(current, batch_df).localCheckpoint(
+            eager=True
+        )
+        # localCheckpoint above materializes the new map BEFORE the
+        # overwrite touches the directory the plan was reading from
+        mode = "overwrite" if have else "error"
+        updated.write.mode(mode).parquet(map_path)
+
+    writer = edges_stream.writeStream.foreachBatch(_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -115,6 +115,7 @@ def main() -> None:
         "dsir_select",
         "clustering_coefficient",
         "assortativity",
+        "incremental_canonical",
     ]
 
     timings: dict[str, float] = {}

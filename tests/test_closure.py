@@ -130,3 +130,65 @@ def test_cc_nul_prefixed_node_names(spark):
         for v in comps.values()
     )
     assert real == [("r1", "r2"), ("r3", "r4")]
+
+
+def test_incremental_canonical_equals_full_cc(spark):
+    import random
+
+    from abecto_spark.operators.closure import (
+        connected_components,
+        incremental_canonical,
+    )
+    from tests.conftest import rows_set
+
+    rnd = random.Random(7)
+    nodes = [f"x{i:03d}" for i in range(60)]
+    edges = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    full = connected_components(
+        spark.createDataFrame(edges, "src string, dst string")
+    )
+    for cut in (10, len(edges) // 2, len(edges) - 5):
+        hist = spark.createDataFrame(edges[:cut], "src string, dst string")
+        batch = spark.createDataFrame(edges[cut:], "src string, dst string")
+        inc = incremental_canonical(connected_components(hist), batch)
+        assert rows_set(inc, "resource", "canonical_id") == rows_set(
+            full, "resource", "canonical_id"
+        )
+
+
+def test_incremental_canonical_new_resources_and_min_label(spark):
+    from abecto_spark.operators.closure import (
+        connected_components,
+        incremental_canonical,
+    )
+    from tests.conftest import rows_set
+
+    # batch brings a brand-new resource whose id is SMALLER than the
+    # existing canonical: the merged cluster must re-elect it
+    hist = spark.createDataFrame([("b", "c")], "src string, dst string")
+    batch = spark.createDataFrame(
+        [("a", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = rows_set(
+        incremental_canonical(connected_components(hist), batch),
+        "resource",
+        "canonical_id",
+    )
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_mapping_graph_incremental_path_matches_recompute(spark):
+    from abecto_spark.operators.closure import MappingGraph, connected_components
+    from tests.conftest import rows_set
+
+    g = MappingGraph(spark)
+    b1 = spark.createDataFrame([("m", "n"), ("n", "o")], "src string, dst string")
+    b2 = spark.createDataFrame([("o", "p"), ("q", "r")], "src string, dst string")
+    g.add_correspondences(b1)
+    g.canonical()  # force the map so the second batch takes the incremental path
+    g.add_correspondences(b2)
+    expect = connected_components(b1.unionByName(b2))
+    assert rows_set(g.canonical(), "resource", "canonical_id") == rows_set(
+        expect, "resource", "canonical_id"
+    )

@@ -1049,3 +1049,38 @@ def test_streaming_lm_score_matches_batch(spark, tmp_path):
         for r in score_bigram_model(flat, model).collect()
     }
     assert got == exp and got
+
+
+def test_run_canonical_stream_maintains_persisted_map(spark, tmp_path):
+    """Streaming KG admission: micro-batches of correspondence edges
+    maintain a persisted canonical map via incremental_canonical; after
+    two separate queries against the same map path the map equals the
+    full closure over everything admitted (incl. a later batch re-
+    electing a smaller canonical for an existing cluster)."""
+    from abecto_spark.streaming.stream import run_canonical_stream
+
+    src1 = str(tmp_path / "e1")
+    src2 = str(tmp_path / "e2")
+    mp = str(tmp_path / "canon")
+    spark.createDataFrame(
+        [("b", "c"), ("m", "n")], "src string, dst string"
+    ).write.parquet(src1)
+    run_canonical_stream(
+        spark.readStream.schema("src string, dst string").parquet(src1),
+        mp,
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    m1 = {r["resource"]: r["canonical_id"]
+          for r in spark.read.parquet(mp).collect()}
+    assert m1 == {"b": "b", "c": "b", "m": "m", "n": "m"}
+    spark.createDataFrame(
+        [("a", "c"), ("n", "o")], "src string, dst string"
+    ).write.parquet(src2)
+    run_canonical_stream(
+        spark.readStream.schema("src string, dst string").parquet(src2),
+        mp,
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    m2 = {r["resource"]: r["canonical_id"]
+          for r in spark.read.parquet(mp).collect()}
+    assert m2 == {"a": "a", "b": "a", "c": "a", "m": "m", "n": "m", "o": "m"}

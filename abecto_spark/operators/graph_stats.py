@@ -157,6 +157,93 @@ def pagerank(
     return ranks
 
 
+def pagerank_resumable(
+    edges: DataFrame,
+    store,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    resume: bool = True,
+) -> DataFrame:
+    """PageRank with per-iteration snapshots: ranks after iteration i
+    persist to ``store`` (a ``sources.checkpoint.SnapshotStore``) as
+    stage ``pagerank_iter_{i}``, keyed by a config token of
+    (damping, |V| via the edges stage).  A killed job resumes from the
+    last completed iteration instead of restarting the loop — the same
+    contract the docs pipeline gives its S1–S5 stages, applied to the
+    one long iterative operator in the graph family.  Identical results
+    to ``pagerank`` (asserted in tests): each resumed iteration reads
+    the snapshot parquet, so the arithmetic sequence is unchanged.
+
+    Scale note: a snapshot is |V| rows per iteration — at 10⁹ nodes and
+    k=20 this is the cheap insurance against losing 20 corpus-scale
+    shuffle rounds to one executor failure past Spark's lineage-replay
+    horizon.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    # scope-by-store contract (same as the docs pipeline): one store root
+    # per graph; the token guards damping/|V| config drift within it
+    token = f"d={damping!r};n={n}"
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("double").alias("od"))
+        .localCheckpoint()
+    )
+
+    start = 0
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if resume:
+        for i in range(iterations, 0, -1):
+            if store.has(f"pagerank_iter_{i}", token):
+                ranks, start = store.read(f"pagerank_iter_{i}"), i
+                break
+    base = (1.0 - damping) / n
+    for i in range(start, iterations):
+        with_od = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_od.where(F.col("od").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contribs = (
+            e.join(
+                with_od.where(F.col("od").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        store.write(ranks, f"pagerank_iter_{i + 1}", token)
+        ranks = store.read(f"pagerank_iter_{i + 1}")
+    return ranks
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle participation counts, (node, n_triangles).
 

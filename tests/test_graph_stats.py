@@ -227,3 +227,40 @@ def test_degree_assortativity_star_is_minus_one(spark):
     row = degree_assortativity(e).collect()[0]
     assert row["assortativity"] == pytest.approx(-1.0)
     assert row["n_edges"] == 3
+
+
+def test_pagerank_resumable_matches_and_resumes(spark, tmp_path):
+    from abecto_spark.operators.graph_stats import pagerank, pagerank_resumable
+    from abecto_spark.sources.checkpoint import SnapshotStore
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (5, 1)]
+    e = _edges(spark, pairs)
+    store = SnapshotStore(spark, str(tmp_path / "pr"))
+    full = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_resumable(e, store, iterations=5).collect()
+    }
+    assert set(got) == set(full)
+    for k in full:
+        assert got[k] == pytest.approx(full[k], rel=1e-12)
+    # simulate a kill after iteration 3: wipe snapshots 4 and 5, resume
+    import shutil
+
+    for i in (4, 5):
+        shutil.rmtree(str(tmp_path / "pr" / f"pagerank_iter_{i}"))
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank_resumable(e, store, iterations=5).collect()
+    }
+    for k in full:
+        assert resumed[k] == pytest.approx(full[k], rel=1e-12)
+    # a fresh run with resume=False must not read stale snapshots
+    fresh = {
+        r["node"]: r["rank"]
+        for r in pagerank_resumable(
+            e, store, iterations=5, resume=False
+        ).collect()
+    }
+    for k in full:
+        assert fresh[k] == pytest.approx(full[k], rel=1e-12)

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Graph-analytics dress rehearsal (the graph-family analog of the 10M-doc
+pipeline rehearsal): a deterministic synthetic graph orders of magnitude
+beyond the sf0.1 bench inputs, with planted hubs, driven through the
+operators whose scale behavior SCALE.md models — PageRank (k iterations of
+|E| scans + |V| shuffles), degree-oriented triangle counting (the hub-cap
+claim), and k-core peeling.
+
+Graph: --edges E over --nodes V endpoints via xxhash64 (uniform), plus
+--hub-frac of edges redirected onto --hubs hot destinations, giving the
+skew that breaks naive triangle enumeration.  All derivation is
+hash-deterministic (no rand()).
+
+Usage: python scripts/graph_scale_probe.py [--edges 10000000]
+Prints one JSON line with per-operator wall seconds and output sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=10_000_000)
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--hubs", type=int, default=100)
+    ap.add_argument("--hub-frac", type=float, default=0.02)
+    ap.add_argument("--kcore-k", type=int, default=25)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from abecto_spark.operators.graph_stats import (
+        degree_stats,
+        kcore,
+        pagerank,
+        triangle_counts,
+    )
+    from abecto_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="abecto_graph_probe",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+
+    base = spark.range(args.edges).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(args.nodes)).alias("src"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000))
+            < int(args.hub_frac * 10_000),
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(args.hubs)),
+        )
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(args.nodes)))
+        .alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    edges = base.localCheckpoint(eager=True)
+    n_edges = edges.count()
+
+    out = {"edges": n_edges, "nodes": args.nodes, "hubs": args.hubs,
+           "hub_frac": args.hub_frac, "cpus": args.cpus,
+           "load_before": os.getloadavg()}
+
+    def run(name, fn):
+        t0 = time.time()
+        res = fn()
+        cnt = res.count()
+        out[name] = {"sec": round(time.time() - t0, 1), "rows": cnt}
+        print(f"{name}: {out[name]}", file=sys.stderr)
+
+    run("degree_stats", lambda: degree_stats(edges))
+    run("pagerank_k5", lambda: pagerank(edges, iterations=5))
+    run("triangle_counts", lambda: triangle_counts(edges))
+    run("kcore", lambda: kcore(edges, k=args.kcore_k, max_rounds=30))
+    out["load_after"] = os.getloadavg()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -582,6 +582,45 @@ def main() -> int:
         "partial_collect_set" in p or "ObjectHashAggregate" in p,
     )
 
+    vs = q.q_void_stats(spark, SF_DIR)
+    p = plan_of(vs)
+    sections.append(("void_stats (per-predicate partition statistics)", p))
+    check("void_stats: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "void_stats: map-side partial aggregation (distincts expand, then combine)",
+        "partial_count" in p,
+    )
+
+    ccf = q.q_clustering_coefficient(spark, SF_DIR)
+    p = plan_of(ccf)
+    sections.append(("clustering_coefficient (oriented triangles over wedges)", p))
+    check("clustering_coefficient: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "clustering_coefficient: map-side partial aggregation",
+        "partial_count" in p,
+    )
+
+    asrt = q.q_assortativity(spark, SF_DIR)
+    p = plan_of(asrt)
+    sections.append(("assortativity (single combinable corr aggregate)", p))
+    check("assortativity: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "assortativity: corr partially aggregates map-side",
+        "partial_corr" in p,
+    )
+
+    # incremental_canonical: the relabel join keys on canonical_id and the
+    # merge map is admission-sized — it must come back hash/broadcast,
+    # never as a nested loop over the history map
+    ic = q.q_incremental_canonical(spark, SF_DIR)
+    p = plan_of(ic)
+    sections.append(("incremental_canonical (label-graph merge + relabel join)", p))
+    check("incremental_canonical: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "incremental_canonical: relabel/new-node joins are hash joins, not nest-loop",
+        "BroadcastNestedLoopJoin" not in p,
+    )
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

@@ -44,6 +44,15 @@ itself, the natural next consumer in a kg_construct deployment).
                            ``approx_count_distinct`` (documented, same
                            shape).
 
+  * bfs_distances        — multi-source BFS (node, min-hop dist) via
+                           frontier joins with a settled-set anti-join;
+                           bounded by max_depth rounds, early exit when
+                           the frontier drains.
+  * personalized_pagerank— fixed-iteration PPR: reset vector uniform
+                           over a seed set, dangling mass teleports to
+                           the seeds; same in-plan dangling aggregate
+                           and per-round localCheckpoint as pagerank.
+
 Scale notes: every operator is groupBy/join-shaped with no driver-side
 iteration over data (pagerank's only scalar is |V|, one count).  Degree
 skew concentrates in partial aggregation, not in any single reducer;
@@ -563,3 +572,146 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         ),
         (F.count("*") / 2).cast("long").alias("n_edges"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) for every node reachable from the
+    seed set within ``max_depth`` hops, dist = minimum hop count from
+    any seed (0 for the seeds themselves).
+
+    Frontier-based: round d joins the depth-(d-1) frontier against the
+    edge table, anti-joins the already-settled set, and tags survivors
+    with dist=d — the same frontier kernel as the SPARQL seeded path
+    closure (sparql.py), re-expressed for weighted-less shortest paths.
+    Each round is one equi-join shuffle keyed on the edge source plus an
+    anti-join on the settled set; ``localCheckpoint`` keeps lineage flat
+    and the per-round driver scalar is a frontier count (early exit when
+    it drains).  Bounded by ``max_depth`` rounds — BFS layers, unlike a
+    fixpoint, are exact at whatever bound the caller picks, and the
+    driver oracle recurses to the same bound.
+
+    Scale: the frontier is never collected; settled-set anti-joins stay
+    shuffle-local once both sides share the node-key partitioning, and
+    the per-level distinct bounds revisits on cyclic graphs.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.where(F.col("s") != F.col("d")).distinct().localCheckpoint()
+
+    settled = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return settled
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank: the reset vector is
+    uniform over the seed set instead of all nodes, so rank mass
+    expresses relevance *to the seeds* — the KG-side "related entities"
+    primitive (seed an entity, read off its neighborhood by stationary
+    mass).
+
+    rank_{i+1}(v) = (1-d)·r(v) + d·(Σ_{u→v} rank_i(u)/outdeg(u)
+                                     + dangling_i·r(v))
+
+    with r(v) = 1/|S| for seeds, 0 otherwise; dangling mass returns to
+    the seeds (the standard PPR teleport).  Same in-plan discipline as
+    ``pagerank``: the dangling term is a 1-row aggregate broadcast
+    back, ranks are ``localCheckpoint``-ed per round, and the only
+    driver scalar is |S| (one count).  Returns (node, rank) unrounded.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint()
+    )
+    n_seeds = seed_nodes.count()  # the one driver scalar: |S|
+    if n_seeds == 0:
+        raise GraphStatsError("personalized_pagerank: empty seed set")
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("double").alias("od"))
+        .localCheckpoint()
+    )
+    # reset vector r(v): 1/|S| on seeds, 0 elsewhere — kept as a column
+    # on the node table so every round reads it without a rejoin
+    reset = nodes.join(
+        seed_nodes.withColumn("_r", F.lit(1.0 / n_seeds)), "node", "left"
+    ).select("node", F.coalesce("_r", F.lit(0.0)).alias("r")).localCheckpoint()
+
+    ranks = reset.select("node", F.col("r").alias("rank"))
+    for _ in range(iterations):
+        with_od = ranks.join(outdeg, "node", "left")
+        dangling = (
+            with_od.where(F.col("od").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contribs = (
+            e.join(
+                with_od.where(F.col("od").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("inflow"))
+        )
+        ranks = (
+            reset.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("r")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dangling") * F.col("r")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

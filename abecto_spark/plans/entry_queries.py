@@ -1945,6 +1945,44 @@ def q_assortativity(spark, sf):
     )
 
 
+def q_kg_bfs_distances(spark, sf):
+    """Multi-source BFS over the directed part graph: minimum hop count
+    from the deterministic seed set (node % 97 == 0) within 6 hops —
+    frontier joins with per-level distinct and settled-set anti-join
+    (operators/graph_stats.py bfs_distances); the oracle recurses a
+    deduplicating (node, dist) CTE to the same bound and takes MIN per
+    node."""
+    from ..operators.graph_stats import bfs_distances
+
+    e = _part_edges(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    return bfs_distances(e, seeds, max_depth=6)
+
+
+def q_kg_ppr(spark, sf):
+    """Personalized PageRank (k=5, d=0.85) with the reset vector uniform
+    over the same deterministic seed set (node % 97 == 0) and dangling
+    mass teleporting back to the seeds — the KG "related entities"
+    primitive; the oracle unrolls the same five update steps as chained
+    CTEs.  Ranks rounded to 6 dp on both sides."""
+    from ..operators.graph_stats import personalized_pagerank
+
+    e = _part_edges(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    ppr = personalized_pagerank(e, seeds, iterations=5, damping=0.85)
+    return ppr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _cs_triples(spark, sf):
     """Shared triple table for the KG-statistics rows: customers with
     conditionally-present predicates (acctbal only when > 5000, segment
@@ -2058,6 +2096,49 @@ def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _ppr_oracle_sql(
+    iterations: int = 5, damping: float = 0.85, seed_mod: int = 97
+) -> str:
+    """Unroll the personalized-PageRank update (reset vector uniform
+    over the ``node % seed_mod == 0`` seed set, dangling mass teleports
+    to the seeds) as chained CTEs, mirroring
+    operators/graph_stats.py personalized_pagerank step for step."""
+    one_minus = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        "WITH" + _EDGES_CTE + f""",
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        seeds AS (SELECT node FROM nodes WHERE node % {seed_mod} = 0),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        od AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+        rv AS (SELECT nodes.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS r
+               FROM nodes LEFT JOIN seeds s ON nodes.node = s.node),
+        pr0 AS (SELECT node, r AS rank FROM rv)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr{i - 1}"
+        parts.append(f""",
+        pr{i} AS (
+          SELECT rv.node,
+            CAST({one_minus} AS DOUBLE) * rv.r
+            + CAST({d} AS DOUBLE) * (COALESCE(inc.s, 0)
+              + (SELECT COALESCE(SUM(p.rank), 0) FROM {prev} p
+                 LEFT JOIN od o ON p.node = o.node WHERE o.node IS NULL)
+                * rv.r) AS rank
+          FROM rv LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / o.od) AS s
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            JOIN od o ON e.src = o.node
+            GROUP BY e.dst) inc ON rv.node = inc.node)""")
+    parts.append(
+        f"\n        SELECT node, ROUND(rank, 6) AS rank FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "aspect_scan": q_aspect_scan,
     "aspect_bgp": q_aspect_bgp,
@@ -2142,6 +2223,8 @@ QUERIES = {
     "clustering_coefficient": q_clustering_coefficient,
     "assortativity": q_assortativity,
     "incremental_canonical": q_incremental_canonical,
+    "kg_bfs_distances": q_kg_bfs_distances,
+    "kg_ppr": q_kg_ppr,
 }
 
 ORACLES = {
@@ -3459,6 +3542,21 @@ ORACLES["kg_degree_stats"] = """
 """
 
 ORACLES["kg_pagerank"] = _pagerank_oracle_sql(iterations=5, damping=0.85)
+
+ORACLES["kg_bfs_distances"] = """
+    WITH RECURSIVE""" + _EDGES_CTE + """,
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+    reach(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < 6
+    )
+    SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+"""
+
+ORACLES["kg_ppr"] = _ppr_oracle_sql(iterations=5, damping=0.85, seed_mod=97)
 
 ORACLES["kg_triangles"] = """
     WITH""" + _EDGES_CTE + """,

@@ -116,6 +116,8 @@ def main() -> None:
         "clustering_coefficient",
         "assortativity",
         "incremental_canonical",
+        "kg_bfs_distances",
+        "kg_ppr",
     ]
 
     timings: dict[str, float] = {}

@@ -600,6 +600,53 @@ def main() -> int:
         "partial_count" in p,
     )
 
+    # bfs_distances: audit one lazily-rebuilt frontier step — the edge
+    # probe must be a hash join on the source key and the settled-set
+    # anti-join a hash/broadcast anti, never a nested loop
+    seeds0 = nodes.where(FF.col("node") % 97 == 0)
+    settled0 = seeds0.withColumn("dist", FF.lit(0).cast("long"))
+    bfs_step = (
+        edges.join(seeds0.withColumnRenamed("node", "src"), "src")
+        .select(FF.col("dst").alias("node"))
+        .distinct()
+        .join(settled0.select("node"), "node", "left_anti")
+        .withColumn("dist", FF.lit(1).cast("long"))
+    )
+    p = plan_of(bfs_step)
+    sections.append(("kg_bfs_distances single frontier step (hash join + anti-join)", p))
+    check("bfs step: no cartesian product", "CartesianProduct" not in p)
+    check("bfs step: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check(
+        "bfs step: settled-set exclusion is an anti join",
+        "LeftAnti" in p,
+    )
+
+    # personalized_pagerank: same update-step shape as pagerank plus the
+    # reset-vector multiply; the dangling 1-row aggregate must broadcast
+    rv = nodes.join(
+        seeds0.withColumn("_r", FF.lit(0.5)), "node", "left"
+    ).select("node", FF.coalesce("_r", FF.lit(0.0)).alias("r"))
+    ppr_step = (
+        rv.join(contribs, "node", "left")
+        .crossJoin(FF.broadcast(dangling))
+        .select(
+            "node",
+            (
+                FF.lit(0.15) * FF.col("r")
+                + FF.lit(0.85)
+                * (FF.coalesce("inflow", FF.lit(0.0)) + FF.col("dangling") * FF.col("r"))
+            ).alias("rank"),
+        )
+    )
+    p = plan_of(ppr_step)
+    sections.append(("kg_ppr single update step (reset-vector multiply, broadcast dangling)", p))
+    check("kg_ppr step: no cartesian product", "CartesianProduct" not in p)
+    check("kg_ppr step: map-side partial aggregation on dst", "partial_sum" in p)
+    check(
+        "kg_ppr step: dangling mass joined via broadcast",
+        "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+    )
+
     asrt = q.q_assortativity(spark, SF_DIR)
     p = plan_of(asrt)
     sections.append(("assortativity (single combinable corr aggregate)", p))

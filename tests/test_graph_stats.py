@@ -264,3 +264,82 @@ def test_pagerank_resumable_matches_and_resumes(spark, tmp_path):
     }
     for k in full:
         assert fresh[k] == pytest.approx(full[k], rel=1e-12)
+
+
+def test_bfs_distances_chain_and_cycle(spark):
+    from abecto_spark.operators.graph_stats import bfs_distances
+
+    # 1→2→3→4 chain plus a back edge 3→1 (cycle must not re-settle 1)
+    # and an unreachable island 9→10
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (3, 1), (9, 10)])
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = rows_set(bfs_distances(e, seeds, max_depth=8), "node", "dist")
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from abecto_spark.operators.graph_stats import bfs_distances
+
+    # node 3 is 2 hops from seed 1 but 1 hop from seed 5 → dist 1
+    e = _edges(spark, [(1, 2), (2, 3), (5, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in
+           bfs_distances(e, seeds, max_depth=8).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_distances_depth_bound_and_undirected(spark):
+    from abecto_spark.operators.graph_stats import bfs_distances
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = rows_set(bfs_distances(e, seeds, max_depth=2), "node", "dist")
+    assert got == {(1, 0), (2, 1), (3, 2)}  # 4 is beyond the bound
+    # undirected: seeding at the chain's far end walks backwards too
+    seeds4 = spark.createDataFrame([(4,)], "node bigint")
+    und = rows_set(
+        bfs_distances(e, seeds4, max_depth=8, directed=False), "node", "dist"
+    )
+    assert und == {(4, 0), (3, 1), (2, 2), (1, 3)}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from abecto_spark.operators.graph_stats import personalized_pagerank
+
+    # 4-node graph with a dangling node (4) and seeds {1}; reference is
+    # the same fixed-k update computed densely in numpy
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    k, d = 5, 0.85
+    nodes = [1, 2, 3, 4]
+    idx = {n: i for i, n in enumerate(nodes)}
+    r = np.array([1.0, 0.0, 0.0, 0.0])
+    outdeg = {1: 2.0, 2: 1.0, 3: 1.0}
+    rank = r.copy()
+    for _ in range(k):
+        inflow = np.zeros(4)
+        for s, t in pairs:
+            inflow[idx[t]] += rank[idx[s]] / outdeg[s]
+        dangling = rank[idx[4]]
+        rank = (1 - d) * r + d * (inflow + dangling * r)
+    got = {row["node"]: row["rank"]
+           for row in personalized_pagerank(e, seeds, iterations=k).collect()}
+    for n in nodes:
+        assert got[n] == pytest.approx(rank[idx[n]], abs=1e-12)
+    # mass never leaks: total rank stays 1 under the seed teleport
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_empty_seeds_is_loud(spark):
+    from abecto_spark.operators.graph_stats import (
+        GraphStatsError,
+        personalized_pagerank,
+    )
+
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(99,)], "node bigint")  # not in graph
+    with pytest.raises(GraphStatsError):
+        personalized_pagerank(e, seeds)

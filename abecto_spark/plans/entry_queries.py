@@ -1486,6 +1486,63 @@ def q_windowed_agg(spark, sf):
     )
 
 
+def q_events_asof(spark, sf):
+    """As-of enrichment (operators/temporal.py asof_join): every click
+    event carries the value of the user's latest purchase at or before
+    it — one window pass over the tagged union, no range cross-join;
+    the oracle is DuckDB's native ASOF LEFT JOIN.  The purchase side is
+    pre-deduped per (user, ts) so equal-timestamp winners are
+    deterministic on both engines."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(clicks, purchases, on="user_id", time_col="ts")
+
+
+def q_events_interval(spark, sf):
+    """Bucketized range join (operators/temporal.py interval_join):
+    error events matched to same-user signup windows [ts, ts+2h) via
+    the (key, hour-bucket) equi-join + residual filter rewrite; the
+    oracle is the plain inequality join."""
+    from ..operators.temporal import interval_join
+
+    ev = _t(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    return interval_join(
+        errors, signups, on="user_id", time_col="ts",
+        start_col="s", end_col="e", bucket_seconds=3600,
+    )
+
+
+def q_events_rollup(spark, sf):
+    """Multi-resolution rollup in one pass: (event_type, day) /
+    (event_type) / grand-total aggregates via GROUP BY ROLLUP — the
+    hypertable-style downsampling shape, pure partial-aggregating
+    Catalyst."""
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
 def q_doc_fingerprint(spark, sf):
     # whitespace/case-insensitive content fingerprint (md5 form so the
     # oracle can reproduce it; the library default is xxhash64)
@@ -2225,6 +2282,9 @@ QUERIES = {
     "incremental_canonical": q_incremental_canonical,
     "kg_bfs_distances": q_kg_bfs_distances,
     "kg_ppr": q_kg_ppr,
+    "events_asof": q_events_asof,
+    "events_interval": q_events_interval,
+    "events_rollup": q_events_rollup,
 }
 
 ORACLES = {
@@ -3557,6 +3617,34 @@ ORACLES["kg_bfs_distances"] = """
 """
 
 ORACLES["kg_ppr"] = _ppr_oracle_sql(iterations=5, damping=0.85, seed_mod=97)
+
+# temporal joins: DuckDB's native ASOF JOIN / plain inequality join are
+# the oracles for the window-based and bucketized rewrites
+ORACLES["events_asof"] = """
+    SELECT l.event_id, l.user_id, l.ts, r.last_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS last_purchase_value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+ORACLES["events_interval"] = """
+    SELECT p.event_id, p.user_id, p.ts, i.signup_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') p
+    JOIN (SELECT event_id AS signup_id, user_id, ts AS s,
+                 ts + INTERVAL 2 HOUR AS e
+          FROM events WHERE event_type = 'signup') i
+      ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts < i.e
+"""
+
+ORACLES["events_rollup"] = """
+    SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+    GROUP BY ROLLUP (event_type, day)
+"""
 
 ORACLES["kg_triangles"] = """
     WITH""" + _EDGES_CTE + """,

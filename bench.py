@@ -118,6 +118,9 @@ def main() -> None:
         "incremental_canonical",
         "kg_bfs_distances",
         "kg_ppr",
+        "events_asof",
+        "events_interval",
+        "events_rollup",
     ]
 
     timings: dict[str, float] = {}

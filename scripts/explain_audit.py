@@ -647,6 +647,35 @@ def main() -> int:
         "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
     )
 
+    # temporal joins: asof must be ONE window pass (a single sort-based
+    # exchange on the key), never a range/nested-loop join; interval_join
+    # must come back as a hash equi-join on (key, bucket) with the range
+    # residual as a post-join filter
+    asof = q.q_events_asof(spark, SF_DIR)
+    p = plan_of(asof)
+    sections.append(("events_asof (tagged-union window pass, no range join)", p))
+    check("events_asof: no cartesian product", "CartesianProduct" not in p)
+    check("events_asof: no nested-loop join", "BroadcastNestedLoopJoin" not in p)
+    check("events_asof: single window pass carries the payload", "Window" in p)
+
+    ij = q.q_events_interval(spark, SF_DIR)
+    p = plan_of(ij)
+    sections.append(("events_interval (bucketized range-join rewrite)", p))
+    check("events_interval: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "events_interval: bucket match is a hash equi-join, not a nested loop",
+        "BroadcastNestedLoopJoin" not in p and "Join" in p,
+    )
+    check(
+        "events_interval: event_type filter pushed to the parquet scan",
+        "PushedFilters: [" in p and "event_type" in p.split("PushedFilters")[1][:200],
+    )
+
+    ro = q.q_events_rollup(spark, SF_DIR)
+    p = plan_of(ro)
+    sections.append(("events_rollup (GROUP BY ROLLUP, partial aggregation)", p))
+    check("events_rollup: map-side partial aggregation", "partial_count" in p)
+
     asrt = q.q_assortativity(spark, SF_DIR)
     p = plan_of(asrt)
     sections.append(("assortativity (single combinable corr aggregate)", p))

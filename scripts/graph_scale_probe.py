@@ -40,9 +40,11 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from abecto_spark.operators.graph_stats import (
+        bfs_distances,
         degree_stats,
         kcore,
         pagerank,
+        personalized_pagerank,
         triangle_counts,
     )
     from abecto_spark.session import get_spark
@@ -81,6 +83,20 @@ def main() -> int:
     run("pagerank_k5", lambda: pagerank(edges, iterations=5))
     run("triangle_counts", lambda: triangle_counts(edges))
     run("kcore", lambda: kcore(edges, k=args.kcore_k, max_rounds=30))
+
+    # multi-source BFS from ~1% of nodes (node % 97 == 0 — the driver
+    # query's deterministic seed rule) and personalized PageRank from
+    # the same seeds: the frontier/teleport scale behavior at hub skew
+    nodes_df = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = nodes_df.where(F.col("node") % 97 == 0).localCheckpoint(eager=True)
+    out["seeds"] = seeds.count()
+    run("bfs_distances_d6", lambda: bfs_distances(edges, seeds, max_depth=6))
+    run("ppr_k5", lambda: personalized_pagerank(edges, seeds, iterations=5))
     out["load_after"] = os.getloadavg()
     print(json.dumps(out))
     return 0

@@ -385,6 +385,43 @@ def run_lm_score_stream(
     return q
 
 
+def run_asof_enrich_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    out_path: str,
+    on: str,
+    time_col: str,
+    checkpoint: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_sec: int | None = None,
+):
+    """Streaming as-of enrichment against a STATIC dimension snapshot:
+    each micro-batch runs the exact batch ``operators/temporal.asof_join``
+    via ``foreachBatch`` and appends to ``out_path``.  Per-batch
+    application is exact because every output row depends only on its
+    own left row and the static right side — no cross-batch state, so
+    batch and streaming enrichments cannot drift (asserted by the
+    parity test).  A slowly-changing dimension swaps in by re-reading
+    the snapshot inside the closure (the standard stream-static
+    pattern); true bi-temporal stream-stream as-of would need
+    watermarked state and is out of scope here."""
+    from ..operators.temporal import asof_join
+
+    def _batch(batch_df: DataFrame, _epoch: int) -> None:
+        asof_join(
+            batch_df, dim, on=on, time_col=time_col,
+            right_cols=right_cols, tolerance_sec=tolerance_sec,
+        ).write.mode("append").parquet(out_path)
+
+    writer = events_stream.writeStream.foreachBatch(_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
 def run_span_dedup_stream(
     docs_stream: DataFrame,
     store_path: str,

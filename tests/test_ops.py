@@ -1084,3 +1084,46 @@ def test_run_canonical_stream_maintains_persisted_map(spark, tmp_path):
     m2 = {r["resource"]: r["canonical_id"]
           for r in spark.read.parquet(mp).collect()}
     assert m2 == {"a": "a", "b": "a", "c": "a", "m": "m", "n": "m", "o": "m"}
+
+
+def test_streaming_asof_enrich_parity(spark, tmp_path):
+    """foreachBatch as-of enrichment is the batch asof_join verbatim:
+    streamed rows equal the batch join over the same events, for any
+    micro-batching (each output row depends only on its own left row
+    and the static dimension)."""
+    import datetime as dt
+
+    from abecto_spark.operators.temporal import asof_join
+    from abecto_spark.streaming.stream import run_asof_enrich_stream
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 12, minute)
+
+    events = spark.createDataFrame(
+        [(i, i % 3, ts(i)) for i in range(12)],
+        "event_id bigint, k bigint, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [(0, ts(2), 10.0), (1, ts(5), 20.0), (0, ts(8), 30.0)],
+        "k bigint, ts timestamp, score double",
+    )
+    src = str(tmp_path / "asof_events")
+    events.write.parquet(src)
+    out = str(tmp_path / "asof_out")
+    stream = (
+        spark.readStream.schema("event_id bigint, k bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_asof_enrich_stream(
+        stream, dim, out, on="k", time_col="ts",
+        checkpoint=str(tmp_path / "asof_ckpt"),
+    )
+    got = {
+        (r.event_id, r.score) for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.event_id, r.score)
+        for r in asof_join(events, dim, on="k", time_col="ts").collect()
+    }
+    assert got == exp and len(got) == 12

@@ -172,3 +172,81 @@ def bucket_by_percentile(
     return out.withColumn("bucket", expr).drop(
         "_qv", *[f"_t{i}" for i in range(len(cuts))]
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_items_per_group: int | None = 200,
+) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence edges: for every pair
+    of distinct items appearing together in a group (order, document,
+    session), ``pmi = ln(p(a,b) / (p(a)·p(b)))`` with probabilities over
+    the group universe — the classic statistical relation-extraction
+    signal a KG-construction pass runs over baskets/co-mentions before
+    typed linking.
+
+    Returns (item_a, item_b, n_pairs, pmi) with item_a < item_b and
+    n_pairs >= ``min_pair_count``; pmi rounded to 6 dp (engine-parity
+    convention).
+
+    Scale: presence is deduped per (group, item) first, so the pair
+    fan-out is C(k, 2) per group where k = distinct items in the group
+    — bounded by the basket size, not the corpus.  Pathological groups
+    (a crawler session touching everything) are truncated to
+    ``max_items_per_group`` items (kept deterministically by item order)
+    BEFORE the self-join, the same super-hub cap as
+    link_prediction_scores; pass None to disable.  All joins are
+    equi-joins on the group key; counts partial-aggregate map-side.
+    """
+    from pyspark.sql import Window
+
+    pres = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_items_per_group is not None:
+        w = Window.partitionBy("g").orderBy("item")
+        pres = (
+            pres.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_items_per_group)
+            .drop("_rn")
+        )
+    pres = pres.localCheckpoint()
+    n_groups = pres.select("g").distinct().count()  # one driver scalar
+    item_counts = pres.groupBy("item").agg(F.count("*").alias("n_item"))
+
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_pair_count)
+    )
+    pa = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    pb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    n = float(n_groups)
+    return (
+        pairs.join(pa, "item_a")
+        .join(pb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pairs",
+            F.round(
+                F.log(
+                    (F.col("n_pairs") / n)
+                    / ((F.col("n_a") / n) * (F.col("n_b") / n))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

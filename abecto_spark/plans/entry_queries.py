@@ -1530,6 +1530,21 @@ def q_events_interval(spark, sf):
     )
 
 
+def q_part_pmi(spark, sf):
+    """PMI co-occurrence edges over order baskets (operators/stats.py
+    pmi_cooccurrence): parts co-occurring in >=2 orders scored by
+    ln(p(a,b)/(p(a)p(b))) — the statistical relation-extraction signal
+    before typed linking; pair fan-out bounded by basket size, capped
+    per group like link_prediction.  PMI rounded to 6 dp both sides."""
+    from ..operators.stats import pmi_cooccurrence
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return pmi_cooccurrence(
+        li, group_col="l_orderkey", item_col="l_partkey",
+        min_pair_count=2,
+    )
+
+
 def q_events_rollup(spark, sf):
     """Multi-resolution rollup in one pass: (event_type, day) /
     (event_type) / grand-total aggregates via GROUP BY ROLLUP — the
@@ -2285,6 +2300,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_interval": q_events_interval,
     "events_rollup": q_events_rollup,
+    "part_pmi": q_part_pmi,
 }
 
 ORACLES = {
@@ -3638,6 +3654,24 @@ ORACLES["events_interval"] = """
                  ts + INTERVAL 2 HOUR AS e
           FROM events WHERE event_type = 'signup') i
       ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts < i.e
+"""
+
+ORACLES["part_pmi"] = """
+    WITH pres AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+                  FROM lineitem),
+    ng AS (SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS n FROM pres),
+    ic AS (SELECT item, COUNT(*) AS n_item FROM pres GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pairs
+      FROM pres a JOIN pres b ON a.g = b.g AND a.item < b.item
+      GROUP BY a.item, b.item HAVING COUNT(*) >= 2)
+    SELECT item_a, item_b, n_pairs,
+           ROUND(LN((n_pairs / (SELECT n FROM ng))
+                 / ((pa.n_item / (SELECT n FROM ng))
+                    * (pb.n_item / (SELECT n FROM ng)))), 6) AS pmi
+    FROM pairs
+    JOIN ic pa ON pairs.item_a = pa.item
+    JOIN ic pb ON pairs.item_b = pb.item
 """
 
 ORACLES["events_rollup"] = """

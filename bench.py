@@ -121,6 +121,7 @@ def main() -> None:
         "events_asof",
         "events_interval",
         "events_rollup",
+        "part_pmi",
     ]
 
     timings: dict[str, float] = {}

@@ -676,6 +676,15 @@ def main() -> int:
     sections.append(("events_rollup (GROUP BY ROLLUP, partial aggregation)", p))
     check("events_rollup: map-side partial aggregation", "partial_count" in p)
 
+    pmi = q.q_part_pmi(spark, SF_DIR)
+    p = plan_of(pmi)
+    sections.append(("part_pmi (basket-bounded pair join, partial counts)", p))
+    check("part_pmi: no cartesian product", "CartesianProduct" not in p)
+    check("part_pmi: pair fan-out is a hash equi-join on the group key",
+          "BroadcastNestedLoopJoin" not in p)
+    check("part_pmi: pair counts partially aggregate map-side",
+          "partial_count" in p)
+
     asrt = q.q_assortativity(spark, SF_DIR)
     p = plan_of(asrt)
     sections.append(("assortativity (single combinable corr aggregate)", p))

@@ -1127,3 +1127,41 @@ def test_streaming_asof_enrich_parity(spark, tmp_path):
         for r in asof_join(events, dim, on="k", time_col="ts").collect()
     }
     assert got == exp and len(got) == 12
+
+
+def test_pmi_cooccurrence(spark):
+    """Hand-enumerated baskets: dedup of repeated presence, the
+    min-pair floor, and the exact ln(p(ab)/(p(a)p(b))) values."""
+    import math
+
+    from abecto_spark.operators.stats import pmi_cooccurrence
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),  # duplicate presence of a
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "g bigint, item string")
+    got = {
+        (r.item_a, r.item_b, r.n_pairs, r.pmi)
+        for r in pmi_cooccurrence(df, "g", "item").collect()
+    }
+    # n=4 groups; a in 3, b in 3, c in 2; (a,b) in 2, (b,c) in 2,
+    # (a,c) in 1 -> dropped by min_pair_count=2
+    exp_ab = round(math.log((2 / 4) / ((3 / 4) * (3 / 4))), 6)
+    exp_bc = round(math.log((2 / 4) / ((3 / 4) * (2 / 4))), 6)
+    assert got == {("a", "b", 2, exp_ab), ("b", "c", 2, exp_bc)}
+
+
+def test_pmi_cooccurrence_group_cap(spark):
+    from abecto_spark.operators.stats import pmi_cooccurrence
+
+    rows = [(1, i) for i in range(10)] + [(2, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g bigint, item bigint")
+    capped = pmi_cooccurrence(
+        df, "g", "item", min_pair_count=2, max_items_per_group=3
+    )
+    # only items 0,1,2 survive the deterministic cap -> C(3,2) pairs
+    got = {(r.item_a, r.item_b) for r in capped.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}

@@ -148,3 +148,98 @@ def test_interval_join_overlapping_and_spanning(spark):
         "pid", "iid",
     )
     assert got == {(1, 1), (1, 2)}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized (seeded) parity against pandas.merge_asof — the
+    de-facto reference semantics for backward-inclusive as-of joins,
+    including the tolerance contract — over 500 trades x 200 quotes,
+    10 keys, microsecond timestamps with no (key, ts) duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def times(n):
+        # unique microsecond offsets so the right side is (key, ts)-unique
+        offs = rng.choice(10_000_000, size=n, replace=False)
+        return base + offs.astype("timedelta64[us]")
+
+    left = pd.DataFrame({
+        "i": np.arange(500),
+        "k": rng.randint(0, 10, 500),
+        "ts": times(500),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 10, 200),
+        "ts": times(200),
+        "v": rng.rand(200).round(6),
+    }).drop_duplicates(["k", "ts"])
+
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    )
+    got_df = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", time_col="ts",
+    ).toPandas()
+
+    e = {(int(r.i), None if pd.isna(r.v) else float(r.v))
+         for r in exp.itertuples()}
+    g = {(int(r.i), None if pd.isna(r.v) else float(r.v))
+         for r in got_df.itertuples()}
+    assert g == e
+
+    # tolerance contract parity (5-second bound)
+    exp_t = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+        tolerance=pd.Timedelta(seconds=5),
+    )
+    got_t = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", time_col="ts", tolerance_sec=5,
+    ).toPandas()
+    e = {(int(r.i), None if pd.isna(r.v) else float(r.v))
+         for r in exp_t.itertuples()}
+    g = {(int(r.i), None if pd.isna(r.v) else float(r.v))
+         for r in got_t.itertuples()}
+    assert g == e
+
+
+def test_interval_join_matches_naive(spark):
+    """Randomized (seeded) parity against the naive range join over the
+    same data — the bucketized rewrite must change the plan, never the
+    rows, including intervals spanning many buckets."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(1)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    p = pd.DataFrame({
+        "pid": np.arange(300),
+        "k": rng.randint(0, 5, 300),
+        "ts": base + rng.randint(0, 3_600_000_000, 300).astype("timedelta64[us]"),
+    })
+    starts = rng.randint(0, 3_600_000_000, 40)
+    lengths = rng.randint(1, 1_200_000_000, 40)  # up to 20 min
+    iv = pd.DataFrame({
+        "k": rng.randint(0, 5, 40),
+        "s": base + starts.astype("timedelta64[us]"),
+        "e": base + (starts + lengths).astype("timedelta64[us]"),
+        "iid": np.arange(40),
+    })
+    naive = p.merge(iv, on="k")
+    naive = naive[(naive.ts >= naive.s) & (naive.ts < naive.e)]
+    exp = {(int(r.pid), int(r.iid)) for r in naive.itertuples()}
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            spark.createDataFrame(p), spark.createDataFrame(iv),
+            on="k", time_col="ts", start_col="s", end_col="e",
+            bucket_seconds=60,
+        ).collect()
+    }
+    assert got == exp and got

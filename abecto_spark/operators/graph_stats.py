@@ -629,6 +629,80 @@ def bfs_distances(
     return settled
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "w",
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a weighted edge table: each node
+    distributes its rank proportionally to outgoing edge weights
+    (contribution = rank·w_uv / W_u with W_u = Σ outgoing weights) —
+    the ranking primitive for co-occurrence/PMI-count graphs where edge
+    multiplicity carries signal.  Weights must be positive.
+
+    Same in-plan discipline as ``pagerank``: one dst-keyed inflow
+    shuffle per iteration, 1-row dangling aggregate broadcast back,
+    per-round ``localCheckpoint``; the only driver scalar is |V|.
+    Returns (node, rank) unrounded.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # the one driver scalar: |V|
+    wsum = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w").alias("ws"))
+        .localCheckpoint()
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        with_ws = ranks.join(wsum, "node", "left")
+        dangling = (
+            with_ws.where(F.col("ws").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contribs = (
+            e.join(
+                with_ws.where(F.col("ws").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ws")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,

@@ -1486,6 +1486,32 @@ def q_windowed_agg(spark, sf):
     )
 
 
+def q_kg_wpr(spark, sf):
+    """Weighted PageRank over the symmetrized co-occurrence-count graph
+    (pmi_cooccurrence pairs as edges, n_pairs as weight): rank mass
+    flows proportionally to co-occurrence strength — the related-entity
+    ranking a KG runs over basket-derived edges.  The oracle rebuilds
+    the same pair counts and unrolls the five weighted update steps;
+    ranks rounded to 6 dp on both sides."""
+    from ..operators.graph_stats import pagerank_weighted
+    from ..operators.stats import pmi_cooccurrence
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pmi_cooccurrence(
+        li, group_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+    e = pairs.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_pairs").cast("double").alias("w"),
+    )
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    wpr = pagerank_weighted(e, weight_col="w", iterations=5, damping=0.85)
+    return wpr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_events_asof(spark, sf):
     """As-of enrichment (operators/temporal.py asof_join): every click
     event carries the value of the user's latest purchase at or before
@@ -2301,6 +2327,7 @@ QUERIES = {
     "events_interval": q_events_interval,
     "events_rollup": q_events_rollup,
     "part_pmi": q_part_pmi,
+    "kg_wpr": q_kg_wpr,
 }
 
 ORACLES = {
@@ -3633,6 +3660,53 @@ ORACLES["kg_bfs_distances"] = """
 """
 
 ORACLES["kg_ppr"] = _ppr_oracle_sql(iterations=5, damping=0.85, seed_mod=97)
+
+
+def _wpr_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unroll the weighted-PageRank update over the symmetrized
+    co-occurrence-count graph (pair counts >= 2 over order baskets),
+    mirroring operators/graph_stats.py pagerank_weighted step for step.
+    Weights are integer counts (exact in double), so the per-node
+    weight sums are order-insensitive."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        """WITH
+        pres AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+                 FROM lineitem),
+        pc AS (SELECT a.item AS ia, b.item AS ib,
+                      CAST(COUNT(*) AS DOUBLE) AS w
+               FROM pres a JOIN pres b ON a.g = b.g AND a.item < b.item
+               GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+        edges AS (SELECT ia AS src, ib AS dst, w FROM pc
+                  UNION ALL SELECT ib, ia, w FROM pc),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        ws AS (SELECT src AS node, SUM(w) AS ws FROM edges GROUP BY src),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr{i - 1}"
+        parts.append(f""",
+        pr{i} AS (
+          SELECT nodes.node,
+            CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+            + CAST({d} AS DOUBLE) * (COALESCE(inc.s, 0)
+              + (SELECT COALESCE(SUM(p.rank), 0) FROM {prev} p
+                 LEFT JOIN ws o ON p.node = o.node WHERE o.node IS NULL)
+                / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank * e.w / o.ws) AS s
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            JOIN ws o ON e.src = o.node
+            GROUP BY e.dst) inc ON nodes.node = inc.node)""")
+    parts.append(
+        f"\n        SELECT node, ROUND(rank, 6) AS rank FROM pr{iterations}"
+    )
+    return "".join(parts)
+
+
+ORACLES["kg_wpr"] = _wpr_oracle_sql(iterations=5, damping=0.85)
 
 # temporal joins: DuckDB's native ASOF JOIN / plain inequality join are
 # the oracles for the window-based and bucketized rewrites

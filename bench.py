@@ -122,6 +122,7 @@ def main() -> None:
         "events_interval",
         "events_rollup",
         "part_pmi",
+        "kg_wpr",
     ]
 
     timings: dict[str, float] = {}

@@ -676,6 +676,27 @@ def main() -> int:
     sections.append(("events_rollup (GROUP BY ROLLUP, partial aggregation)", p))
     check("events_rollup: map-side partial aggregation", "partial_count" in p)
 
+    # pagerank_weighted: one lazily-rebuilt update step — weighted inflow
+    # must partially aggregate on dst like the unweighted form
+    wsum = edges.withColumn("w", FF.lit(2.0)).groupBy(
+        FF.col("src").alias("node")
+    ).agg(FF.sum("w").alias("ws"))
+    wstep = (
+        edges.withColumn("w", FF.lit(2.0))
+        .join(
+            nodes.withColumn("rank", FF.lit(1.0))
+            .join(wsum, "node")
+            .withColumnRenamed("node", "src"),
+            "src",
+        )
+        .groupBy(FF.col("dst").alias("node"))
+        .agg(FF.sum(FF.col("rank") * FF.col("w") / FF.col("ws")).alias("inflow"))
+    )
+    p = plan_of(wstep)
+    sections.append(("kg_wpr single update step (weighted inflow on dst)", p))
+    check("kg_wpr step: no cartesian product", "CartesianProduct" not in p)
+    check("kg_wpr step: map-side partial aggregation on dst", "partial_sum" in p)
+
     pmi = q.q_part_pmi(spark, SF_DIR)
     p = plan_of(pmi)
     sections.append(("part_pmi (basket-bounded pair join, partial counts)", p))

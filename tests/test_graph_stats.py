@@ -343,3 +343,43 @@ def test_personalized_pagerank_empty_seeds_is_loud(spark):
     seeds = spark.createDataFrame([(99,)], "node bigint")  # not in graph
     with pytest.raises(GraphStatsError):
         personalized_pagerank(e, seeds)
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    import numpy as np
+
+    from abecto_spark.operators.graph_stats import pagerank_weighted
+
+    # weighted digraph with a dangling node (4); weights steer the split
+    pairs = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 4, 1.0)]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint, w double")
+    k, d = 5, 0.85
+    nodes = [1, 2, 3, 4]
+    idx = {n: i for i, n in enumerate(nodes)}
+    wsum = {1: 4.0, 2: 2.0, 3: 1.0}
+    rank = np.full(4, 0.25)
+    for _ in range(k):
+        inflow = np.zeros(4)
+        for s, t, w in pairs:
+            inflow[idx[t]] += rank[idx[s]] * w / wsum[s]
+        dangling = rank[idx[4]]
+        rank = (1 - d) / 4 + d * (inflow + dangling / 4)
+    got = {r["node"]: r["rank"]
+           for r in pagerank_weighted(e, iterations=k).collect()}
+    for n in nodes:
+        assert got[n] == pytest.approx(rank[idx[n]], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from abecto_spark.operators.graph_stats import pagerank, pagerank_weighted
+
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)])
+    ew = e.withColumn("w", F.lit(20.0))
+    uw = {r["node"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+    ww = {r["node"]: r["rank"]
+          for r in pagerank_weighted(ew, iterations=4).collect()}
+    for n in uw:
+        assert ww[n] == pytest.approx(uw[n], abs=1e-12)

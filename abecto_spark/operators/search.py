@@ -100,3 +100,83 @@ def bm25_topk(
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def tfidf_terms(
+    docs: DataFrame,
+    min_df: int = 2,
+    top_terms_per_doc: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF document vectors as exploded rows:
+    (doc_id, term, tf, df, tfidf) for every (document, term) pair whose
+    term occurs in at least ``min_df`` documents.  With
+    ``top_terms_per_doc`` set, each document keeps only its N
+    highest-weighted terms (ties broken by term) — the sparse-vector
+    truncation that bounds per-document feature width; the window
+    partitions on ``doc_id`` (high cardinality, scale-safe).
+
+    Weighting is the smooth-idf variant (every engine agrees on it and
+    it never divides by zero):
+
+        idf(t)      = ln((1 + N) / (1 + df(t))) + 1
+        tfidf(d, t) = tf(d, t) * idf(t)     (rounded to 6 dp)
+
+    Scale shape: ONE tokenization + explode feeds both aggregates; term
+    frequencies groupBy (doc, term) — high-cardinality key, map-side
+    partial combine; document frequencies groupBy term over the already
+    aggregated tf rows (never the raw token stream).  The df table is
+    vocabulary-sized — unbounded at corpus scale — so it joins back on
+    ``term`` as a plain shuffle join, NOT a broadcast (contrast
+    ``bm25_topk``, whose df relation is bounded by the query's term
+    list).  ``min_df`` is the vocabulary-control knob: raising it prunes
+    the hapax tail, which at web scale is the bulk of the vocabulary.
+    The corpus size N attaches as a 1-row broadcast.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    if top_terms_per_doc is None:
+        return scored
+    # order on the ROUNDED weight so the cut is engine-portable
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_terms_per_doc)
+        .drop("_rn")
+    )

@@ -3918,3 +3918,84 @@ ORACLES["incremental_canonical"] = """
     JOIN canon USING (n_regionkey)
     WHERE c_custkey % 7 = 0
 """
+
+
+def q_label_propagation(spark, sf):
+    """Synchronous label-propagation communities over the part
+    co-occurrence graph, 4 fixed rounds (deterministic min-tiebreak
+    variant; the oracle unrolls the same 4 rounds)."""
+    from ..operators.graph_stats import label_propagation
+
+    return label_propagation(_part_edges(spark, sf), rounds=4)
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA (fixed round count; see
+    q_label_propagation).  MATERIALIZED per round for the same reason as
+    the k-core oracle — DuckDB otherwise inlines the chain
+    combinatorially."""
+    parts = [
+        "WITH" + _EDGES_CTE + """,
+        und AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+          FROM edges WHERE src <> dst),
+        nbrs AS MATERIALIZED (
+          SELECT u AS node, v AS nbr FROM und
+          UNION ALL SELECT v AS node, u AS nbr FROM und),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS label FROM nbrs)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+        v{i} AS MATERIALIZED (
+          SELECT nbrs.node, l.label, COUNT(*) AS cnt
+          FROM nbrs JOIN l{i} l ON l.node = nbrs.nbr
+          GROUP BY nbrs.node, l.label),
+        l{i + 1} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM v{i}) WHERE rn = 1)""")
+    parts.append(f"""
+        SELECT node, label FROM l{rounds}""")
+    return "".join(parts)
+
+
+def q_tfidf_terms(spark, sf):
+    """Sparse TF-IDF vectors over the documents table, vocabulary pruned
+    at min_df=5 and truncated to each document's top-5 terms."""
+    from ..operators.search import tfidf_terms
+
+    d = _t(spark, sf, "documents")
+    return tfidf_terms(d, min_df=5, top_terms_per_doc=5)
+
+
+QUERIES["label_propagation"] = q_label_propagation
+QUERIES["tfidf_terms"] = q_tfidf_terms
+
+ORACLES["label_propagation"] = _lpa_oracle_sql(rounds=4)
+
+ORACLES["tfidf_terms"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf
+            GROUP BY term HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dft.df)) + 1.0),
+                   6) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 5
+"""

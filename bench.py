@@ -123,6 +123,8 @@ def main() -> None:
         "events_rollup",
         "part_pmi",
         "kg_wpr",
+        "label_propagation",
+        "tfidf_terms",
     ]
 
     timings: dict[str, float] = {}

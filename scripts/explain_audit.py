@@ -727,6 +727,44 @@ def main() -> int:
         "BroadcastNestedLoopJoin" not in p,
     )
 
+    # label_propagation: the per-round argmax must be a plain aggregate
+    # (max over struct) — no window keyed on anything low-cardinality —
+    # and the vote counts must combine map-side
+    from abecto_spark.operators.graph_stats import label_propagation
+    from abecto_spark.plans.entry_queries import _part_edges
+
+    lpa = label_propagation(_part_edges(spark, SF_DIR), rounds=1)
+    p = plan_of(lpa)
+    sections.append(("label_propagation single round (vote agg + struct argmax)", p))
+    check("label_propagation: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "label_propagation: vote counts partially aggregate map-side",
+        "partial_count" in p,
+    )
+    check(
+        "label_propagation: argmax is an aggregate, not a window",
+        "Window" not in p,
+    )
+
+    # tfidf_terms: the df relation is vocabulary-sized so it must NOT be
+    # broadcast; the only window partitions on doc_id (high cardinality)
+    tfv = q.q_tfidf_terms(spark, SF_DIR)
+    p = plan_of(tfv)
+    sections.append(("tfidf_terms (shuffle join on term, doc_id-window truncation)", p))
+    check("tfidf_terms: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "tfidf_terms: tf counts partially aggregate map-side",
+        "partial_count" in p,
+    )
+    check(
+        "tfidf_terms: truncation window partitions on doc_id (high cardinality)",
+        "partitionBy" not in p or "doc_id" in p,
+    )
+    check(
+        "tfidf_terms: no nested-loop join on the vocabulary-sized df table",
+        "BroadcastNestedLoopJoin" not in p,
+    )
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

@@ -383,3 +383,70 @@ def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
           for r in pagerank_weighted(ew, iterations=4).collect()}
     for n in uw:
         assert ww[n] == pytest.approx(uw[n], abs=1e-12)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from abecto_spark.operators.graph_stats import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # after a few synchronous rounds each clique converges to its own
+    # minimum label; the bridge endpoints stay with their clique because
+    # two in-clique votes beat one bridge vote
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_matches_python_sync_rounds(spark):
+    from abecto_spark.operators.graph_stats import label_propagation
+
+    # deterministic reference: the same synchronous update in plain
+    # Python (most frequent neighbor label, min tie-break), 3 rounds,
+    # on a graph with an odd cycle + pendant so labels genuinely churn
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (5, 6), (2, 6)]
+    nbrs: dict[int, list[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {u: u for u in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for u in nbrs:
+            counts: dict[int, int] = {}
+            for v in nbrs[u]:
+                counts[lab[v]] = counts.get(lab[v], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[u] = best[0]
+        lab = nxt
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(_edges(spark, pairs), rounds=3).collect()
+    }
+    assert got == lab
+
+
+def test_label_propagation_ignores_direction_and_duplicates(spark):
+    from abecto_spark.operators.graph_stats import label_propagation
+
+    # (1,2) twice and (2,1) once must count as ONE undirected edge, and
+    # a self-loop is dropped: node 3's vote tally is then {1:1, 2:1} and
+    # the min tie-break elects 1
+    pairs = [(1, 2), (1, 2), (2, 1), (3, 3), (1, 3), (3, 2)]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(_edges(spark, pairs), rounds=1).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_label_propagation_rounds_guard(spark):
+    from abecto_spark.operators.graph_stats import (
+        GraphStatsError,
+        label_propagation,
+    )
+
+    with pytest.raises(GraphStatsError):
+        label_propagation(_edges(spark, [(1, 2)]), rounds=0)

@@ -424,3 +424,84 @@ def test_dsir_weight_is_score_difference(spark):
     got = {r.doc_id: r.dsir_weight for r in dsir_weights(docs, tm, bm).collect()}
     for d in (1, 2):
         assert got[d] == sb[d] - st[d]
+
+
+def _tfidf_expected(docs, min_df, top_n=None):
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    tf = {(d, w): toks[d].count(w) for d in toks for w in set(toks[d])}
+    df = {}
+    for d, w in tf:
+        df[w] = df.get(w, 0) + 1
+    rows = {
+        (d, w): (
+            tf[(d, w)],
+            df[w],
+            round(tf[(d, w)] * (math.log((1.0 + n) / (1.0 + df[w])) + 1.0), 6),
+        )
+        for (d, w) in tf
+        if df[w] >= min_df
+    }
+    if top_n is None:
+        return rows
+    keep = {}
+    by_doc: dict = {}
+    for (d, w), (t, f, s) in rows.items():
+        by_doc.setdefault(d, []).append((w, t, f, s))
+    for d, terms in by_doc.items():
+        terms.sort(key=lambda x: (-x[3], x[0]))
+        for w, t, f, s in terms[:top_n]:
+            keep[(d, w)] = (t, f, s)
+    return keep
+
+
+def test_tfidf_matches_reference_formula(spark):
+    from abecto_spark.operators.search import tfidf_terms
+
+    docs = [
+        ("a", "spark spark shuffle join"),
+        ("b", "spark join window"),
+        ("c", "window window merge sort"),
+        ("d", "merge sort shuffle"),
+    ]
+    exp = _tfidf_expected(docs, min_df=2)
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_terms(df, min_df=2).collect()
+    }
+    assert got == exp
+    # "spark" occurs in 2 docs with tf=2 in a: idf = ln(5/3)+1
+    assert got[("a", "spark")] == (
+        2, 2, round(2 * (math.log(5.0 / 3.0) + 1.0), 6)
+    )
+
+
+def test_tfidf_min_df_prunes_hapax_tail(spark):
+    from abecto_spark.operators.search import tfidf_terms
+
+    docs = [("a", "common rare1"), ("b", "common rare2")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    terms = {r["term"] for r in tfidf_terms(df, min_df=2).collect()}
+    assert terms == {"common"}
+
+
+def test_tfidf_top_terms_per_doc_truncates_deterministically(spark):
+    from abecto_spark.operators.search import tfidf_terms
+
+    docs = [
+        ("a", "x x y y z w"),
+        ("b", "x y z w"),
+        ("c", "x y z w"),
+    ]
+    exp = _tfidf_expected(docs, min_df=1, top_n=2)
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_terms(df, min_df=1, top_terms_per_doc=2).collect()
+    }
+    assert got == exp
+    # doc a keeps its two tf=2 terms; the tie among b/c's equal-weight
+    # terms breaks alphabetically
+    assert {w for (d, w) in got if d == "a"} == {"x", "y"}
+    assert {w for (d, w) in got if d == "b"} == {"w", "x"}

@@ -389,15 +389,19 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     from abecto_spark.operators.graph_stats import label_propagation
 
     # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
-    # after a few synchronous rounds each clique converges to its own
-    # minimum label; the bridge endpoints stay with their clique because
-    # two in-clique votes beat one bridge vote
+    # the cliques converge to two DISTINCT stable labels (hand-traced
+    # sync rounds: node 10 adopts 3 in round 1 — its min neighbor —
+    # and that label then saturates its clique, while {1,2,3} settles
+    # on 1; the bridge never merges the communities because two
+    # in-clique votes beat one bridge vote from round 2 on)
     pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
     got = {
         r["node"]: r["label"]
         for r in label_propagation(_edges(spark, pairs), rounds=4).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+    # and the two communities are distinct
+    assert got[1] != got[10]
 
 
 def test_label_propagation_matches_python_sync_rounds(spark):
@@ -431,15 +435,16 @@ def test_label_propagation_matches_python_sync_rounds(spark):
 def test_label_propagation_ignores_direction_and_duplicates(spark):
     from abecto_spark.operators.graph_stats import label_propagation
 
-    # (1,2) twice and (2,1) once must count as ONE undirected edge, and
-    # a self-loop is dropped: node 3's vote tally is then {1:1, 2:1} and
-    # the min tie-break elects 1
-    pairs = [(1, 2), (1, 2), (2, 1), (3, 3), (1, 3), (3, 2)]
+    # (5,6) three times in both orientations must count as ONE
+    # undirected edge and the self-loop (5,5) is dropped: node 5's vote
+    # tally is then {4:1, 6:1} and the min tie-break elects 4 — if
+    # duplicates were counted, 6 would win 2:1
+    pairs = [(4, 5), (5, 6), (6, 5), (5, 6), (5, 5)]
     got = {
         r["node"]: r["label"]
         for r in label_propagation(_edges(spark, pairs), rounds=1).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1}
+    assert got == {4: 5, 5: 4, 6: 5}
 
 
 def test_label_propagation_rounds_guard(spark):

@@ -93,6 +93,8 @@ CONSTRUCT takes the full SolutionModifier: ORDER BY / LIMIT / OFFSET
 slice the solution sequence, and GROUP BY / HAVING group it before the
 template instantiates (template variables must be group keys —
 CONSTRUCT has no AS, so aggregates can only gate groups via HAVING).
+The §10.2.3 ``CONSTRUCT WHERE { BGP }`` shorthand is accepted with the
+grammar's plain-triples restriction on the shared group.
 
 The final round-5 breadth pass added the §4.2.1 blank-node node forms
 (``[]``, ``[ p o ; ... ]``, ``_:label`` — all fresh non-projectable
@@ -578,6 +580,30 @@ class _Parser:
     def parse_construct(self) -> ConstructQuery:
         self.parse_prologue()
         self.eat("CONSTRUCT")
+        if self.at_word("WHERE"):
+            # §10.2.3 CONSTRUCT WHERE shorthand: the WHERE group doubles
+            # as the template, and the grammar restricts it to a plain
+            # BGP (no FILTER/OPTIONAL/paths/...) — the same restriction
+            # the template check below enforces
+            self.next()
+            template = self.parse_group()
+            if (
+                template.optionals or template.filters or template.binds
+                or template.unions or template.minuses
+                or template.not_exists or template.exists
+                or template.values_blocks or template.path_closures
+                or template.graph_blocks or template.subqueries
+            ):
+                raise SparqlUnsupported(
+                    "CONSTRUCT WHERE shorthand allows only plain triples"
+                )
+            mods = SelectQuery([], template)
+            self.parse_group_having(mods)
+            self.parse_solution_modifiers(mods)
+            return ConstructQuery(
+                template.triples, template, mods.order, mods.limit,
+                mods.offset, mods.group_by, mods.having,
+            )
         template = self.parse_group()
         if (
             template.optionals or template.filters or template.binds

@@ -708,3 +708,36 @@ def test_construct_template_mints_bnodes(spark):
     }
     # fixpoint: re-running mints identical bnodes, so nothing new
     assert apply_construct(t, q, max_iterations=4).count() == out.count()
+
+
+def test_construct_where_shorthand(spark):
+    """SPARQL 1.1 par.10.2.3: ``CONSTRUCT WHERE { BGP }`` uses the WHERE
+    group as the template; modifiers still apply; non-BGP bodies are
+    rejected per the grammar."""
+    import pytest
+
+    from abecto_spark.operators.rule_text import apply_construct
+    from abecto_spark.sparql import SparqlUnsupported
+
+    ex = "http://example.org/"
+    rows = [
+        (ex + "a", ex + "v", "iri", ex + "x", None, ""),
+        (ex + "b", ex + "w", "iri", ex + "y", None, ""),
+    ]
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string")
+    t = spark.createDataFrame(rows, ddl)
+    out = apply_construct(t, f"CONSTRUCT WHERE {{ ?s <{ex}v> ?o }}")
+    # identity template: result == base ∪ matched subset == base's v-rows
+    got = {(r["s"], r["p"], r["o_value"]) for r in out.collect()}
+    assert (ex + "a", ex + "v", ex + "x") in got
+    # a LIMIT after the shorthand group applies as a solution modifier
+    lim = apply_construct(
+        t, f"CONSTRUCT WHERE {{ ?s ?p ?o }} ORDER BY ?s LIMIT 1"
+    )
+    assert lim.count() == len(rows)  # base ∪ {first solution} == base
+    with pytest.raises(SparqlUnsupported):
+        apply_construct(
+            t,
+            f"CONSTRUCT WHERE {{ ?s <{ex}v> ?o FILTER(?s = <{ex}a>) }}",
+        )

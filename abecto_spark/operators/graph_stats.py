@@ -796,6 +796,7 @@ def label_propagation(
     rounds: int = 4,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Synchronous label-propagation community detection over the
     undirected view of ``edges``: every node starts as its own label;
@@ -811,7 +812,8 @@ def label_propagation(
     (on node id, high cardinality) and one for the (node, label) count
     aggregate; the argmax is a single ``max(struct(cnt, -label))``
     aggregate — no low-cardinality window anywhere.  Lineage is cut per
-    round with ``localCheckpoint`` like the PageRank loop.  Mirrors the
+    round with ``localCheckpoint`` like the PageRank loop
+    (``checkpoint=False`` keeps the plan declarative for plan audits).  Mirrors the
     role of GraphX's LabelPropagation in a Spark deployment; reference
     parity anchor: ABECTO groups correspondences by connected closure
     (``processing/MappingProcessor.java``) — LPA is the denser-community
@@ -829,16 +831,14 @@ def label_propagation(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    nbrs = (
-        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionByName(
-            und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-        )
-        .localCheckpoint()
+    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    labels = nbrs.select("node").distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    if checkpoint:
+        nbrs = nbrs.localCheckpoint()
+    labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    if checkpoint:
+        labels = labels.localCheckpoint()
     for _ in range(rounds):
         votes = (
             nbrs.join(
@@ -858,6 +858,7 @@ def label_propagation(
                 ).alias("m")
             )
             .select("node", (-F.col("m.neg")).alias("label"))
-            .localCheckpoint()
         )
+        if checkpoint:
+            labels = labels.localCheckpoint()
     return labels

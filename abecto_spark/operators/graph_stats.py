@@ -862,3 +862,141 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint()
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over the
+    directed edge set.  Starting from hub=1.0 on every node, each round
+    computes
+
+      auth_raw(v) = sum over edges (u, v) of hub(u),   then L2-normalize
+      hub_raw(u)  = sum over edges (u, v) of auth(v),  then L2-normalize
+
+    and returns (node, hub, auth) after ``iterations`` rounds, zeros for
+    nodes with no in-edges (auth) / no out-edges (hub).  Unrounded —
+    callers needing engine portability round (the driver oracle rounds
+    to 6 dp), same convention as :func:`pagerank`.
+
+    Plan shape per half-step: one equi-join shuffle of the edge table
+    against the current score vector keyed on the edge endpoint, one
+    map-side-combining groupBy on the other endpoint, and a 1-row L2
+    aggregate broadcast back in (no ``.collect()`` in the loop).
+    ``localCheckpoint`` per iteration keeps lineage flat, exactly like
+    the PageRank loop above.  Reference anchor: ABECTO has no HITS —
+    this is training-pipeline graph breadth over the materialized KG.
+    """
+    if iterations < 1:
+        raise GraphStatsError("hits needs iterations >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        a_norm = a_raw.agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+        )
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_norm))
+            .select("node", (F.col("v") / F.col("nrm")).alias("auth"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("v"))
+        )
+        h_norm = h_raw.agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+        )
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_norm))
+            .select("node", (F.col("v") / F.col("nrm")).alias("hub"))
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Sampled-source harmonic centrality: for every node v reached by
+    at least one seed at hop distance 1..``max_depth``, returns
+    (node, harmonic) with
+
+        harmonic(v) = sum over seeds s with 0 < d(s, v) <= max_depth
+                      of 1 / d(s, v)
+
+    where d follows edge direction (distance INTO v).  The exact
+    all-sources quantity is O(|V|) BFS runs; the standard scale trick —
+    what this implements — is a deterministic seed sample, which is an
+    unbiased |S|/|V|-scaled estimator of the full sum.
+
+    Unlike :func:`bfs_distances` (min distance from the seed *set*),
+    this carries the seed label through the frontier: state rows are
+    (s, node, dist), i.e. |S| interleaved BFS waves sharing each round's
+    single edge-join shuffle.  The per-level distinct on (s, node)
+    bounds cyclic revisits; the settled anti-join is keyed on the same
+    pair.  Memory is O(|S| * reach), which is the budget the seed
+    sample size controls.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    settled = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled.select("seed", "node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select("seed", F.col("d").alias("node"))
+            .distinct()
+            .join(settled.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "node")
+    return (
+        settled.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )

@@ -3999,3 +3999,98 @@ ORACLES["tfidf_terms"] = """
       FROM scored)
     WHERE rn <= 5
 """
+
+
+def q_kg_hits(spark, sf):
+    """Fixed-iteration HITS hubs/authorities (k=5, L2-normalized each
+    half-step) over the part co-occurrence graph; the oracle unrolls the
+    same five auth/hub half-step pairs as chained CTEs.  Scores rounded
+    to 6 dp on both sides (the repo's float-parity convention)."""
+    from ..operators.graph_stats import hits
+
+    h = hits(_part_edges(spark, sf), iterations=5)
+    return h.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def _hits_oracle_sql(iterations: int) -> str:
+    """Unrolled HITS (see q_kg_hits): auth_i from hub_{i-1} via the
+    in-edge join, hub_i from auth_i via the out-edge join, each
+    L2-normalized by a scalar subquery.  MATERIALIZED per step so DuckDB
+    doesn't inline the chain combinatorially (same caution as the
+    k-core/LPA oracles)."""
+    parts = [
+        "WITH" + _EDGES_CTE + """,
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+        ar{i} AS MATERIALIZED (
+          SELECT e.dst AS node, SUM(h.hub) AS v
+          FROM edges e JOIN h{i - 1} h ON e.src = h.node
+          GROUP BY e.dst),
+        a{i} AS MATERIALIZED (
+          SELECT node, v / (SELECT SQRT(SUM(v * v)) FROM ar{i}) AS auth
+          FROM ar{i}),
+        hr{i} AS MATERIALIZED (
+          SELECT e.src AS node, SUM(a.auth) AS v
+          FROM edges e JOIN a{i} a ON e.dst = a.node
+          GROUP BY e.src),
+        h{i} AS MATERIALIZED (
+          SELECT node, v / (SELECT SQRT(SUM(v * v)) FROM hr{i}) AS hub
+          FROM hr{i})"""
+        )
+    parts.append(f"""
+        SELECT nodes.node,
+               ROUND(COALESCE(h.hub, 0), 6) AS hub,
+               ROUND(COALESCE(a.auth, 0), 6) AS auth
+        FROM nodes
+        LEFT JOIN h{iterations} h ON nodes.node = h.node
+        LEFT JOIN a{iterations} a ON nodes.node = a.node""")
+    return "".join(parts)
+
+
+def q_kg_harmonic(spark, sf):
+    """Sampled-source harmonic centrality over the part graph: seeds are
+    the deterministic node %% 97 == 0 sample (the BFS row's seed set),
+    per-seed distances to depth 6, harmonic(v) = sum of 1/d(s, v).
+    The oracle replays the labeled BFS as a recursive CTE."""
+    from ..operators.graph_stats import harmonic_centrality
+
+    e = _part_edges(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    h = harmonic_centrality(e, seeds, max_depth=6)
+    return h.select("node", F.round("harmonic", 6).alias("harmonic"))
+
+
+QUERIES["kg_hits"] = q_kg_hits
+QUERIES["kg_harmonic"] = q_kg_harmonic
+
+ORACLES["kg_hits"] = _hits_oracle_sql(iterations=5)
+
+ORACLES["kg_harmonic"] = """
+    WITH RECURSIVE""" + _EDGES_CTE + """,
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+    reach(seed, node, dist) AS (
+      SELECT node, node, CAST(0 AS BIGINT) FROM seeds
+      UNION
+      SELECT r.seed, e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < 6
+    ),
+    md AS (SELECT seed, node, MIN(dist) AS dist FROM reach
+           GROUP BY seed, node)
+    SELECT node, ROUND(SUM(1.0 / dist), 6) AS harmonic
+    FROM md WHERE dist > 0 GROUP BY node
+"""

@@ -455,3 +455,98 @@ def test_label_propagation_rounds_guard(spark):
 
     with pytest.raises(GraphStatsError):
         label_propagation(_edges(spark, [(1, 2)]), rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1), (4, 2)]
+    k = 5
+    nodes = sorted({u for p in pairs for u in p})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in pairs:
+        A[idx[u], idx[v]] = 1.0
+    hub = np.ones(len(nodes))
+    for _ in range(k):
+        auth = A.T @ hub
+        auth = auth / np.linalg.norm(auth)
+        hub = A @ auth
+        hub = hub / np.linalg.norm(hub)
+
+    from abecto_spark.operators.graph_stats import hits
+
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits(_edges(spark, pairs), iterations=k).collect()}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u][0] == pytest.approx(hub[idx[u]], abs=1e-9)
+        assert got[u][1] == pytest.approx(auth[idx[u]], abs=1e-9)
+
+
+def test_hits_sink_has_zero_hub_source_zero_auth(spark):
+    # 1 -> 2 -> 3: node 3 never points anywhere (hub 0), node 1 is never
+    # pointed at (auth 0)
+    from abecto_spark.operators.graph_stats import hits
+
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits(_edges(spark, [(1, 2), (2, 3)]), iterations=3).collect()}
+    assert got[3][0] == 0.0
+    assert got[1][1] == 0.0
+    assert got[1][0] > 0 and got[2][0] > 0
+    assert got[2][1] > 0 and got[3][1] > 0
+
+
+def test_hits_iterations_guard(spark):
+    from abecto_spark.operators.graph_stats import GraphStatsError, hits
+
+    with pytest.raises(GraphStatsError):
+        hits(_edges(spark, [(1, 2)]), iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality
+
+
+def test_harmonic_centrality_hand_traced(spark):
+    # path 1 -> 2 -> 3 -> 4 plus shortcut 1 -> 3; seeds {1, 2}:
+    #   d(1,2)=1 d(1,3)=1 d(1,4)=2 ; d(2,3)=1 d(2,4)=2
+    #   harmonic(2) = 1        (from seed 1)
+    #   harmonic(3) = 1 + 1 = 2
+    #   harmonic(4) = 1/2 + 1/2 = 1
+    from abecto_spark.operators.graph_stats import harmonic_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 3)])
+    seeds = spark.createDataFrame([(1,), (2,)], "node bigint")
+    got = {r["node"]: r["harmonic"] for r in
+           harmonic_centrality(e, seeds, max_depth=6).collect()}
+    assert got == {2: pytest.approx(1.0), 3: pytest.approx(2.0),
+                   4: pytest.approx(1.0)}
+
+
+def test_harmonic_centrality_depth_bound_and_cycles(spark):
+    # 4-cycle, single seed, depth 2: nodes beyond 2 hops contribute
+    # nothing; the seed itself (dist 0) is excluded
+    from abecto_spark.operators.graph_stats import harmonic_centrality
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["harmonic"] for r in
+           harmonic_centrality(e, seeds, max_depth=2).collect()}
+    assert got == {2: pytest.approx(1.0), 3: pytest.approx(0.5)}
+
+
+def test_harmonic_centrality_seed_reached_by_other_seed(spark):
+    # both endpoints of 1 <-> 2 are seeds: each scores 1 from the other,
+    # its own dist-0 row excluded
+    from abecto_spark.operators.graph_stats import harmonic_centrality
+
+    e = _edges(spark, [(1, 2), (2, 1)])
+    seeds = spark.createDataFrame([(1,), (2,)], "node bigint")
+    got = {r["node"]: r["harmonic"] for r in
+           harmonic_centrality(e, seeds, max_depth=4).collect()}
+    assert got == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}

@@ -4094,3 +4094,120 @@ ORACLES["kg_harmonic"] = """
     SELECT node, ROUND(SUM(1.0 / dist), 6) AS harmonic
     FROM md WHERE dist > 0 GROUP BY node
 """
+
+
+def q_shacl_report(spark, sf):
+    """SHACL core validation (operators/shacl.py) of a KG derived from
+    customer/nation against a SHACL-C shapes graph: targetClass with
+    rdfs:subClassOf closure (VIP ⊑ Customer), min/max cardinality,
+    sh:class on the nation link, sh:minInclusive on the balance, and
+    sh:pattern on the market segment.  The oracle derives each
+    violation set directly from the base tables."""
+    from ..operators.shacl import shacl_validate
+    from ..sources.shaclc import TRIPLES_DDL, parse_shaclc
+
+    ex = "http://example.org/"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cs = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    ns = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+
+    def t(s, p, kind, value, dt):
+        return [
+            s.alias("s"), F.lit(p).alias("p"), F.lit(kind).alias("o_kind"),
+            value.alias("o_value"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string")
+            .alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    data = (
+        # VIPs (custkey % 13 == 0) are typed via the subclass only
+        c.where(F.col("c_custkey") % 13 != 0)
+        .select(*t(cs, rdf_type, "iri", F.lit(ex + "Customer"), None))
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0)
+            .select(*t(cs, rdf_type, "iri", F.lit(ex + "VIP"), None))
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(ex + "VIP", rdfs_sub, "iri", ex + "Customer", None, "")],
+                TRIPLES_DDL,
+            )
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 7 != 0)
+            .select(*t(cs, ex + "name", "literal", F.col("c_name"),
+                       xsd + "string"))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 11 == 0)
+            .select(*t(cs, ex + "name", "literal",
+                       F.concat(F.col("c_name"), F.lit("*")),
+                       xsd + "string"))
+        )
+        .unionByName(
+            c.select(*t(
+                cs, ex + "acctbal", "literal",
+                F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                xsd + "decimal",
+            ))
+        )
+        .unionByName(c.select(*t(cs, ex + "nation", "iri", ns, None)))
+        .unionByName(
+            n.where(F.col("n_nationkey") % 5 != 0).select(*t(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")),
+                rdf_type, "iri", F.lit(ex + "Nation"), None,
+            ))
+        )
+        .unionByName(
+            c.select(*t(cs, ex + "segment", "literal",
+                        F.col("c_mktsegment"), xsd + "string"))
+        )
+    )
+    shapes = spark.createDataFrame(parse_shaclc(f"""
+PREFIX ex: <{ex}>
+PREFIX xsd: <{xsd}>
+shape ex:CustomerShape -> ex:Customer {{
+  ex:name xsd:string [1..1] .
+  ex:acctbal minInclusive=0 .
+  ex:nation ex:Nation [1..1] .
+  ex:segment pattern="^(B|M)" .
+}}
+"""), TRIPLES_DDL)
+    return shacl_validate(data, shapes)
+
+
+QUERIES["shacl_report"] = q_shacl_report
+
+ORACLES["shacl_report"] = """
+    WITH viol AS (
+      SELECT 'name' AS prop, 'MinCount' AS component,
+             'c' || CAST(c_custkey AS VARCHAR) AS focus,
+             CAST(NULL AS VARCHAR) AS value
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+      UNION ALL
+      SELECT 'name', 'MaxCount', 'c' || CAST(c_custkey AS VARCHAR), NULL
+      FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 11 = 0
+      UNION ALL
+      SELECT 'acctbal', 'MinInclusive', 'c' || CAST(c_custkey AS VARCHAR),
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+      FROM customer WHERE c_acctbal < 0
+      UNION ALL
+      SELECT 'nation', 'Class', 'c' || CAST(c_custkey AS VARCHAR),
+             'n' || CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_nationkey % 5 = 0
+      UNION ALL
+      SELECT 'segment', 'Pattern', 'c' || CAST(c_custkey AS VARCHAR),
+             c_mktsegment
+      FROM customer WHERE NOT regexp_matches(c_mktsegment, '^(B|M)')
+    )
+    SELECT 'http://example.org/CustomerShape' AS shape, focus,
+           '<http://example.org/' || prop || '>' AS path,
+           component, value
+    FROM viol
+"""

@@ -1,0 +1,210 @@
+"""Tests for operators/shacl.py — SHACL core validation on hand-built
+data graphs, shapes authored in SHACL-C and parsed through
+sources/shaclc.py (the end-to-end path a user takes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from abecto_spark.operators.shacl import (
+    ShaclShapesTooLarge,
+    ShaclUnsupported,
+    shacl_validate,
+)
+from abecto_spark.sources.shaclc import TRIPLES_DDL, parse_shaclc
+
+EX = "http://example.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def _shapes(spark, text):
+    return spark.createDataFrame(parse_shaclc(text), TRIPLES_DDL)
+
+
+def _data(spark, rows):
+    full = [
+        (s, p, k, v,
+         None if k != "literal" else (dt or XSD + "string"),
+         lang or "")
+        for (s, p, k, v, dt, lang) in rows
+    ]
+    return spark.createDataFrame(full, TRIPLES_DDL)
+
+
+def _viol(df):
+    return {(r["focus"], r["component"], r["value"]) for r in df.collect()}
+
+
+PERSON_SHAPE = f"""
+PREFIX ex: <{EX}>
+PREFIX xsd: <{XSD}>
+shape ex:PersonShape -> ex:Person {{
+  ex:name xsd:string [1..1] .
+  ex:age xsd:integer [0..1] .
+}}
+"""
+
+
+def test_min_max_count_and_datatype(spark):
+    data = _data(spark, [
+        ("urn:a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("urn:a", EX + "name", "literal", "Alice", None, None),
+        ("urn:b", RDF_TYPE, "iri", EX + "Person", None, None),
+        # b: no name (MinCount); age tagged integer but lexically
+        # ill-formed → Datatype
+        ("urn:b", EX + "age", "literal", "x", XSD + "integer", None),
+        ("urn:c", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("urn:c", EX + "name", "literal", "C1", None, None),
+        ("urn:c", EX + "name", "literal", "C2", None, None),
+        # age as plain string literal → Datatype violation
+        ("urn:c", EX + "age", "literal", "9", None, None),
+    ])
+    got = _viol(shacl_validate(data, _shapes(spark, PERSON_SHAPE)))
+    assert got == {
+        ("urn:b", "MinCount", None),
+        ("urn:b", "Datatype", "x"),
+        ("urn:c", "MaxCount", None),
+        ("urn:c", "Datatype", "9"),
+    }
+
+
+def test_target_class_includes_subclasses(spark):
+    data = _data(spark, [
+        (EX + "Student", RDFS_SUBCLASS, "iri", EX + "Person", None, None),
+        ("urn:s", RDF_TYPE, "iri", EX + "Student", None, None),
+        # s has no name → MinCount fires through the subclass target
+    ])
+    got = _viol(shacl_validate(data, _shapes(spark, PERSON_SHAPE)))
+    assert ("urn:s", "MinCount", None) in got
+
+
+def test_class_constraint_with_subclass_closure(spark):
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+shape ex:S {{
+  targetSubjectsOf = ex:knows .
+  ex:knows ex:Person .
+}}
+""")
+    data = _data(spark, [
+        (EX + "Student", RDFS_SUBCLASS, "iri", EX + "Person", None, None),
+        ("urn:a", EX + "knows", "iri", "urn:b", None, None),
+        ("urn:b", RDF_TYPE, "iri", EX + "Student", None, None),
+        ("urn:a", EX + "knows", "iri", "urn:nobody", None, None),
+        ("urn:a", EX + "knows", "literal", "lit", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:a", "Class", "urn:nobody"),
+        ("urn:a", "Class", "lit"),
+    }
+
+
+def test_nodekind_pattern_and_lengths(spark):
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+shape ex:S {{
+  targetNode = ex:n1 ex:n2 .
+  ex:id IRI .
+  ex:code pattern="^[A-Z]{{3}}$" .
+  ex:tag minLength=2 maxLength=4 .
+}}
+""")
+    data = _data(spark, [
+        (EX + "n1", EX + "id", "iri", "urn:ok", None, None),
+        (EX + "n1", EX + "code", "literal", "ABC", None, None),
+        (EX + "n1", EX + "tag", "literal", "okay", None, None),
+        (EX + "n2", EX + "id", "literal", "notiri", None, None),
+        (EX + "n2", EX + "code", "literal", "nope", None, None),
+        (EX + "n2", EX + "tag", "literal", "toolong", None, None),
+        (EX + "n2", EX + "tag", "literal", "x", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        (EX + "n2", "NodeKind", "notiri"),
+        (EX + "n2", "Pattern", "nope"),
+        (EX + "n2", "MaxLength", "toolong"),
+        (EX + "n2", "MinLength", "x"),
+    }
+
+
+def test_inverse_path_and_target_objects_of(spark):
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+shape ex:S {{
+  targetObjectsOf = ex:memberOf .
+  ^ex:memberOf [2..*] .
+}}
+""")
+    data = _data(spark, [
+        ("urn:a", EX + "memberOf", "iri", "urn:g1", None, None),
+        ("urn:b", EX + "memberOf", "iri", "urn:g1", None, None),
+        ("urn:c", EX + "memberOf", "iri", "urn:g2", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    # g2 has only one member → MinCount on the inverse path
+    assert got == {("urn:g2", "MinCount", None)}
+    path = {r["path"] for r in shacl_validate(data, shapes).collect()}
+    assert path == {f"^<{EX}memberOf>"}
+
+
+def test_ranges_and_has_value(spark):
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+PREFIX xsd: <{XSD}>
+shape ex:S {{
+  targetSubjectsOf = ex:score .
+  ex:score minInclusive=0 maxExclusive=100 .
+  ex:flag hasValue=true .
+}}
+""")
+    data = _data(spark, [
+        ("urn:a", EX + "score", "literal", "55", XSD + "integer", None),
+        ("urn:a", EX + "flag", "literal", "true", XSD + "boolean", None),
+        ("urn:b", EX + "score", "literal", "-1", XSD + "integer", None),
+        ("urn:c", EX + "score", "literal", "100", XSD + "integer", None),
+        ("urn:d", EX + "score", "literal", "NaNish", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:b", "MinInclusive", "-1"),
+        ("urn:c", "MaxExclusive", "100"),
+        ("urn:d", "MinInclusive", "NaNish"),
+        ("urn:d", "MaxExclusive", "NaNish"),
+        ("urn:b", "HasValue", None),
+        ("urn:c", "HasValue", None),
+        ("urn:d", "HasValue", None),
+    }
+
+
+def test_conformant_graph_returns_empty(spark):
+    data = _data(spark, [
+        ("urn:a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("urn:a", EX + "name", "literal", "Alice", None, None),
+        ("urn:a", EX + "age", "literal", "5", XSD + "integer", None),
+    ])
+    res = shacl_validate(data, _shapes(spark, PERSON_SHAPE))
+    assert res.count() == 0
+    assert res.columns == ["shape", "focus", "path", "component", "value"]
+
+
+def test_unsupported_parameter_is_loud(spark):
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+shape ex:S {{
+  targetSubjectsOf = ex:p .
+  ex:p closed=true .
+}}
+""")
+    data = _data(spark, [("urn:a", EX + "p", "literal", "x", None, None)])
+    with pytest.raises(ShaclUnsupported, match="closed"):
+        shacl_validate(data, shapes)
+
+
+def test_shapes_size_guard(spark):
+    data = _data(spark, [("urn:a", EX + "p", "literal", "x", None, None)])
+    shapes = _shapes(spark, PERSON_SHAPE)
+    with pytest.raises(ShaclShapesTooLarge):
+        shacl_validate(data, shapes, max_shape_triples=2)

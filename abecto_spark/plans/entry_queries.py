@@ -4211,3 +4211,84 @@ ORACLES["shacl_report"] = """
            component, value
     FROM viol
 """
+
+
+def q_sparql_update(spark, sf):
+    """SPARQL 1.1 Update (operators/update.py) applied to a KG derived
+    from customer: a DELETE/INSERT rewrite gated by a FILTER (both
+    templates against the pre-update solutions), a DELETE WHERE, and an
+    INSERT DATA, sequenced with ';'.  The oracle states the final
+    relation directly over customer."""
+    from ..operators.update import apply_update
+
+    ex = "http://example.org/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    c = _t(spark, sf, "customer")
+    cs = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def t(p, kind, value, dt):
+        return [
+            cs.alias("s"), F.lit(ex + p).alias("p"),
+            F.lit(kind).alias("o_kind"), value.alias("o_value"),
+            F.lit(dt).alias("o_datatype"), F.lit("").alias("o_lang"),
+        ]
+
+    base = (
+        c.select(*t("name", "literal", F.col("c_name"), xsd + "string"))
+        .unionByName(
+            c.select(*t("segment", "literal", F.col("c_mktsegment"),
+                        xsd + "string"))
+        )
+        .unionByName(
+            c.select(*t(
+                "acctbal", "literal",
+                F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                xsd + "decimal",
+            ))
+        )
+    )
+    updated = apply_update(base, f"""
+        PREFIX ex: <{ex}>
+        DELETE {{ ?c ex:segment ?s }}
+        INSERT {{ ?c ex:tier "gold" }}
+        WHERE {{ ?c ex:acctbal ?b ; ex:segment ?s . FILTER(?b > 5000) }} ;
+        DELETE WHERE {{ ?c ex:segment "AUTOMOBILE" }} ;
+        INSERT DATA {{ <urn:meta> ex:version "2" }}
+    """)
+    return updated.select(
+        "s", "p", "o_kind", "o_value",
+        F.coalesce("o_datatype", F.lit("")).alias("o_datatype"), "o_lang",
+    )
+
+
+QUERIES["sparql_update"] = q_sparql_update
+
+ORACLES["sparql_update"] = """
+    WITH ex AS (SELECT 'http://example.org/' AS ns),
+    xsd AS (SELECT 'http://www.w3.org/2001/XMLSchema#' AS ns),
+    cust AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s, c_name, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal,
+             c_acctbal
+      FROM customer)
+    SELECT s, (SELECT ns FROM ex) || 'name' AS p, 'literal' AS o_kind,
+           c_name AS o_value, (SELECT ns FROM xsd) || 'string' AS o_datatype,
+           '' AS o_lang
+    FROM cust
+    UNION ALL
+    SELECT s, (SELECT ns FROM ex) || 'acctbal', 'literal', bal,
+           (SELECT ns FROM xsd) || 'decimal', ''
+    FROM cust
+    UNION ALL
+    SELECT s, (SELECT ns FROM ex) || 'segment', 'literal', c_mktsegment,
+           (SELECT ns FROM xsd) || 'string', ''
+    FROM cust WHERE NOT (CAST(c_acctbal AS DECIMAL(12,2)) > 5000)
+      AND c_mktsegment <> 'AUTOMOBILE'
+    UNION ALL
+    SELECT DISTINCT s, (SELECT ns FROM ex) || 'tier', 'literal', 'gold',
+           (SELECT ns FROM xsd) || 'string', ''
+    FROM cust WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 5000
+    UNION ALL
+    SELECT 'urn:meta', (SELECT ns FROM ex) || 'version', 'literal', '2',
+           (SELECT ns FROM xsd) || 'string', ''
+"""

@@ -1,0 +1,124 @@
+"""Tests for operators/update.py — SPARQL 1.1 Update over a triples
+DataFrame."""
+
+from __future__ import annotations
+
+import pytest
+
+from abecto_spark.operators.update import apply_update
+from abecto_spark.sparql import SparqlUnsupported
+
+EX = "http://example.org/"
+XS = "http://www.w3.org/2001/XMLSchema#string"
+
+DDL = (
+    "s string, p string, o_kind string, o_value string,"
+    " o_datatype string, o_lang string"
+)
+
+
+def _g(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+def _triples(df):
+    return {
+        (r["s"], r["p"], r["o_kind"], r["o_value"]) for r in df.collect()
+    }
+
+
+def test_insert_and_delete_data(spark):
+    g = _g(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "")])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT DATA {{ <urn:c> ex:p <urn:d> . <urn:c> ex:q "v" }} ;
+        DELETE DATA {{ <urn:a> ex:p <urn:b> }}
+    """)
+    assert _triples(out) == {
+        ("urn:c", EX + "p", "iri", "urn:d"),
+        ("urn:c", EX + "q", "literal", "v"),
+    }
+
+
+def test_delete_insert_where_same_bindings(spark):
+    # renaming update: both templates see the PRE-update solutions
+    g = _g(spark, [
+        ("urn:a", EX + "old", "literal", "1", XS, ""),
+        ("urn:b", EX + "old", "literal", "2", XS, ""),
+        ("urn:b", EX + "keep", "literal", "k", XS, ""),
+    ])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:old ?v }} INSERT {{ ?s ex:new ?v }}
+        WHERE {{ ?s ex:old ?v }}
+    """)
+    assert _triples(out) == {
+        ("urn:a", EX + "new", "literal", "1"),
+        ("urn:b", EX + "new", "literal", "2"),
+        ("urn:b", EX + "keep", "literal", "k"),
+    }
+
+
+def test_delete_where_shorthand_and_filter(spark):
+    g = _g(spark, [
+        ("urn:a", EX + "n", "literal", "5", None, ""),
+        ("urn:b", EX + "n", "literal", "50", None, ""),
+    ])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        INSERT {{ ?s ex:big true }}
+        WHERE {{ ?s ex:n ?v .
+                 FILTER(xsd:integer(?v) > 10) }}
+    """)
+    assert ("urn:b", EX + "big", "literal", "true") in _triples(out)
+    assert ("urn:a", EX + "big", "literal", "true") not in _triples(out)
+
+    out2 = apply_update(g, f"PREFIX ex: <{EX}> DELETE WHERE {{ ?s ex:n ?v }}")
+    assert _triples(out2) == set()
+
+
+def test_optional_unbound_skips_template_triple(spark):
+    # §3.1.3.2: a solution that leaves a template variable unbound
+    # skips that triple, not the whole solution
+    g = _g(spark, [
+        ("urn:a", EX + "p", "iri", "urn:x", None, ""),
+        ("urn:b", EX + "p", "iri", "urn:y", None, ""),
+        ("urn:b", EX + "extra", "literal", "e", XS, ""),
+    ])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT {{ ?s ex:copy ?e . ?s ex:seen true }}
+        WHERE {{ ?s ex:p ?o . OPTIONAL {{ ?s ex:extra ?e }} }}
+    """)
+    t = _triples(out)
+    assert ("urn:b", EX + "copy", "literal", "e") in t
+    assert ("urn:a", EX + "seen", "literal", "true") in t
+    assert not any(s == "urn:a" and p == EX + "copy" for s, p, _, _ in t)
+
+
+def test_clear_and_sequence(spark):
+    g = _g(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "")])
+    out = apply_update(g, f"""
+        CLEAR DEFAULT ;
+        INSERT DATA {{ <urn:z> <{EX}p> "fresh" }}
+    """)
+    assert _triples(out) == {("urn:z", EX + "p", "literal", "fresh")}
+
+
+def test_unsupported_forms_are_loud(spark):
+    g = _g(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "")])
+    with pytest.raises(SparqlUnsupported, match="ground"):
+        apply_update(g, f"INSERT DATA {{ ?v <{EX}p> <urn:b> }}")
+    with pytest.raises(SparqlUnsupported, match="WITH|named"):
+        apply_update(g, f"WITH <urn:g> DELETE WHERE {{ ?s <{EX}p> ?o }}")
+    with pytest.raises(SparqlUnsupported, match="never bound"):
+        apply_update(
+            g, f"INSERT {{ ?s <{EX}q> ?nope }} WHERE {{ ?s <{EX}p> ?o }}"
+        )
+
+
+def test_input_dataframe_not_mutated(spark):
+    g = _g(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "")])
+    apply_update(g, "CLEAR ALL")
+    assert g.count() == 1

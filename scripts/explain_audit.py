@@ -769,6 +769,48 @@ def main() -> int:
         len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1,
     )
 
+    # kg_hits: per-iteration lineage is checkpoint-cut; the final plan
+    # must be plain hash joins on the node key (no cartesian, and the
+    # only nested-loop anywhere in an iteration is the 1-row norm
+    # broadcast, which the checkpoint absorbs)
+    ht = q.q_kg_hits(spark, SF_DIR)
+    p = plan_of(ht)
+    sections.append(("kg_hits (final join of hub/auth onto nodes)", p))
+    check("kg_hits: no cartesian product", "CartesianProduct" not in p)
+    check("kg_hits: no row-at-a-time Python", "BatchEvalPython" not in p)
+
+    # kg_harmonic: the per-seed BFS settles via checkpointed frontiers;
+    # the returned aggregate must combine map-side and key on the node
+    # id (high cardinality), never on the seed label alone
+    hc = q.q_kg_harmonic(spark, SF_DIR)
+    p = plan_of(hc)
+    sections.append(("kg_harmonic (per-seed BFS sum(1/dist))", p))
+    check("kg_harmonic: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "kg_harmonic: harmonic sum partially aggregates map-side",
+        "partial_sum" in p,
+    )
+
+    # shacl_report: every constraint evaluates as a join/filter over the
+    # distributed triples; the focus-set joins broadcast the (bounded)
+    # focus side and nothing degenerates to a cartesian
+    sh = q.q_shacl_report(spark, SF_DIR)
+    p = plan_of(sh)
+    sections.append(("shacl_report (constraint joins over triples)", p))
+    check("shacl_report: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "shacl_report: focus-set joins are broadcast hash joins",
+        "BroadcastHashJoin" in p,
+    )
+
+    # sparql_update: deletes are anti-joins, inserts unions — no
+    # cartesian and no Python in the mutation path
+    up = q.q_sparql_update(spark, SF_DIR)
+    p = plan_of(up)
+    sections.append(("sparql_update (anti-join deletes + union inserts)", p))
+    check("sparql_update: no cartesian product", "CartesianProduct" not in p)
+    check("sparql_update: no row-at-a-time Python", "BatchEvalPython" not in p)
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

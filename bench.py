@@ -125,6 +125,10 @@ def main() -> None:
         "kg_wpr",
         "label_propagation",
         "tfidf_terms",
+        "kg_hits",
+        "kg_harmonic",
+        "shacl_report",
+        "sparql_update",
     ]
 
     timings: dict[str, float] = {}

@@ -62,7 +62,7 @@ the dedup family's banded LSH bounds candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -1000,3 +1000,114 @@ def harmonic_centrality(
         .groupBy("node")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
     )
+
+
+def weighted_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Multi-source weighted shortest distances bounded at ``max_hops``
+    relaxation rounds (Bellman-Ford): (node, dist) where dist is the
+    minimum total edge weight over any ≤ max_hops-hop path from a seed
+    (0 for the seeds).  Negative weights are rejected loudly — with a
+    hop bound they would make the result a path-length artifact.
+
+    Each round is one equi-join shuffle of the edge table against the
+    current distance vector keyed on the edge source, a union, and a
+    map-side-combining min aggregate — the textbook distributed
+    relaxation; ``localCheckpoint`` per round keeps lineage flat, and an
+    early exit fires when a round improves nothing.  Unlike the BFS
+    frontier (``bfs_distances``), a settled set cannot prune here
+    (a longer-hop path may still be cheaper), so the per-round cost is
+    the full |E| join — the price of weights.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"),
+        F.col(weight).cast("double").alias("w"),
+    ).localCheckpoint()
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        raise GraphStatsError("weighted_distances requires weights >= 0")
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        nxt = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        unchanged = nxt.join(
+            dist, ["node", "dist"], "left_anti"
+        ).isEmpty() and nxt.count() == dist.count()
+        dist = nxt
+        if unchanged:
+            break
+    return dist
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_length: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-length pseudo-random walks — the DeepWalk/node2vec corpus
+    generator, made fully deterministic so an oracle can replay it: at
+    step ``i`` on node ``v`` the walk moves to the neighbor of rank
+
+        1 + (v * 31 + i) mod outdeg(v)
+
+    where neighbors are ranked 1..outdeg(v) by destination id.  A walk
+    ending on a node with no out-edges stops early.  Returns one row
+    per visited position: (walk, step, node) with step 0 at the seed.
+
+    The modular-congruential choice replaces the usual RNG (which would
+    be partition-order dependent and un-replayable); embedding trainers
+    consuming the corpus only need decorrelated coverage, which varying
+    the residue by both node id and step provides.  Plan shape: the
+    neighbor ranking is one window partitioned by the (high-cardinality)
+    source node computed once; each step is then a single equi-join of
+    the current frontier against it — ``walk_length`` joins total, no
+    Python anywhere.
+    """
+    w = Window.partitionBy("s").orderBy("d")
+    nbrs = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("od", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .localCheckpoint()
+    )
+    cur = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .select(F.col("node").alias("walk"), F.col("node"))
+        .withColumn("step", F.lit(0))
+    )
+    out = cur
+    for i in range(1, walk_length + 1):
+        pick = 1 + (F.col("s") * 31 + F.lit(i)) % F.col("od")
+        cur = (
+            cur.withColumnRenamed("node", "s")
+            .join(nbrs, "s")
+            .where(F.col("rank") == pick)
+            .select("walk", F.col("d").alias("node"),
+                    F.lit(i).alias("step"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(cur)
+    return out.select("walk", "step", "node")

@@ -4292,3 +4292,123 @@ ORACLES["sparql_update"] = """
     SELECT 'urn:meta', (SELECT ns FROM ex) || 'version', 'literal', '2',
            (SELECT ns FROM xsd) || 'string', ''
 """
+
+
+def _part_edges_weighted(spark, sf):
+    """The part co-occurrence graph with multiplicity: weight = number
+    of consecutive-pair co-occurrences (a positive integer, so path
+    sums stay exactly representable doubles on both engines)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+_EDGES_W_CTE = """
+        edges_w AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 CAST(COUNT(*) AS DOUBLE) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_partkey <> b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+        )"""
+
+
+def q_kg_sssp(spark, sf):
+    """Multi-source weighted shortest distances (Bellman-Ford, 6
+    relaxation rounds) over the weighted part graph, seeds = the
+    node %% 97 == 0 sample; weights are co-occurrence counts so path
+    sums are integer-valued doubles, exact on both engines.  The oracle
+    enumerates all <=6-hop path sums with a recursive CTE and takes the
+    per-node minimum — the same quantity the relaxation converges to."""
+    from ..operators.graph_stats import weighted_distances
+
+    e = _part_edges_weighted(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    return weighted_distances(e, seeds, max_hops=6)
+
+
+def q_kg_walks(spark, sf):
+    """Deterministic fixed-length pseudo-random walks (the DeepWalk
+    corpus generator) from the node %% 97 == 0 seed sample over the part
+    graph: at step i on node v the walk moves to the neighbor of rank
+    1 + (v*31 + i) mod outdeg(v) (neighbors ranked by destination id).
+    The oracle replays the same congruential choice as chained CTEs."""
+    from ..operators.graph_stats import deterministic_walks
+
+    e = _part_edges(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    return deterministic_walks(e, seeds, walk_length=5)
+
+
+QUERIES["kg_sssp"] = q_kg_sssp
+QUERIES["kg_walks"] = q_kg_walks
+
+ORACLES["kg_sssp"] = """
+    WITH RECURSIVE""" + _EDGES_W_CTE + """,
+    nodes AS (SELECT src AS node FROM edges_w
+              UNION SELECT dst FROM edges_w),
+    seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+    reach(node, dist, hops) AS (
+      SELECT node, CAST(0 AS DOUBLE), 0 FROM seeds
+      UNION
+      SELECT e.dst, r.dist + e.w, r.hops + 1
+      FROM reach r JOIN edges_w e ON e.src = r.node
+      WHERE r.hops < 6
+    )
+    SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+"""
+
+
+def _walks_oracle_sql(walk_length: int) -> str:
+    parts = [
+        "WITH" + _EDGES_CTE + """,
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        seeds AS (SELECT node FROM nodes WHERE node % 97 = 0),
+        nbrs AS MATERIALIZED (
+          SELECT src AS s, dst AS d,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rank,
+                 COUNT(*) OVER (PARTITION BY src) AS od
+          FROM edges),
+        w0 AS (SELECT node AS walk, node, 0 AS step FROM seeds)"""
+    ]
+    for i in range(1, walk_length + 1):
+        parts.append(f""",
+        w{i} AS MATERIALIZED (
+          SELECT w.walk, n.d AS node, {i} AS step
+          FROM w{i - 1} w JOIN nbrs n
+            ON n.s = w.node
+           AND n.rank = 1 + (w.node * 31 + {i}) % n.od)""")
+    sel = "\n        UNION ALL ".join(
+        f"SELECT walk, step, node FROM w{i}" for i in range(walk_length + 1)
+    )
+    parts.append("\n        " + sel)
+    return "".join(parts)
+
+
+ORACLES["kg_walks"] = _walks_oracle_sql(walk_length=5)

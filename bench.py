@@ -129,6 +129,8 @@ def main() -> None:
         "kg_harmonic",
         "shacl_report",
         "sparql_update",
+        "kg_sssp",
+        "kg_walks",
     ]
 
     timings: dict[str, float] = {}

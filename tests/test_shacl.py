@@ -208,3 +208,29 @@ def test_shapes_size_guard(spark):
     shapes = _shapes(spark, PERSON_SHAPE)
     with pytest.raises(ShaclShapesTooLarge):
         shacl_validate(data, shapes, max_shape_triples=2)
+
+
+def test_multiple_class_and_hasvalue_constraints(spark):
+    # two sh:class atoms: value must be an instance of BOTH
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+shape ex:S {{
+  targetSubjectsOf = ex:knows .
+  ex:knows ex:A ex:B .
+  ex:tag hasValue="x" hasValue="y" .
+}}
+""")
+    data = _data(spark, [
+        ("urn:s", EX + "knows", "iri", "urn:both", None, None),
+        ("urn:both", RDF_TYPE, "iri", EX + "A", None, None),
+        ("urn:both", RDF_TYPE, "iri", EX + "B", None, None),
+        ("urn:s", EX + "knows", "iri", "urn:onlyA", None, None),
+        ("urn:onlyA", RDF_TYPE, "iri", EX + "A", None, None),
+        ("urn:s", EX + "tag", "literal", "x", None, None),
+        # "y" missing -> one HasValue violation
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:s", "Class", "urn:onlyA"),
+        ("urn:s", "HasValue", None),
+    }

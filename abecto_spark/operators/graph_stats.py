@@ -974,14 +974,19 @@ def harmonic_centrality(
         .distinct()
         .localCheckpoint()
     )
-    settled = (
+    level0 = (
         seeds.select(F.col(seeds.columns[0]).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"))
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    frontier = settled.select("seed", "node")
+    # settled stays a LAZY union of the per-level checkpointed
+    # frontiers — re-checkpointing the accumulated set every round
+    # would re-materialize O(rounds x |settled|) rows (measured 2x+ on
+    # the per-level-labeled state, whose volume is |S| x reach)
+    settled = level0
+    frontier = level0.select("seed", "node")
     for depth in range(1, max_depth + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("node", "s"), "s")
@@ -993,7 +998,7 @@ def harmonic_centrality(
         )
         if nxt.isEmpty():
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        settled = settled.unionByName(nxt)
         frontier = nxt.select("seed", "node")
     return (
         settled.where(F.col("dist") > 0)

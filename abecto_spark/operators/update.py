@@ -231,11 +231,50 @@ def apply_update(triples: DataFrame, update_text: str) -> DataFrame:
             match, bound = comp.group_df(op.where)
             match = match.localCheckpoint(eager=True)
             if op.delete:
+                for tp in op.delete:
+                    for t in (tp.s, tp.p, tp.o):
+                        if isinstance(t, Var) and t.name.startswith("__bn"):
+                            raise SparqlUnsupported(
+                                "blank node in a DELETE template (§3.1.3: "
+                                "DeleteClause must not contain blank nodes)"
+                            )
                 dels = _tmpl_rows(match, bound, op.delete).distinct()
                 g = g.join(dels, list(TRIPLE_COLS), "left_anti")
             if op.insert:
+                # template blank nodes mint one fresh bnode per solution
+                # (§3.1.3.2) — deterministic per (var, row bindings),
+                # same convention as CONSTRUCT templates
+                imatch, ibound = match, bound
+                mint = sorted({
+                    t.name
+                    for tp in op.insert
+                    for t in (tp.s, tp.p, tp.o)
+                    if isinstance(t, Var) and t.name.startswith("__bn")
+                    and t.name not in bound
+                })
+                if mint:
+                    from ..sparql import _term_struct
+
+                    row_cols = [F.col(v) for v in sorted(bound)]
+                    for v in mint:
+                        tag = F.lit(f"ubn/{v}")
+                        label = F.concat(
+                            F.lit("_:u"),
+                            F.xxhash64(tag, F.lit(1), *row_cols)
+                            .cast("string"),
+                            F.lit("x"),
+                            F.xxhash64(tag, F.lit(2), *row_cols)
+                            .cast("string"),
+                        )
+                        imatch = imatch.withColumn(
+                            v,
+                            _term_struct(
+                                F.lit("bnode"), label, F.lit(""), F.lit("")
+                            ),
+                        )
+                    ibound = bound | set(mint)
                 ins = _norm_triples(
-                    _tmpl_rows(match, bound, op.insert)
+                    _tmpl_rows(imatch, ibound, op.insert)
                 ).distinct()
                 g = g.unionByName(ins).distinct()
         g = g.localCheckpoint(eager=True)

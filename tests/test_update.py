@@ -122,3 +122,35 @@ def test_input_dataframe_not_mutated(spark):
     g = _g(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "")])
     apply_update(g, "CLEAR ALL")
     assert g.count() == 1
+
+
+def test_insert_template_bnode_minted_per_solution(spark):
+    # [ ex:of ?s ] in the INSERT template: one fresh bnode per solution
+    g = _g(spark, [
+        ("urn:a", EX + "p", "iri", "urn:x", None, ""),
+        ("urn:b", EX + "p", "iri", "urn:y", None, ""),
+    ])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT {{ [] ex:of ?s }} WHERE {{ ?s ex:p ?o }}
+    """)
+    rows = [r for r in out.collect() if r["p"] == EX + "of"]
+    assert len(rows) == 2
+    assert all(r["s"].startswith("_:u") for r in rows)
+    assert rows[0]["s"] != rows[1]["s"]
+    # replays mint the same labels (deterministic)
+    out2 = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT {{ [] ex:of ?s }} WHERE {{ ?s ex:p ?o }}
+    """)
+    assert _triples(out) == _triples(out2)
+
+
+def test_delete_template_bnode_is_loud(spark):
+    g = _g(spark, [("urn:a", EX + "p", "iri", "urn:x", None, "")])
+    with pytest.raises(SparqlUnsupported, match="blank node"):
+        apply_update(
+            g, f"DELETE {{ [] <{EX}p> ?o }} WHERE {{ ?s <{EX}p> ?o }}"
+        )
+    with pytest.raises(SparqlUnsupported, match="blank node"):
+        apply_update(g, f"DELETE WHERE {{ ?s <{EX}p> [] }}")

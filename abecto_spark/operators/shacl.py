@@ -333,10 +333,11 @@ def _property_violations(data, closure, spo, shape, pshape, focus):
                   "o_value")
             .select(
                 F.col("o_value").alias("focus"),
-                # inverse-path value nodes are the triple subjects; the
-                # data model does not distinguish bnode subjects, so IRI
-                # kind is assumed (subjects are node ids either way)
-                F.lit("iri").alias("v_kind"),
+                # inverse-path value nodes are the triple subjects;
+                # bnode subjects carry the "_:" label prefix (the same
+                # convention sparql._subject_struct keys on)
+                F.when(F.col("s").startswith("_:"), F.lit("bnode"))
+                .otherwise(F.lit("iri")).alias("v_kind"),
                 F.col("s").alias("v_value"),
                 F.lit(None).cast("string").alias("v_datatype"),
                 F.lit("").alias("v_lang"),

@@ -234,3 +234,21 @@ shape ex:S {{
         ("urn:s", "Class", "urn:onlyA"),
         ("urn:s", "HasValue", None),
     }
+
+
+def test_inverse_path_bnode_subject_nodekind(spark):
+    # a bnode subject reached through an inverse path must classify as
+    # BlankNode for sh:nodeKind, not IRI
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+shape ex:S {{
+  targetObjectsOf = ex:memberOf .
+  ^ex:memberOf IRI .
+}}
+""")
+    data = _data(spark, [
+        ("_:anon", EX + "memberOf", "iri", "urn:g", None, None),
+        ("urn:m", EX + "memberOf", "iri", "urn:g", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {("urn:g", "NodeKind", "_:anon")}

@@ -97,6 +97,32 @@ def main() -> int:
     out["seeds"] = seeds.count()
     run("bfs_distances_d6", lambda: bfs_distances(edges, seeds, max_depth=6))
     run("ppr_k5", lambda: personalized_pagerank(edges, seeds, iterations=5))
+
+    # final-surface graph ops: HITS (PageRank's shuffle budget × 2),
+    # weighted SSSP (|E| join per relaxation, no settled pruning),
+    # deterministic walks (one ranking window + length equi-joins), and
+    # harmonic centrality from a SPARSER sample — its state is
+    # O(|S| · reach), so the probe uses ~0.1% of nodes (% 997) to stay
+    # inside the documented seed-sample budget at 1M nodes
+    from abecto_spark.operators.graph_stats import (
+        deterministic_walks,
+        harmonic_centrality,
+        hits,
+        weighted_distances,
+    )
+
+    run("hits_k5", lambda: hits(edges, iterations=5))
+    wedges = edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    ).localCheckpoint(eager=True)
+    run("sssp_w_d6", lambda: weighted_distances(wedges, seeds, max_hops=6))
+    run("walks_l5", lambda: deterministic_walks(edges, seeds, walk_length=5))
+    sparse_seeds = nodes_df.where(F.col("node") % 997 == 0).localCheckpoint(
+        eager=True
+    )
+    out["sparse_seeds"] = sparse_seeds.count()
+    run("harmonic_d4_sparse",
+        lambda: harmonic_centrality(edges, sparse_seeds, max_depth=4))
     out["load_after"] = os.getloadavg()
     print(json.dumps(out))
     return 0

@@ -1089,6 +1089,14 @@ def deterministic_walks(
     the current frontier against it — ``walk_length`` joins total, no
     Python anywhere.
     """
+    kind = dict(edges.dtypes).get(src, "")
+    if not any(t in kind for t in ("int", "long", "short", "byte", "decimal")):
+        # string ids would null out the congruential arithmetic and
+        # yield silently-empty walks — refuse instead
+        raise GraphStatsError(
+            f"deterministic_walks needs integer node ids, got {kind!r} "
+            "(map ids through a dictionary first)"
+        )
     w = Window.partitionBy("s").orderBy("d")
     nbrs = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))

@@ -645,3 +645,15 @@ def test_deterministic_walks_replay_identical(spark):
     b = sorted(map(tuple,
                    deterministic_walks(e.repartition(13), seeds, 4).collect()))
     assert a == b and len(a) == 15
+
+
+def test_deterministic_walks_string_ids_are_loud(spark):
+    from abecto_spark.operators.graph_stats import (
+        GraphStatsError,
+        deterministic_walks,
+    )
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(GraphStatsError, match="integer node ids"):
+        deterministic_walks(e, seeds)

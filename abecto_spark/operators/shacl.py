@@ -16,6 +16,10 @@ express:
                sh:nodeKind  sh:pattern [sh:flags]  sh:minLength
                sh:maxLength  sh:hasValue  sh:minInclusive
                sh:maxInclusive  sh:minExclusive  sh:maxExclusive
+               sh:in  sh:languageIn  sh:uniqueLang
+               sh:equals  sh:disjoint  sh:lessThan  sh:lessThanOrEquals
+               (property pairs, §4.3) and node-shape-level sh:closed
+               [sh:ignoredProperties] (§4.8.1)
 
 Anything else in the shapes graph raises ``ShaclUnsupported`` loudly
 (never silently skips a constraint — a validator that ignores
@@ -47,10 +51,15 @@ from ..model import (
     XSD_DOUBLE,
     XSD_FLOAT,
     XSD_INTEGER_TYPES,
+    XSD_STRING,
 )
 
 SH = "http://www.w3.org/ns/shacl#"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 
 #: XSD lexical grammars for sh:datatype well-formedness (Jena's
@@ -126,6 +135,26 @@ def _one_literal(spo, s, p):
 def _int_param(spo, s, p):
     v = _one_literal(spo, s, p)
     return None if v is None else int(v[1])
+
+
+def _rdf_list(spo, head_term):
+    """Walk an rdf:first/rdf:rest list in the collected shapes graph —
+    SHACL lists (sh:in, sh:languageIn, sh:ignoredProperties) are
+    configuration-sized by construction."""
+    kind, head = head_term[0], head_term[1]
+    items = []
+    seen = set()
+    while head != RDF_NIL:
+        if kind not in ("iri", "bnode") or head in seen:
+            raise ShaclUnsupported(f"malformed SHACL list at {head}")
+        seen.add(head)
+        first = _objects(spo, head, RDF_FIRST)
+        rest = _objects(spo, head, RDF_REST)
+        if len(first) != 1 or len(rest) != 1:
+            raise ShaclUnsupported(f"malformed SHACL list at {head}")
+        items.append(first[0])
+        kind, head = rest[0][0], rest[0][1]
+    return items
 
 
 def _subclass_closure(data: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -233,6 +262,9 @@ def shacl_validate(
             out.append(
                 _property_violations(data, closure, spo, shape, pv, focus)
             )
+        cl = _one_literal(spo, shape, SH + "closed")
+        if cl is not None and cl[1] in ("true", "1"):
+            out.append(_closed_violations(data, spo, shape, focus))
     if len(out) == 1:
         return empty
     res = out[0]
@@ -295,7 +327,52 @@ _KNOWN_PARAMS = {
     SH + "maxInclusive",
     SH + "minExclusive",
     SH + "maxExclusive",
+    SH + "in",
+    SH + "languageIn",
+    SH + "uniqueLang",
+    SH + "equals",
+    SH + "disjoint",
+    SH + "lessThan",
+    SH + "lessThanOrEquals",
 }
+
+#: numeric datatype IRIs for the SPARQL-operator comparison used by
+#: sh:lessThan / sh:lessThanOrEquals
+_NUMERIC_DTS = set(XSD_INTEGER_TYPES) | {XSD_DECIMAL, XSD_DOUBLE, XSD_FLOAT}
+
+
+def _closed_violations(data, spo, shape, focus):
+    """sh:closed true (§4.8.1): a violation for every (focus, p, o)
+    whose predicate is neither a direct-IRI sh:path of one of the
+    shape's property shapes nor listed in sh:ignoredProperties.  The
+    reported ``path`` is the offending predicate itself."""
+    allowed: set[str] = set()
+    for _, pv, _dt, _l in _objects(spo, shape, SH + "property"):
+        pobjs = _objects(spo, pv, SH + "path")
+        if len(pobjs) == 1 and pobjs[0][0] == "iri":
+            allowed.add(pobjs[0][1])
+    ign = _objects(spo, shape, SH + "ignoredProperties")
+    if len(ign) > 1:
+        raise ShaclUnsupported(f"multiple sh:ignoredProperties on {shape}")
+    if ign:
+        for kind, v, _dt, _l in _rdf_list(spo, ign[0]):
+            if kind != "iri":
+                raise ShaclUnsupported(
+                    f"non-IRI sh:ignoredProperties member on {shape}"
+                )
+            allowed.add(v)
+    bad = data.join(
+        focus.withColumnRenamed("node", "s").hint("broadcast"), "s"
+    )
+    if allowed:
+        bad = bad.where(~F.col("p").isin(*sorted(allowed)))
+    return bad.select(
+        F.lit(shape).alias("shape"),
+        F.col("s").alias("focus"),
+        F.concat(F.lit("<"), F.col("p"), F.lit(">")).alias("path"),
+        F.lit("Closed").alias("component"),
+        F.col("o_value").alias("value"),
+    )
 
 
 def _property_violations(data, closure, spo, shape, pshape, focus):
@@ -494,6 +571,146 @@ def _property_violations(data, closure, spo, shape, pshape, focus):
             .select(F.col("node").alias("focus")),
             "HasValue",
         ))
+
+    in_objs = _objects(spo, pshape, SH + "in")
+    if in_objs:
+        if len(in_objs) > 1:
+            raise ShaclUnsupported(f"multiple sh:in on {pshape}")
+        members = _rdf_list(spo, in_objs[0])
+        # membership is term equality (kind, lexical form, datatype,
+        # lang) — the comparison Jena's engine applies for sh:in
+        ok = F.lit(False)
+        for kind, v, vdt, vlang in members:
+            ok = ok | (
+                (F.col("v_kind") == kind)
+                & (F.col("v_value") == v)
+                & (F.coalesce("v_datatype", F.lit("")) == (vdt or ""))
+                & (F.coalesce("v_lang", F.lit("")) == (vlang or ""))
+            )
+        out.append(report(vals.where(~ok), "In", F.col("v_value")))
+
+    li_objs = _objects(spo, pshape, SH + "languageIn")
+    if li_objs:
+        if len(li_objs) > 1:
+            raise ShaclUnsupported(f"multiple sh:languageIn on {pshape}")
+        ranges = []
+        for kind, v, _dt, _l in _rdf_list(spo, li_objs[0]):
+            if kind != "literal":
+                raise ShaclUnsupported(
+                    f"non-literal sh:languageIn member on {pshape}"
+                )
+            ranges.append(v)
+        # RFC 4647 basic filtering per range, as SPARQL langMatches
+        lang = F.lower(F.coalesce("v_lang", F.lit("")))
+        ok = F.lit(False)
+        for r in ranges:
+            rl = r.lower()
+            if rl == "*":
+                ok = ok | (lang != "")
+            else:
+                ok = ok | (lang == rl) | lang.startswith(rl + "-")
+        bad = vals.where((F.col("v_kind") != "literal") | ~ok)
+        out.append(report(bad, "LanguageIn", F.col("v_value")))
+
+    ul = _one_literal(spo, pshape, SH + "uniqueLang")
+    if ul is not None and ul[1] in ("true", "1"):
+        # one violation per focus per language tag shared by ≥2 value
+        # nodes (§4.2.5); the reported value is the duplicated tag
+        dup = (
+            vals.where(
+                (F.col("v_kind") == "literal")
+                & (F.coalesce("v_lang", F.lit("")) != "")
+            )
+            .groupBy("focus", F.lower("v_lang").alias("v_lang"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+        )
+        out.append(report(dup, "UniqueLang", F.col("v_lang")))
+
+    def _other_values(pred2):
+        return (
+            data.where(F.col("p") == pred2)
+            .join(
+                focus.withColumnRenamed("node", "s").hint("broadcast"), "s"
+            )
+            .select(
+                F.col("s").alias("focus"),
+                F.col("o_kind").alias("w_kind"),
+                F.col("o_value").alias("w_value"),
+                F.coalesce("o_datatype", F.lit("")).alias("w_datatype"),
+                F.coalesce("o_lang", F.lit("")).alias("w_lang"),
+            )
+        )
+
+    nvals = vals.select(
+        "focus",
+        F.col("v_kind").alias("w_kind"),
+        F.col("v_value").alias("w_value"),
+        F.coalesce("v_datatype", F.lit("")).alias("w_datatype"),
+        F.coalesce("v_lang", F.lit("")).alias("w_lang"),
+    )
+    term_keys = ["focus", "w_kind", "w_value", "w_datatype", "w_lang"]
+
+    for kind, v, _dt, _l in _objects(spo, pshape, SH + "equals"):
+        if kind != "iri":
+            raise ShaclUnsupported(f"non-IRI sh:equals on {pshape}")
+        other = _other_values(v)
+        # §4.3.1: a violation per value node absent from the other
+        # predicate's values, and per other-predicate value absent here
+        out.append(report(
+            nvals.join(other, term_keys, "left_anti"), "Equals",
+            F.col("w_value"),
+        ))
+        out.append(report(
+            other.join(nvals, term_keys, "left_anti"), "Equals",
+            F.col("w_value"),
+        ))
+
+    for kind, v, _dt, _l in _objects(spo, pshape, SH + "disjoint"):
+        if kind != "iri":
+            raise ShaclUnsupported(f"non-IRI sh:disjoint on {pshape}")
+        out.append(report(
+            nvals.join(_other_values(v), term_keys, "left_semi"),
+            "Disjoint", F.col("w_value"),
+        ))
+
+    for param, comp, strict in (
+        ("lessThan", "LessThan", True),
+        ("lessThanOrEquals", "LessThanOrEquals", False),
+    ):
+        for kind, v, _dt, _l in _objects(spo, pshape, SH + param):
+            if kind != "iri":
+                raise ShaclUnsupported(f"non-IRI sh:{param} on {pshape}")
+            pairs = vals.join(_other_values(v), "focus")
+            vnum = F.col("v_value").try_cast("double")
+            wnum = F.col("w_value").try_cast("double")
+            num_ok = (
+                F.coalesce("v_datatype", F.lit("")).isin(*_NUMERIC_DTS)
+                & F.col("w_datatype").isin(*_NUMERIC_DTS)
+                & vnum.isNotNull()
+                & wnum.isNotNull()
+            )
+            str_ok = (
+                F.coalesce("v_datatype", F.lit("")).isin("", XSD_STRING)
+                & (F.coalesce("v_lang", F.lit("")) == "")
+                & F.col("w_datatype").isin("", XSD_STRING)
+                & (F.col("w_lang") == "")
+            )
+            # the SPARQL "<" operator: numeric on numeric pairs, codepoint
+            # string on plain-string pairs; anything else is a type error,
+            # and a failed comparison is a violation (§4.3.3)
+            lt = F.when(num_ok, vnum < wnum).when(
+                str_ok, F.col("v_value") < F.col("w_value")
+            )
+            eq = F.when(num_ok, vnum == wnum).when(
+                str_ok, F.col("v_value") == F.col("w_value")
+            )
+            ok = lt if strict else (lt | eq)
+            both_lit = (F.col("v_kind") == "literal") & (
+                F.col("w_kind") == "literal"
+            )
+            bad = pairs.where(~both_lit | ok.isNull() | ~ok)
+            out.append(report(bad, comp, F.col("v_value")))
 
     if not out:
         return report(vals.where(F.lit(False)), "none")

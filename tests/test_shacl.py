@@ -252,3 +252,154 @@ shape ex:S {{
     ])
     got = _viol(shacl_validate(data, shapes))
     assert got == {("urn:g", "NodeKind", "_:anon")}
+
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _shapes_raw(spark, rows):
+    # same column conventions as _data — used for constraints the
+    # SHACL-C reader deliberately rejects (lists, property pairs)
+    return _data(spark, rows)
+
+
+def test_sh_in_is_term_equality(spark):
+    shapes = _shapes_raw(spark, [
+        (EX + "S", SH + "targetSubjectsOf", "iri", EX + "color", None, None),
+        (EX + "S", SH + "property", "bnode", "_:p1", None, None),
+        ("_:p1", SH + "path", "iri", EX + "color", None, None),
+        ("_:p1", SH + "in", "bnode", "_:l1", None, None),
+        ("_:l1", RDF_NS + "first", "iri", EX + "red", None, None),
+        ("_:l1", RDF_NS + "rest", "bnode", "_:l2", None, None),
+        ("_:l2", RDF_NS + "first", "literal", "green", None, None),
+        ("_:l2", RDF_NS + "rest", "bnode", "_:l3", None, None),
+        ("_:l3", RDF_NS + "first", "literal", "5", XSD + "integer", None),
+        ("_:l3", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+    ])
+    data = _data(spark, [
+        ("urn:a", EX + "color", "iri", EX + "red", None, None),
+        ("urn:a", EX + "color", "literal", "green", None, None),
+        ("urn:b", EX + "color", "literal", "5", XSD + "integer", None),
+        # same lexical form, different datatype -> not a member
+        ("urn:b", EX + "color", "literal", "5", None, None),
+        ("urn:c", EX + "color", "literal", "blue", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:b", "In", "5"),
+        ("urn:c", "In", "blue"),
+    }
+
+
+def test_language_in_and_unique_lang(spark):
+    shapes = _shapes_raw(spark, [
+        (EX + "S", SH + "targetSubjectsOf", "iri", EX + "label", None, None),
+        (EX + "S", SH + "property", "bnode", "_:p1", None, None),
+        ("_:p1", SH + "path", "iri", EX + "label", None, None),
+        ("_:p1", SH + "languageIn", "bnode", "_:l1", None, None),
+        ("_:l1", RDF_NS + "first", "literal", "en", None, None),
+        ("_:l1", RDF_NS + "rest", "bnode", "_:l2", None, None),
+        ("_:l2", RDF_NS + "first", "literal", "fr", None, None),
+        ("_:l2", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+        ("_:p1", SH + "uniqueLang", "literal", "true",
+         XSD + "boolean", None),
+    ])
+    data = _data(spark, [
+        ("urn:a", EX + "label", "literal", "hello", None, "en"),
+        # case-insensitive duplicate tag -> one UniqueLang violation
+        ("urn:a", EX + "label", "literal", "hi", None, "EN"),
+        ("urn:a", EX + "label", "literal", "salut", None, "fr"),
+        # en-GB basic-matches the "en" range; a distinct tag for
+        # uniqueLang purposes
+        ("urn:a", EX + "label", "literal", "brit", None, "en-GB"),
+        ("urn:a", EX + "label", "literal", "hallo", None, "de"),
+        ("urn:a", EX + "label", "literal", "plain", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:a", "LanguageIn", "hallo"),
+        ("urn:a", "LanguageIn", "plain"),
+        ("urn:a", "UniqueLang", "en"),
+    }
+
+
+def test_equals_and_disjoint_property_pairs(spark):
+    shapes = _shapes_raw(spark, [
+        (EX + "S", SH + "targetSubjectsOf", "iri", EX + "firstName",
+         None, None),
+        (EX + "S", SH + "property", "bnode", "_:p1", None, None),
+        ("_:p1", SH + "path", "iri", EX + "firstName", None, None),
+        ("_:p1", SH + "equals", "iri", EX + "givenName", None, None),
+        (EX + "S", SH + "property", "bnode", "_:p2", None, None),
+        ("_:p2", SH + "path", "iri", EX + "nick", None, None),
+        ("_:p2", SH + "disjoint", "iri", EX + "firstName", None, None),
+    ])
+    data = _data(spark, [
+        ("urn:a", EX + "firstName", "literal", "Al", None, None),
+        ("urn:a", EX + "givenName", "literal", "Al", None, None),
+        ("urn:a", EX + "nick", "literal", "Al", None, None),  # Disjoint
+        ("urn:b", EX + "firstName", "literal", "Bo", None, None),
+        ("urn:b", EX + "givenName", "literal", "Bob", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:a", "Disjoint", "Al"),
+        ("urn:b", "Equals", "Bo"),
+        ("urn:b", "Equals", "Bob"),
+    }
+
+
+def test_less_than_pairs(spark):
+    shapes = _shapes_raw(spark, [
+        (EX + "S", SH + "targetSubjectsOf", "iri", EX + "start",
+         None, None),
+        (EX + "S", SH + "property", "bnode", "_:p1", None, None),
+        ("_:p1", SH + "path", "iri", EX + "start", None, None),
+        ("_:p1", SH + "lessThan", "iri", EX + "end", None, None),
+        (EX + "S", SH + "property", "bnode", "_:p2", None, None),
+        ("_:p2", SH + "path", "iri", EX + "start", None, None),
+        ("_:p2", SH + "lessThanOrEquals", "iri", EX + "cap", None, None),
+    ])
+    data = _data(spark, [
+        ("urn:a", EX + "start", "literal", "1", XSD + "integer", None),
+        ("urn:a", EX + "end", "literal", "2", XSD + "integer", None),
+        ("urn:a", EX + "cap", "literal", "1", XSD + "integer", None),
+        ("urn:b", EX + "start", "literal", "3", XSD + "integer", None),
+        ("urn:b", EX + "end", "literal", "2", XSD + "integer", None),
+        # mixed string/numeric pair: SPARQL "<" is a type error ->
+        # violation
+        ("urn:c", EX + "start", "literal", "x", None, None),
+        ("urn:c", EX + "end", "literal", "2", XSD + "integer", None),
+        # non-literal value node can never compare
+        ("urn:d", EX + "start", "iri", "urn:z", None, None),
+        ("urn:d", EX + "end", "literal", "2", XSD + "integer", None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:b", "LessThan", "3"),
+        ("urn:c", "LessThan", "x"),
+        ("urn:d", "LessThan", "urn:z"),
+    }
+
+
+def test_closed_with_ignored_properties(spark):
+    shapes = _shapes_raw(spark, [
+        (EX + "S", SH + "targetClass", "iri", EX + "Person", None, None),
+        (EX + "S", SH + "closed", "literal", "true", XSD + "boolean", None),
+        (EX + "S", SH + "ignoredProperties", "bnode", "_:l1", None, None),
+        ("_:l1", RDF_NS + "first", "iri", RDF_TYPE, None, None),
+        ("_:l1", RDF_NS + "rest", "iri", RDF_NS + "nil", None, None),
+        (EX + "S", SH + "property", "bnode", "_:p1", None, None),
+        ("_:p1", SH + "path", "iri", EX + "name", None, None),
+    ])
+    data = _data(spark, [
+        ("urn:a", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("urn:a", EX + "name", "literal", "A", None, None),
+        ("urn:a", EX + "extra", "literal", "x", None, None),
+    ])
+    res = shacl_validate(data, shapes)
+    got = _viol(res)
+    assert got == {("urn:a", "Closed", "x")}
+    row = res.where(res.component == "Closed").collect()[0]
+    assert row["path"] == f"<{EX}extra>"

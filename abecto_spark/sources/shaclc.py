@@ -20,9 +20,14 @@ shape files:
     ``[m..n]`` → ``sh:minCount``/``sh:maxCount`` (0 / ``*`` omitted),
     or ``name=value`` → ``sh:<name>``.
 
-Everything else (nested inline shapes, logical combinators, value
-lists) raises ``ShaclcUnsupported`` loudly. Blank-node labels are
-deterministic (``_:pc1`` ...), so output is reproducible.
+  * ``name=[v1 v2 ...]`` value lists → rdf:first/rest chains (so
+    ``in= / languageIn=`` work; languageIn members must be quoted
+    strings), and shape-level ``closed=true`` /
+    ``ignoredProperties=[...]`` lines.
+
+Everything else (nested inline shapes, logical combinators) raises
+``ShaclcUnsupported`` loudly. Blank-node labels are deterministic
+(``_:pc1`` ...), so output is reproducible.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..model import XSD, XSD_STRING
 
 SH = "http://www.w3.org/ns/shacl#"
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
 OWL = "http://www.w3.org/2002/07/owl#"
 
 TRIPLES_DDL = (
@@ -69,7 +75,7 @@ _TOKEN = re.compile(
   | (?P<arrow>->)
   | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_][A-Za-z0-9_.-]*)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[{}=.^@])
+  | (?P<punct>[{}=.^@\[\]])
     """,
     re.VERBOSE,
 )
@@ -141,6 +147,35 @@ class _ShaclcParser:
             return ("literal", v, XSD + "boolean")
         raise ShaclcUnsupported(f"bad value {v!r}")
 
+    def _list(self):
+        """A ``[v1 v2 ...]`` value list as an rdf:first/rest chain;
+        returns the head term — ``rdf:nil`` for the empty list."""
+        self.eat("[")
+        items = []
+        while self.peek()[1] != "]":
+            items.append(self._value())
+        self.eat("]")
+        if not items:
+            return ("iri", RDF_NS + "nil", None)
+        nodes = []
+        for _ in items:
+            self._bn += 1
+            nodes.append(f"_:pc{self._bn}")
+        for idx, (kind, value, dt) in enumerate(items):
+            self._emit(nodes[idx], RDF_NS + "first", kind, value, dt)
+            if idx + 1 < len(items):
+                self._emit(nodes[idx], RDF_NS + "rest", "bnode",
+                           nodes[idx + 1])
+            else:
+                self._emit(nodes[idx], RDF_NS + "rest", "iri",
+                           RDF_NS + "nil")
+        return ("bnode", nodes[0], None)
+
+    def _value_or_list(self):
+        if self.peek()[1] == "[":
+            return self._list()
+        return self._value()
+
     # -- top level -------------------------------------------------------
     def parse(self) -> list[tuple]:
         while True:
@@ -195,6 +230,13 @@ class _ShaclcParser:
                 self._emit(s, pred, kind, value, dt)
             self.eat(".")
             return
+        if k == "word" and v in ("closed", "ignoredProperties"):
+            self.next()
+            self.eat("=")
+            kind, value, dt = self._value_or_list()
+            self._emit(s, SH + v, kind, value, dt)
+            self.eat(".")
+            return
         self._property_line(s)
 
     def _property_line(self, s: str):
@@ -238,10 +280,10 @@ class _ShaclcParser:
             self.next()
             self._emit(b, SH + "nodeKind", "iri", SH + v)
             return
-        if k == "word":  # name=value parameter
+        if k == "word":  # name=value parameter (value or [list])
             self.next()
             self.eat("=")
-            kind, value, dt = self._value()
+            kind, value, dt = self._value_or_list()
             self._emit(b, SH + v, kind, value, dt)
             return
         if k in ("iri", "pname"):

@@ -403,3 +403,34 @@ def test_closed_with_ignored_properties(spark):
     assert got == {("urn:a", "Closed", "x")}
     row = res.where(res.component == "Closed").collect()[0]
     assert row["path"] == f"<{EX}extra>"
+
+
+def test_shaclc_lists_and_closed_end_to_end(spark):
+    # the SHACL-C surface for the list/pair constraints: in=[...],
+    # languageIn=[...] (quoted tags), uniqueLang, closed/ignored
+    shapes = _shapes(spark, f"""
+PREFIX ex: <{EX}>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+shape ex:S -> ex:Thing {{
+  closed = true .
+  ignoredProperties = [rdf:type] .
+  ex:status in=[ex:open ex:closed "other"] .
+  ex:label languageIn=["en" "fr"] uniqueLang=true .
+}}
+""")
+    data = _data(spark, [
+        ("urn:a", RDF_TYPE, "iri", EX + "Thing", None, None),
+        ("urn:a", EX + "status", "iri", EX + "open", None, None),
+        ("urn:a", EX + "status", "literal", "bogus", None, None),
+        ("urn:a", EX + "label", "literal", "ok", None, "en"),
+        ("urn:a", EX + "label", "literal", "ok2", None, "en"),
+        ("urn:a", EX + "label", "literal", "nein", None, "de"),
+        ("urn:a", EX + "extra", "literal", "x", None, None),
+    ])
+    got = _viol(shacl_validate(data, shapes))
+    assert got == {
+        ("urn:a", "In", "bogus"),
+        ("urn:a", "LanguageIn", "nein"),
+        ("urn:a", "UniqueLang", "en"),
+        ("urn:a", "Closed", "x"),
+    }

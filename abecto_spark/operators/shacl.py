@@ -615,14 +615,15 @@ def _property_violations(data, closure, spo, shape, pshape, focus):
     ul = _one_literal(spo, pshape, SH + "uniqueLang")
     if ul is not None and ul[1] in ("true", "1"):
         # one violation per focus per language tag shared by ≥2 value
-        # nodes (§4.2.5); the reported value is the duplicated tag
+        # nodes (§4.2.5); value nodes are a SET, so duplicate triples
+        # don't count twice; the reported value is the duplicated tag
         dup = (
             vals.where(
                 (F.col("v_kind") == "literal")
                 & (F.coalesce("v_lang", F.lit("")) != "")
             )
             .groupBy("focus", F.lower("v_lang").alias("v_lang"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.countDistinct("v_value").alias("n"))
             .where(F.col("n") > 1)
         )
         out.append(report(dup, "UniqueLang", F.col("v_lang")))

@@ -4100,14 +4100,17 @@ def q_shacl_report(spark, sf):
     """SHACL core validation (operators/shacl.py) of a KG derived from
     customer/nation against a SHACL-C shapes graph: targetClass with
     rdfs:subClassOf closure (VIP ⊑ Customer), min/max cardinality,
-    sh:class on the nation link, sh:minInclusive on the balance, and
-    sh:pattern on the market segment.  The oracle derives each
-    violation set directly from the base tables."""
+    sh:class on the nation link, sh:minInclusive on the balance,
+    sh:pattern and sh:in on the market segment, sh:lessThan against a
+    per-customer cap, sh:languageIn/sh:uniqueLang on language-tagged
+    aliases, and sh:closed with ignoredProperties.  The oracle derives
+    each violation set directly from the base tables."""
     from ..operators.shacl import shacl_validate
     from ..sources.shaclc import TRIPLES_DDL, parse_shaclc
 
     ex = "http://example.org/"
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdf_lang = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
     rdfs_sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
     xsd = "http://www.w3.org/2001/XMLSchema#"
 
@@ -4116,13 +4119,13 @@ def q_shacl_report(spark, sf):
     cs = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
     ns = F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
 
-    def t(s, p, kind, value, dt):
+    def t(s, p, kind, value, dt, lang=""):
         return [
             s.alias("s"), F.lit(p).alias("p"), F.lit(kind).alias("o_kind"),
             value.alias("o_value"),
             (F.lit(dt) if dt else F.lit(None)).cast("string")
             .alias("o_datatype"),
-            F.lit("").alias("o_lang"),
+            F.lit(lang).alias("o_lang"),
         ]
 
     data = (
@@ -4168,15 +4171,48 @@ def q_shacl_report(spark, sf):
             c.select(*t(cs, ex + "segment", "literal",
                         F.col("c_mktsegment"), xsd + "string"))
         )
+        .unionByName(
+            c.where(F.col("c_custkey") % 3 == 0)
+            .select(*t(cs, ex + "cap", "literal", F.lit("5000.00"),
+                       xsd + "decimal"))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 17 == 0)
+            .select(*t(cs, ex + "note", "literal",
+                       F.concat(F.col("c_name"), F.lit("/note")),
+                       xsd + "string"))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 19 == 0)
+            .select(*t(cs, ex + "alias", "literal", F.col("c_name"),
+                       rdf_lang, "en"))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 19 == 0)
+            .select(*t(cs, ex + "alias", "literal",
+                       F.concat(F.col("c_name"), F.lit("2")),
+                       rdf_lang, "en"))
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 23 == 0)
+            .select(*t(cs, ex + "alias", "literal", F.col("c_name"),
+                       rdf_lang, "de"))
+        )
     )
     shapes = spark.createDataFrame(parse_shaclc(f"""
 PREFIX ex: <{ex}>
 PREFIX xsd: <{xsd}>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
 shape ex:CustomerShape -> ex:Customer {{
+  closed = true .
+  ignoredProperties = [rdf:type] .
   ex:name xsd:string [1..1] .
-  ex:acctbal minInclusive=0 .
+  ex:acctbal minInclusive=0 lessThan=ex:cap .
+  ex:cap xsd:decimal .
   ex:nation ex:Nation [1..1] .
-  ex:segment pattern="^(B|M)" .
+  ex:segment pattern="^(B|M)"
+             in=["BUILDING" "MACHINERY" "AUTOMOBILE"] .
+  ex:alias languageIn=["en" "fr"] uniqueLang=true .
 }}
 """), TRIPLES_DDL)
     return shacl_validate(data, shapes)
@@ -4205,6 +4241,28 @@ ORACLES["shacl_report"] = """
       SELECT 'segment', 'Pattern', 'c' || CAST(c_custkey AS VARCHAR),
              c_mktsegment
       FROM customer WHERE NOT regexp_matches(c_mktsegment, '^(B|M)')
+      UNION ALL
+      SELECT 'segment', 'In', 'c' || CAST(c_custkey AS VARCHAR),
+             c_mktsegment
+      FROM customer
+      WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      UNION ALL
+      SELECT 'acctbal', 'LessThan', 'c' || CAST(c_custkey AS VARCHAR),
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+      FROM customer
+      WHERE c_custkey % 3 = 0 AND NOT (c_acctbal < 5000)
+      UNION ALL
+      SELECT 'alias', 'UniqueLang', 'c' || CAST(c_custkey AS VARCHAR),
+             'en'
+      FROM customer WHERE c_custkey % 19 = 0
+      UNION ALL
+      SELECT 'alias', 'LanguageIn', 'c' || CAST(c_custkey AS VARCHAR),
+             c_name
+      FROM customer WHERE c_custkey % 23 = 0
+      UNION ALL
+      SELECT 'note', 'Closed', 'c' || CAST(c_custkey AS VARCHAR),
+             c_name || '/note'
+      FROM customer WHERE c_custkey % 17 = 0
     )
     SELECT 'http://example.org/CustomerShape' AS shape, focus,
            '<http://example.org/' || prop || '>' AS path,

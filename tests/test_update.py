@@ -154,3 +154,158 @@ def test_delete_template_bnode_is_loud(spark):
         )
     with pytest.raises(SparqlUnsupported, match="blank node"):
         apply_update(g, f"DELETE WHERE {{ ?s <{EX}p> [] }}")
+
+
+QDDL = DDL + ", graph string"
+
+
+def _q(spark, rows):
+    return spark.createDataFrame(rows, QDDL)
+
+
+def _quads(df):
+    return {
+        (r["graph"], r["s"], r["p"], r["o_value"]) for r in df.collect()
+    }
+
+
+def test_quads_insert_delete_data_with_graph(spark):
+    g = _q(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "", "")])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT DATA {{
+          <urn:c> ex:p <urn:d> .
+          GRAPH <urn:g1> {{ <urn:c> ex:q "v" }}
+        }} ;
+        DELETE DATA {{ GRAPH <urn:g1> {{ <urn:c> ex:q "v" }} }} ;
+        INSERT DATA {{ GRAPH <urn:g2> {{ <urn:e> ex:r "w" }} }}
+    """)
+    assert out.columns == ["s", "p", "o_kind", "o_value", "o_datatype",
+                           "o_lang", "graph"]
+    assert _quads(out) == {
+        ("", "urn:a", EX + "p", "urn:b"),
+        ("", "urn:c", EX + "p", "urn:d"),
+        ("urn:g2", "urn:e", EX + "r", "w"),
+    }
+
+
+def test_quads_with_scopes_where_and_templates(spark):
+    # WITH <g1>: WHERE matches only g1 rows; unwrapped templates write
+    # to g1; a GRAPH block in the template overrides
+    g = _q(spark, [
+        ("urn:a", EX + "v", "literal", "1", XS, "", "urn:g1"),
+        ("urn:b", EX + "v", "literal", "2", XS, "", "urn:g2"),
+    ])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        WITH <urn:g1>
+        DELETE {{ ?s ex:v ?x }}
+        INSERT {{ ?s ex:w ?x . GRAPH <urn:log> {{ ?s ex:was ?x }} }}
+        WHERE {{ ?s ex:v ?x }}
+    """)
+    assert _quads(out) == {
+        ("urn:g2", "urn:b", EX + "v", "2"),   # untouched: not in g1
+        ("urn:g1", "urn:a", EX + "w", "1"),
+        ("urn:log", "urn:a", EX + "was", "1"),
+    }
+
+
+def test_quads_union_default_where_graph_pattern(spark):
+    # without WITH the WHERE follows the engine's union-of-graphs
+    # default, and GRAPH patterns scope inside WHERE
+    g = _q(spark, [
+        ("urn:a", EX + "v", "literal", "1", XS, "", "urn:g1"),
+        ("urn:b", EX + "v", "literal", "2", XS, "", ""),
+    ])
+    out = apply_update(g, f"""
+        PREFIX ex: <{EX}>
+        INSERT {{ GRAPH <urn:found> {{ ?s ex:in ?g }} }}
+        WHERE {{ GRAPH ?g {{ ?s ex:v ?x }} }}
+    """)
+    assert ("urn:found", "urn:a", EX + "in", "urn:g1") in _quads(out)
+    assert len(_quads(out)) == 3
+
+
+def test_quads_clear_and_drop_targets(spark):
+    rows = [
+        ("urn:a", EX + "p", "iri", "urn:b", None, "", ""),
+        ("urn:c", EX + "p", "iri", "urn:d", None, "", "urn:g1"),
+        ("urn:e", EX + "p", "iri", "urn:f", None, "", "urn:g2"),
+    ]
+    out = apply_update(_q(spark, rows), "CLEAR GRAPH <urn:g1>")
+    assert _quads(out) == {
+        ("", "urn:a", EX + "p", "urn:b"),
+        ("urn:g2", "urn:e", EX + "p", "urn:f"),
+    }
+    out = apply_update(_q(spark, rows), "DROP NAMED")
+    assert _quads(out) == {("", "urn:a", EX + "p", "urn:b")}
+    out = apply_update(_q(spark, rows), "CLEAR DEFAULT")
+    assert len(_quads(out)) == 2
+    out = apply_update(_q(spark, rows), "DROP SILENT ALL ; CREATE GRAPH <urn:x>")
+    assert len(_quads(out)) == 0
+
+
+def test_quads_add_copy_move(spark):
+    rows = [
+        ("urn:a", EX + "p", "iri", "urn:b", None, "", ""),
+        ("urn:c", EX + "p", "iri", "urn:d", None, "", "urn:g1"),
+        ("urn:e", EX + "p", "iri", "urn:f", None, "", "urn:g2"),
+    ]
+    out = apply_update(_q(spark, rows), "ADD DEFAULT TO GRAPH <urn:g1>")
+    assert _quads(out) == {
+        ("", "urn:a", EX + "p", "urn:b"),
+        ("urn:g1", "urn:a", EX + "p", "urn:b"),
+        ("urn:g1", "urn:c", EX + "p", "urn:d"),
+        ("urn:g2", "urn:e", EX + "p", "urn:f"),
+    }
+    # COPY overwrites the destination
+    out = apply_update(_q(spark, rows), "COPY GRAPH <urn:g1> TO <urn:g2>")
+    assert _quads(out) == {
+        ("", "urn:a", EX + "p", "urn:b"),
+        ("urn:g1", "urn:c", EX + "p", "urn:d"),
+        ("urn:g2", "urn:c", EX + "p", "urn:d"),
+    }
+    # MOVE also drops the source
+    out = apply_update(_q(spark, rows), "MOVE <urn:g1> TO DEFAULT")
+    assert _quads(out) == {
+        ("", "urn:c", EX + "p", "urn:d"),
+        ("urn:g2", "urn:e", EX + "p", "urn:f"),
+    }
+    # same-graph MOVE is a no-op
+    out = apply_update(_q(spark, rows), "MOVE <urn:g1> TO <urn:g1>")
+    assert len(_quads(out)) == 3
+
+
+def test_graph_forms_loud_without_graph_column(spark):
+    g = _g(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "")])
+    with pytest.raises(SparqlUnsupported, match="graph column"):
+        apply_update(g, "CLEAR GRAPH <urn:g1>")
+    with pytest.raises(SparqlUnsupported, match="graph column"):
+        apply_update(g, f"""
+            PREFIX ex: <{EX}>
+            INSERT DATA {{ GRAPH <urn:g> {{ <urn:a> ex:p "x" }} }}
+        """)
+    # graph-free updates still run on plain triples
+    out = apply_update(g, "DELETE DATA { <urn:a> <" + EX + "p> <urn:b> }")
+    assert _triples(out) == set()
+
+
+def test_quads_using_and_variable_graph_template_loud(spark):
+    g = _q(spark, [("urn:a", EX + "p", "iri", "urn:b", None, "", "")])
+    with pytest.raises(SparqlUnsupported, match="USING"):
+        apply_update(g, f"""
+            PREFIX ex: <{EX}>
+            DELETE {{ ?s ex:p ?o }} USING <urn:g1> WHERE {{ ?s ex:p ?o }}
+        """)
+    with pytest.raises(SparqlUnsupported, match="constant IRI"):
+        apply_update(g, f"""
+            PREFIX ex: <{EX}>
+            INSERT {{ GRAPH ?g {{ ?s ex:q ?o }} }}
+            WHERE {{ GRAPH ?g {{ ?s ex:p ?o }} }}
+        """)
+    with pytest.raises(SparqlUnsupported, match="WITH-scoped"):
+        apply_update(g, f"""
+            PREFIX ex: <{EX}>
+            WITH <urn:g1> DELETE {{ ?s ex:p ?o }}
+            WHERE {{ GRAPH <urn:g2> {{ ?s ex:p ?o }} }}
+        """)

@@ -4352,6 +4352,95 @@ ORACLES["sparql_update"] = """
 """
 
 
+def q_sparql_update_quads(spark, sf):
+    """SPARQL 1.1 Update in quad mode (operators/update.py): a KG over
+    named graphs derived from customer — names in the default graph,
+    balances in <urn:g:bal>, segments in <urn:g:seg> — mutated by a
+    WITH-scoped DELETE/INSERT (with a GRAPH-routed audit-log template),
+    an ADD between graphs, a CLEAR GRAPH, and a quad INSERT DATA.  The
+    oracle states the final quad relation directly over customer."""
+    from ..operators.update import apply_update
+
+    ex = "http://example.org/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    c = _t(spark, sf, "customer")
+    cs = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+
+    def t(p, kind, value, dt, graph):
+        return [
+            cs.alias("s"), F.lit(ex + p).alias("p"),
+            F.lit(kind).alias("o_kind"), value.alias("o_value"),
+            F.lit(dt).alias("o_datatype"), F.lit("").alias("o_lang"),
+            F.lit(graph).alias("graph"),
+        ]
+
+    base = (
+        c.select(*t("name", "literal", F.col("c_name"), xsd + "string", ""))
+        .unionByName(
+            c.select(*t(
+                "bal", "literal",
+                F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                xsd + "decimal", "urn:g:bal",
+            ))
+        )
+        .unionByName(
+            c.select(*t("seg", "literal", F.col("c_mktsegment"),
+                        xsd + "string", "urn:g:seg"))
+        )
+    )
+    updated = apply_update(base, f"""
+        PREFIX ex: <{ex}>
+        WITH <urn:g:bal>
+        DELETE {{ ?c ex:bal ?b }}
+        INSERT {{ ?c ex:hi "y" . GRAPH <urn:log> {{ ?c ex:logged ?b }} }}
+        WHERE {{ ?c ex:bal ?b . FILTER(?b > 5000) }} ;
+        ADD <urn:g:seg> TO <urn:g:arch> ;
+        CLEAR GRAPH <urn:g:seg> ;
+        INSERT DATA {{ GRAPH <urn:meta> {{ <urn:m> ex:v "5" }} }}
+    """)
+    return updated.select(
+        "s", "p", "o_kind", "o_value",
+        F.coalesce("o_datatype", F.lit("")).alias("o_datatype"),
+        "o_lang", "graph",
+    )
+
+
+QUERIES["sparql_update_quads"] = q_sparql_update_quads
+
+ORACLES["sparql_update_quads"] = """
+    WITH cust AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s, c_name, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS baln
+      FROM customer),
+    xs AS (SELECT 'http://www.w3.org/2001/XMLSchema#' AS ns),
+    ex AS (SELECT 'http://example.org/' AS ns)
+    SELECT s, (SELECT ns FROM ex) || 'name' AS p, 'literal' AS o_kind,
+           c_name AS o_value, (SELECT ns FROM xs) || 'string' AS o_datatype,
+           '' AS o_lang, '' AS graph
+    FROM cust
+    UNION ALL
+    SELECT s, (SELECT ns FROM ex) || 'bal', 'literal', bal,
+           (SELECT ns FROM xs) || 'decimal', '', 'urn:g:bal'
+    FROM cust WHERE NOT (baln > 5000)
+    UNION ALL
+    SELECT DISTINCT s, (SELECT ns FROM ex) || 'hi', 'literal', 'y',
+           (SELECT ns FROM xs) || 'string', '', 'urn:g:bal'
+    FROM cust WHERE baln > 5000
+    UNION ALL
+    SELECT s, (SELECT ns FROM ex) || 'logged', 'literal', bal,
+           (SELECT ns FROM xs) || 'decimal', '', 'urn:log'
+    FROM cust WHERE baln > 5000
+    UNION ALL
+    SELECT s, (SELECT ns FROM ex) || 'seg', 'literal', c_mktsegment,
+           (SELECT ns FROM xs) || 'string', '', 'urn:g:arch'
+    FROM cust
+    UNION ALL
+    SELECT 'urn:m', (SELECT ns FROM ex) || 'v', 'literal', '5',
+           (SELECT ns FROM xs) || 'string', '', 'urn:meta'
+"""
+
+
 def _part_edges_weighted(spark, sf):
     """The part co-occurrence graph with multiplicity: weight = number
     of consecutive-pair co-occurrences (a positive integer, so path

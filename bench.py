@@ -129,6 +129,7 @@ def main() -> None:
         "kg_harmonic",
         "shacl_report",
         "sparql_update",
+        "sparql_update_quads",
         "kg_sssp",
         "kg_walks",
         "rdfs_closure",

@@ -811,6 +811,19 @@ def main() -> int:
     check("sparql_update: no cartesian product", "CartesianProduct" not in p)
     check("sparql_update: no row-at-a-time Python", "BatchEvalPython" not in p)
 
+    # sparql_update_quads: the quad forms ride the same plan shapes;
+    # the graph label only ever appears as a filter or an extra
+    # equi-join key — never a partitioning key on its own
+    upq = q.q_sparql_update_quads(spark, SF_DIR)
+    p = plan_of(upq)
+    sections.append(("sparql_update_quads (graph label as filter/key)", p))
+    check("sparql_update_quads: no cartesian product",
+          "CartesianProduct" not in p)
+    check("sparql_update_quads: no row-at-a-time Python",
+          "BatchEvalPython" not in p)
+    check("sparql_update_quads: no window over the graph label",
+          "Window" not in p or "partitionBy graph" not in p)
+
     # kg_sssp: each relaxation is an |E| join + map-side-combining min.
     # The returned DF is checkpoint-cut (flat lineage is the point), so
     # audit one relaxation round built declaratively, like the LPA row
